@@ -1,0 +1,50 @@
+"""Semantic constants and job configuration.
+
+Every constant mirrors the reference implementation
+(/root/reference/image_pdf_ocr/ocr.py) so that the Spark pipeline and the
+single-process reference model share one source of truth:
+
+- ``adaptive_conf_threshold`` = 65.0 — page average confidence below which the
+  preprocess+re-OCR pass runs (ocr.py:32, 63; env OCR_CONFIDENCE_THRESHOLD).
+- ``render_conf_threshold`` = 50.0 — word confidence floor for the searchable
+  text layer / span emission (ocr.py:33, 487-489).
+- ``upscale_factor`` = 1.5 — preprocessing upscale (ocr.py:34, 139-142).
+- ``binarize_threshold`` = 180 — after autocontrast, grayscale (ocr.py:147-148).
+- ``dpi`` = 300 — rasterization density (ocr.py:482, 762).
+- ``font_size_ratio`` = 0.8 — invisible-text font size = box height × 0.8
+  (ocr.py:506-507).
+- ``lang`` = "jpn" — OCR language (ocr.py:86, 766); configurable because the
+  production north-star wants jpn+eng.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    adaptive_conf_threshold: float = field(
+        default_factory=lambda: float(os.environ.get("OCR_CONFIDENCE_THRESHOLD", "65"))
+    )
+    render_conf_threshold: float = 50.0
+    upscale_factor: float = 1.5
+    binarize_threshold: int = 180
+    dpi: int = 300
+    font_size_ratio: float = 0.8
+    lang: str = "jpn"
+
+    # Spark-side scale knobs (no analog in the single-process reference).
+    explode_pages: bool = True          # split giant docs into page rows before OCR
+    shuffle_partitions: int | None = None  # None -> leave session setting
+    arrow_max_records: int = 256        # cap Arrow batch rows (payloads are MB-scale)
+    salt_buckets: int = 0               # 0 -> plain xxhash64(url, page) repartition
+
+
+# Page-header template used for document assembly (ocr.py:767):
+#   f"--- ページ {index} ---\n{page_text.strip()}\n"
+PAGE_HEADER_FMT = "--- ページ %d ---\n%s\n"
+
+# Empty-document result (ocr.py:751-754).
+EMPTY_DOC_TEXT = "\n"

@@ -1,0 +1,196 @@
+"""Deterministic fixture corpus — the Common-Crawl-style ``pages`` table.
+
+Synthesizes the input table of BASELINE.json ``input_hint`` —
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)`` —
+from the driver-provided ``documents`` parquet (TESTDATA.md), fully
+deterministic (crc32-keyed jitter; no wall clock, no RNG state), so the
+same (doc_id, text) always yields byte-identical payloads on driver and
+executors alike.
+
+Corpus composition (FIXTURES.md F1): mostly SPDF image-PDF payloads
+covering every adaptive-OCR branch (high-confidence skip; retry-and-win;
+retry-and-keep-base; exact tie → base, ocr.py:71; low-legibility words that
+only the preprocessed pass renders), plus edge docs — empty (0 pages →
+extracted "\\n", ocr.py:751-754), encrypted (→ quarantine), corrupt, and
+HTML payloads that go down the boilerplate-strip path.
+
+Payload synthesis itself runs DISTRIBUTED (mapInPandas over the documents
+scan), so benchmarks measure the pipeline, not a driver-side loop, and the
+same generator scales to any SF.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from image_pdf_ocr_suite_spark import payload as spdf
+from image_pdf_ocr_suite_spark.payload import Document, Page, Word
+
+# Edge-case assignment: doc_id % EDGE_MOD selects special payload kinds.
+EDGE_MOD = 29
+EMPTY_AT, ENCRYPTED_AT, CORRUPT_AT, HTML_AT = 5, 11, 17, 23
+
+FIXTURE_PASSWORD = "s3cret"
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def _jit(*keys) -> int:
+    """Deterministic jitter in [0, 2^32) from a composite key (crc32 —
+    stable across processes, unlike Python's randomized hash())."""
+    return zlib.crc32(":".join(str(k) for k in keys).encode())
+
+
+def _tokens(text: str, max_tokens: int = 60) -> list[str]:
+    toks = text.split()
+    return toks[:max_tokens] if toks else ["empty"]
+
+
+def _conf_profile(doc_id: int, page_no: int) -> tuple[float, float, bool]:
+    """(base_level, pre_level, exact_tie) — chosen so the corpus exercises
+    every branch of ocr.py:48-79."""
+    mode = (doc_id * 7 + page_no) % 10
+    if mode <= 3:
+        return 80.0, 40.0, False          # high base → no second pass
+    if mode in (4, 5):
+        return 50.0, 72.0, False          # retry, preprocessed wins
+    if mode == 6:
+        return 60.0, 52.0, False          # retry, base kept (pre worse)
+    if mode == 7:
+        return 55.0, 55.0, True           # exact tie → strict-> keeps base
+    if mode == 8:
+        return 62.0, 62.5, False          # near-tie, pre wins by a hair
+    return 25.0, 75.0, False              # base illegible → pre reveals text
+
+
+def build_document(doc_id: int, text: str) -> Document:
+    """Deterministic multi-page document from one documents-table row."""
+    toks = _tokens(text)
+    n_pages = 1 + (_jit(doc_id, "npages") % 3)          # 1-3 pages
+    per_page = max(1, len(toks) // n_pages)
+    pages: list[Page] = []
+    for p in range(1, n_pages + 1):
+        page_toks = toks[(p - 1) * per_page: p * per_page] or ["blank"]
+        base_level, pre_level, tie = _conf_profile(doc_id, p)
+        words: list[Word] = []
+        for i, tok in enumerate(page_toks):
+            if tie:
+                cb = cp = base_level
+            else:
+                j = _jit(doc_id, p, i) % 11 - 5          # [-5, +5]
+                cb = min(100.0, max(0.0, base_level + j))
+                cp = min(100.0, max(0.0, pre_level + j))
+            # sprinkle structural variety: None-text and empty-text words
+            wtext: str | None = tok
+            r = _jit(doc_id, p, i, "edge") % 23
+            if r == 0:
+                wtext = None                              # NaN text row (ocr.py:131)
+            elif r == 1:
+                wtext = "  "                              # strips to empty (ocr.py:495-497)
+            line = i // 6
+            words.append(Word(
+                block=1 + line // 4, par=1, line=1 + line % 4, word=1 + i % 6,
+                left=float(10 + (i % 6) * 18), top=float(12 + line * 14),
+                width=float(14 + (_jit(doc_id, p, i, "w") % 5)), height=10.0,
+                conf_base=cb, conf_pre=cp, text=wtext,
+            ))
+        pages.append(Page(width_px=128, height_px=12 + 14 * (1 + (len(page_toks) - 1) // 6),
+                          words=words, ink=40 + doc_id % 60))
+    return Document(pages=pages)
+
+
+def build_html(doc_id: int, text: str) -> bytes:
+    """HTML payload with known boilerplate and known main content, for the
+    DOM text-density strip path (north_rule addition, SURVEY §2.6)."""
+    toks = _tokens(text, 120)
+    paras = [" ".join(toks[i:i + 20]) for i in range(0, len(toks), 20)]
+    main = "\n".join(f"<p>{p}</p>" for p in paras)
+    nav = "".join(f'<a href="/{i}">nav item {i}</a> ' for i in range(8))
+    ads = "".join(f'<div class="ad"><a href="/ad{i}">buy {i}</a></div>' for i in range(4))
+    html = (
+        "<html><head><title>t</title></head><body>"
+        f"<div id='nav'>{nav}</div>"
+        f"<div id='main'><article>{main}</article></div>"
+        f"{ads}"
+        "<div id='footer'><a href='/tos'>terms</a> <a href='/pp'>privacy</a></div>"
+        "</body></html>"
+    )
+    return html.encode("utf-8")
+
+
+def main_content_paragraphs(doc_id: int, text: str) -> list[str]:
+    """Ground-truth main content of build_html (golden for the strip test)."""
+    toks = _tokens(text, 120)
+    return [" ".join(toks[i:i + 20]) for i in range(0, len(toks), 20)]
+
+
+def make_payload(doc_id: int, text: str) -> bytes:
+    """Dispatch one documents row to its payload kind (deterministic)."""
+    m = doc_id % EDGE_MOD
+    if m == EMPTY_AT:
+        return spdf.encode(Document(pages=[]))
+    if m == ENCRYPTED_AT:
+        return spdf.encode(build_document(doc_id, text), password=FIXTURE_PASSWORD)
+    if m == CORRUPT_AT:
+        return spdf.MAGIC + bytes([spdf.VERSION, 0]) + b"\x00garbage\xff" * 3
+    if m == HTML_AT:
+        return build_html(doc_id, text)
+    return spdf.encode(build_document(doc_id, text))
+
+
+def url_for(doc_id: int) -> str:
+    return f"https://example.com/doc/{doc_id:08d}"
+
+
+_EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _rows_to_pages(pdf: pd.DataFrame, giant_doc_id: int, giant_pages: int) -> pd.DataFrame:
+    payloads, urls, tss = [], [], []
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        doc_id = int(doc_id)
+        text = text or ""
+        if giant_pages and doc_id == giant_doc_id:
+            # "giant scanned lecture PDF" skew fixture (north_star):
+            # repeat the text to fill many pages.
+            doc = build_document(doc_id, text)
+            page = doc.pages[0]
+            payloads.append(spdf.encode(Document(pages=[page] * giant_pages)))
+        else:
+            payloads.append(make_payload(doc_id, text))
+        urls.append(url_for(doc_id))
+        tss.append(_EPOCH + dt.timedelta(minutes=doc_id))
+    return pd.DataFrame({
+        "url": urls,
+        "warc_ts": tss,
+        "html": payloads,
+        "text": pdf["text"],
+        "lang": pdf["lang"] if "lang" in pdf.columns else "ja",
+    })
+
+
+def build_pages_df(spark, sf_dir: str, limit: int | None = None,
+                   giant_doc_id: int = -1, giant_pages: int = 0):
+    """Distributed pages-table synthesis: documents parquet -> (url, warc_ts,
+    html, text, lang).  Column-pruned scan (doc_id, text, lang only)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+    if limit is not None:
+        docs = docs.where(f"doc_id < {int(limit)}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _rows_to_pages(pdf, giant_doc_id, giant_pages)
+
+    return docs.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def build_pages_pdf(doc_rows: list[tuple[int, str, str]]) -> pd.DataFrame:
+    """Driver-side variant for small unit-test corpora:
+    rows of (doc_id, text, lang)."""
+    pdf = pd.DataFrame(doc_rows, columns=["doc_id", "text", "lang"])
+    return _rows_to_pages(pdf, -1, 0)

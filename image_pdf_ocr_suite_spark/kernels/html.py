@@ -1,0 +1,128 @@
+"""HTML boilerplate stripping via DOM-node text-density heuristics.
+
+North-rule addition absent from the reference (SURVEY §2.6): main-content
+extraction for Common-Crawl-style HTML payloads, in the spirit of the
+published text-density / link-density block classifiers (Kohlschütter et
+al., "Boilerplate Detection using Shallow Text Features", WSDM 2010; Sun et
+al. text-density).  Pure stdlib ``html.parser`` — no external deps — run as
+an Arrow-batched ``mapInPandas`` kernel.
+
+Heuristic: segment the DOM into blocks at block-level elements; per block
+accumulate (text_len, link_text_len, tag_count); keep blocks with
+  * text_len >= MIN_TEXT_LEN,
+  * link_density = link_text_len / text_len < MAX_LINK_DENSITY,
+  * text_density = text_len / max(tag_count, 1) >= MIN_TEXT_DENSITY.
+Main text = kept block texts joined by "\\n".  Deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+
+MIN_TEXT_LEN = 25
+MAX_LINK_DENSITY = 0.33
+MIN_TEXT_DENSITY = 10.0
+
+_BLOCK_TAGS = {
+    "p", "div", "article", "section", "main", "li", "td", "blockquote",
+    "h1", "h2", "h3", "h4", "h5", "h6", "pre", "aside", "nav", "footer",
+    "header", "table", "ul", "ol",
+}
+_SKIP_TAGS = {"script", "style", "noscript", "template"}
+
+
+class _Block:
+    __slots__ = ("parts", "link_len", "tag_count")
+
+    def __init__(self) -> None:
+        self.parts: list[str] = []
+        self.link_len = 0
+        self.tag_count = 1
+
+
+class _DensityParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self._stack: list[_Block] = []
+        self._skip_depth = 0
+        self._link_depth = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if tag == "a":
+            self._link_depth += 1
+        if tag in _BLOCK_TAGS:
+            self._stack.append(_Block())
+        elif self._stack:
+            self._stack[-1].tag_count += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        if tag in _BLOCK_TAGS and self._stack:
+            done = self._stack.pop()
+            self.blocks.append(done)
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth or not self._stack:
+            return
+        text = " ".join(data.split())
+        if not text:
+            return
+        top = self._stack[-1]
+        top.parts.append(text)
+        if self._link_depth:
+            top.link_len += len(text)
+
+
+def extract_main_text(html: str) -> str:
+    """Classify blocks by text/link density; return main content text."""
+    parser = _DensityParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        return ""
+    kept: list[str] = []
+    for b in parser.blocks:
+        text = " ".join(b.parts)
+        tl = len(text)
+        if tl < MIN_TEXT_LEN:
+            continue
+        if b.link_len / tl >= MAX_LINK_DENSITY:
+            continue
+        if tl / max(b.tag_count, 1) < MIN_TEXT_DENSITY:
+            continue
+        kept.append(text)
+    return "\n".join(kept)
+
+
+HTML_SCHEMA = "url string, main_text string, n_blocks int"
+
+
+def html_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        texts, counts = [], []
+        for raw in pdf["page_payload"]:
+            html = bytes(raw).decode("utf-8", errors="replace") if raw is not None else ""
+            main = extract_main_text(html)
+            texts.append(main)
+            counts.append(main.count("\n") + 1 if main else 0)
+        yield pd.DataFrame({"url": pdf["url"].to_numpy(),
+                            "main_text": texts, "n_blocks": counts})
+
+
+def strip_html(page_df):
+    """html-kind page rows -> (url, main_text, n_blocks)."""
+    return page_df.select("url", "page_payload").mapInPandas(html_kernel, schema=HTML_SCHEMA)

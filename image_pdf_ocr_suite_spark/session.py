@@ -1,0 +1,37 @@
+"""SparkSession builder with the engine's scale defaults.
+
+Settings chosen for the 100 TB design point (and harmless locally):
+
+- AQE on, with skew-join splitting — runtime re-plan for residual skew the
+  salted repartition doesn't catch.
+- Arrow batch cap — payloads are MB-scale binaries; a 10k-row default Arrow
+  batch would blow Python-worker memory.
+- shuffle partitions sized to the test box; a real cluster overrides via
+  spark-submit conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app: str = "image-pdf-ocr-suite-spark",
+                  master: str | None = None,
+                  shuffle_partitions: int | None = None,
+                  arrow_max_records: int = 256) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    b = (
+        SparkSession.builder.appName(app)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return b.getOrCreate()

@@ -1,0 +1,71 @@
+import pytest
+
+from image_pdf_ocr_suite_spark import payload as spdf
+from image_pdf_ocr_suite_spark.payload import Document, Page, Word
+
+
+def _doc():
+    return Document(pages=[
+        Page(100, 60, [Word(1, 1, 1, 1, 10, 12, 15, 10, 80.0, 40.0, "hello"),
+                       Word(1, 1, 1, 2, 30, 12, 15, 10, 82.0, 41.0, "world")]),
+        Page(100, 30, [Word(1, 1, 1, 1, 10, 12, 15, 10, 90.0, 50.0, None)]),
+    ])
+
+
+def test_roundtrip():
+    doc = _doc()
+    out = spdf.decode(spdf.encode(doc))
+    assert len(out.pages) == 2
+    assert out.pages[0].words[1].text == "world"
+    assert out.pages[1].words[0].text is None
+    assert out.pages[0].words[0].conf_base == 80.0
+
+
+def test_encode_deterministic():
+    assert spdf.encode(_doc()) == spdf.encode(_doc())
+
+
+def test_sniff():
+    assert spdf.sniff(spdf.encode(_doc())) == "spdf"
+    assert spdf.sniff(b"<html><body>x</body></html>") == "html"
+    assert spdf.sniff(b"  <!doctype html><html>") == "html"
+    assert spdf.sniff(b"\x00\x01\x02junk") == "unknown"
+
+
+def test_encrypted_roundtrip_and_errors():
+    doc = _doc()
+    enc = spdf.encode(doc, password="pw")
+    assert enc[5] & spdf.FLAG_ENCRYPTED
+    with pytest.raises(spdf.EncryptedPayloadError):
+        spdf.decode(enc)
+    with pytest.raises(spdf.EncryptedPayloadError):
+        spdf.decode(enc, password="wrong")
+    assert len(spdf.decode(enc, password="pw").pages) == 2
+
+
+def test_remove_password():
+    doc = _doc()
+    enc = spdf.encode(doc, password="pw")
+    plain = spdf.remove_password(enc, "pw")
+    assert not (plain[5] & spdf.FLAG_ENCRYPTED)
+    assert len(spdf.decode(plain).pages) == 2
+    # reference error cases (ocr.py:216-223)
+    with pytest.raises(spdf.EncryptedPayloadError):
+        spdf.remove_password(spdf.encode(doc), "pw")      # not encrypted
+    with pytest.raises(spdf.EncryptedPayloadError):
+        spdf.remove_password(enc, "")                      # empty password
+
+
+def test_corrupt():
+    with pytest.raises(spdf.PayloadError):
+        spdf.decode(b"SPDF" + bytes([1, 0]) + b"nonsense")
+    with pytest.raises(spdf.PayloadError):
+        spdf.decode(b"whatever")
+
+
+def test_split_pages():
+    doc = _doc()
+    parts = spdf.split_pages(spdf.encode(doc))
+    assert len(parts) == 2
+    p0 = spdf.decode(parts[0])
+    assert len(p0.pages) == 1 and p0.pages[0].words[0].text == "hello"
