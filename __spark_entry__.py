@@ -1,38 +1,448 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` registers every implemented operator (SURVEY.md §2 plus the
+training-data-pipeline additions); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible one.
+
+Portability conventions (so the order-insensitive value-hash matches):
+- every computed column is aliased identically on both sides;
+- rounding is spelled ``FLOOR(x*10000 + 0.5)/10000`` in BOTH engines —
+  pure IEEE double ops, bit-identical — because Spark's ROUND (BigDecimal
+  HALF_UP on the shortest repr) and DuckDB's ROUND (double math) disagree
+  on exact .5 boundaries;
+- aggregate outputs prefer exact-integer statistics (counts, min/max,
+  integer-valued sums) over float accumulations wherever possible;
+- raw projections keep full-precision doubles (both engines produce
+  identical IEEE bits for the same expression — no rounding needed).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from image_pdf_ocr_suite_spark import ExtractConfig, extract_pages
+from image_pdf_ocr_suite_spark.analytics import dedup, multimodal, similarity, text as textops
+from image_pdf_ocr_suite_spark.fixtures import build_pages_df
+
+CFG = ExtractConfig()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def round4(col):
+    """floor(x*1e4 + 0.5)/1e4 — deterministic cross-engine rounding."""
+    return F.floor(col * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline (decode → adaptive OCR → assembly
+    → HTML strip) over the synthesized Common-Crawl-style pages table."""
+    pages = build_pages_df(spark, "/root/testdata/sf0.001")
+    res = extract_pages(pages, CFG, run_id="entry")
+    return res.text.select("url", "extracted_text", "n_pages", "kind")
+
+
+# ---------------------------------------------------------------------------
+# queries — Spark side
+# ---------------------------------------------------------------------------
+
+def q_ocr_extract_text(spark, sf_dir):
+    res = extract_pages(build_pages_df(spark, sf_dir), CFG, run_id="q")
+    return res.text.select("url", "extracted_text", "n_pages", "kind")
+
+
+def q_ocr_spans(spark, sf_dir):
+    res = extract_pages(build_pages_df(spark, sf_dir), CFG, run_id="q")
+    return res.spans.select("url", "page", "block", "par", "line", "word",
+                            "left", "top", "width", "height", "conf", "text",
+                            "start_off", "end_off")
+
+
+def q_ocr_quarantine(spark, sf_dir):
+    res = extract_pages(build_pages_df(spark, sf_dir), CFG, run_id="q")
+    return res.quarantine
+
+
+def q_html_main_text(spark, sf_dir):
+    res = extract_pages(build_pages_df(spark, sf_dir), CFG, run_id="q")
+    return res.text.where(F.col("kind") == "html").select("url", "extracted_text")
+
+
+def q_payload_metadata(spark, sf_dir):
+    return multimodal.payload_metadata(build_pages_df(spark, sf_dir))
+
+
+def q_conf_avg_valid(spark, sf_dir):
+    """§2.2 average-confidence aggregate (ocr.py:90-102) over events.value."""
+    e = _t(spark, sf_dir, "events")
+    avg_valid = F.avg(F.when(F.col("value") >= 0, F.col("value")))
+    return e.groupBy("event_type").agg(
+        round4(F.coalesce(avg_valid, F.lit(0.0))).alias("avg_conf"))
+
+
+def q_conf_threshold_filter(spark, sf_dir):
+    """§2.2 confidence-threshold filter (ocr.py:122-132)."""
+    e = _t(spark, sf_dir, "events")
+    return e.where(F.col("value") >= 50.0).select("event_id", "event_type", "value")
+
+
+def q_validity_filter_count(spark, sf_dir):
+    """§2.2 conf>=0 validity filter (ocr.py:96-97) as counts."""
+    e = _t(spark, sf_dir, "events")
+    return e.where(F.col("value").isNotNull() & (F.col("value") >= 0)) \
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n_valid"))
+
+
+def q_rescale_projection(spark, sf_dir):
+    """§2.2 coordinate rescale ÷1.5 (ocr.py:114-117); raw IEEE doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber",
+                     (F.col("l_extendedprice") / F.lit(1.5)).alias("rescaled"))
+
+
+def q_reading_order(spark, sf_dir):
+    """§2.2 reading-order window sort (ocr.py frame order)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+
+
+def q_nonempty_text_filter(spark, sf_dir):
+    """§2.2 non-empty-after-trim filter (ocr.py:495-497)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(F.trim(F.col("text")) != "").groupBy("source") \
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_span_offsets(spark, sf_dir):
+    """F4 span offsets: running character offsets per partition key."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(F.sum("n_chars").over(w), F.lit(0)).cast("bigint")
+    return d.select("doc_id", "lang", start.alias("start_off"),
+                    (start + F.col("n_chars")).cast("bigint").alias("end_off"))
+
+
+def q_max_extent(spark, sf_dir):
+    """§2.2 max-extent aggregate (_determine_canvas_size, ocr.py:536-558)."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(F.max("p_size").alias("max_size"),
+                                    F.min("p_size").alias("min_size"))
+
+
+def q_page_header_format(spark, sf_dir):
+    """§2.2 page-header format (ocr.py:767)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    F.format_string("--- ページ %d ---", F.col("doc_id")).alias("header"))
+
+
+def _pystrip(col):
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
+def q_doc_assembly(spark, sf_dir):
+    """§2.2 document assembly (headers + ordered join + strip + trailing
+    newline, ocr.py:767/780) emulated per source group over documents."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    chunks = d.select(
+        "source",
+        F.struct(F.row_number().over(w).alias("rn"),
+                 F.concat(F.format_string("--- ページ %d ---", F.row_number().over(w)),
+                          F.lit("\n"), _pystrip(F.col("text")), F.lit("\n")).alias("chunk")
+                 ).alias("pc"))
+    return chunks.groupBy("source").agg(
+        F.concat(_pystrip(F.concat_ws("\n", F.transform(
+            F.array_sort(F.collect_list("pc")), lambda x: x["chunk"]))),
+            F.lit("\n")).alias("assembled"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup stats: md5 hash-groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(F.countDistinct(F.md5(F.col("text"))).alias("n_unique"),
+                 F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_dedup_first_per_key(spark, sf_dir):
+    """Exact dedup keeper selection: lowest doc_id per content-prefix digest."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.substring("text", 1, 40)).alias("h")).agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n"))
+
+
+def q_token_count(spark, sf_dir):
+    return textops.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    qf = textops.quality_features(d)
+    return qf.select("doc_id", "n_chars", "n_tokens",
+                     round4(F.col("avg_token_len")).alias("avg_token_len"),
+                     round4(F.col("space_ratio")).alias("space_ratio"))
+
+
+def q_lang_id(spark, sf_dir):
+    return textops.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    return textops.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_lsh_buckets(spark, sf_dir):
+    return dedup.lsh_buckets(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Jaccard is int/int division → identical IEEE doubles in both engines;
+    no rounding needed."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, threshold=0.0, max_id=60)
+
+
+def q_topk_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.cosine_topk(emb, [float(x) for x in qvec], k=20).select("vec_id")
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.lsh_cosine_topk(emb, [float(x) for x in qvec], k=10,
+                                      n_planes=12, max_hamming=3).select("vec_id")
+
+
+def q_simhash_groups(spark, sf_dir):
+    return dedup.simhash_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min rule) — stateful analog."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; only differences matter, so the cast's tz is moot
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_sess = F.when(prev.isNull() | ((us - prev) > 1800 * 1_000_000), 1) \
+        .otherwise(0)
+    return e.select("user_id", new_sess.alias("ns")).groupBy("user_id") \
+        .agg(F.sum("ns").cast("bigint").alias("n_sessions"))
+
+
+def q_tpch_q1_exactstats(spark, sf_dir):
+    """TPC-H Q1-style pricing summary restricted to exact-integer-safe
+    statistics (qty values are integral doubles → float sums exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.count(F.lit(1)).alias("count_order"),
+                 round4(F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")))
+
+
+def q_join_agg_segment(spark, sf_dir):
+    """Broadcast join orders ⋈ customer; exact aggregates per segment."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # flagship extraction (non-SQL kernels → rows-only checks)
+        "ocr_extract_text": q_ocr_extract_text,
+        "ocr_spans": q_ocr_spans,
+        "ocr_quarantine": q_ocr_quarantine,
+        "html_main_text": q_html_main_text,
+        "payload_metadata": q_payload_metadata,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "simhash_groups": q_simhash_groups,
+        # SQL-checkable operators
+        "conf_avg_valid": q_conf_avg_valid,
+        "conf_threshold_filter": q_conf_threshold_filter,
+        "validity_filter_count": q_validity_filter_count,
+        "rescale_projection": q_rescale_projection,
+        "reading_order": q_reading_order,
+        "nonempty_text_filter": q_nonempty_text_filter,
+        "span_offsets": q_span_offsets,
+        "max_extent": q_max_extent,
+        "page_header_format": q_page_header_format,
+        "doc_assembly": q_doc_assembly,
+        "dedup_exact": q_dedup_exact,
+        "dedup_first_per_key": q_dedup_first_per_key,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "minhash_lsh_buckets": q_minhash_lsh_buckets,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "topk_cosine": q_topk_cosine,
+        "sessionize": q_sessionize,
+        "tpch_q1_exactstats": q_tpch_q1_exactstats,
+        "join_agg_segment": q_join_agg_segment,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — column names MUST match the Spark side
+# ---------------------------------------------------------------------------
+
+R4 = "FLOOR(({x}) * 10000.0 + 0.5) / 10000.0"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    strip = "regexp_replace({x}, '^\\s+|\\s+$', '', 'g')"
+    return {
+        "conf_avg_valid": f"""
+            SELECT event_type,
+                   {R4.format(x="COALESCE(AVG(value) FILTER (WHERE value >= 0), 0.0)")} AS avg_conf
+            FROM events GROUP BY event_type""",
+        "conf_threshold_filter": """
+            SELECT event_id, event_type, value FROM events WHERE value >= 50.0""",
+        "validity_filter_count": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_valid
+            FROM events WHERE value IS NOT NULL AND value >= 0
+            GROUP BY event_type""",
+        "rescale_projection": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice / 1.5 AS rescaled
+            FROM lineitem""",
+        "reading_order": """
+            SELECT doc_id, lang,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS INTEGER) AS rn
+            FROM documents""",
+        "nonempty_text_filter": """
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents WHERE trim(text) <> '' GROUP BY source""",
+        "span_offsets": """
+            SELECT doc_id, lang,
+                   CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off,
+                   CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_chars AS BIGINT) AS end_off
+            FROM documents""",
+        "max_extent": """
+            SELECT p_brand, MAX(p_size) AS max_size, MIN(p_size) AS min_size
+            FROM part GROUP BY p_brand""",
+        "page_header_format": """
+            SELECT doc_id, '--- ページ ' || CAST(doc_id AS VARCHAR) || ' ---' AS header
+            FROM documents""",
+        "doc_assembly": f"""
+            WITH numbered AS (
+                SELECT source, text,
+                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents)
+            SELECT source,
+                   {strip.format(x="string_agg('--- ページ ' || CAST(rn AS VARCHAR) || ' ---' || chr(10) || " + strip.format(x="text") + " || chr(10), chr(10) ORDER BY rn)")} || chr(10) AS assembled
+            FROM numbered GROUP BY source""",
+        "dedup_exact": """
+            SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM documents""",
+        "dedup_first_per_key": """
+            SELECT md5(substring(text, 1, 40)) AS h,
+                   MIN(doc_id) AS keeper, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY md5(substring(text, 1, 40))""",
+        "token_count": """
+            SELECT doc_id,
+                   CASE WHEN length(text) > 0
+                        THEN length(text) - length(replace(text, ' ', '')) + 1
+                        ELSE 0 END AS n_tokens
+            FROM documents""",
+        "quality_score": f"""
+            WITH b AS (
+                SELECT doc_id, length(text) AS n_chars,
+                       CASE WHEN length(text) > 0
+                            THEN length(text) - length(replace(text, ' ', '')) + 1
+                            ELSE 0 END AS n_tokens,
+                       length(replace(text, ' ', '')) AS non_space
+                FROM documents)
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   {R4.format(x="CAST(non_space AS DOUBLE) / NULLIF(n_tokens, 0)")} AS avg_token_len,
+                   {R4.format(x="CAST(n_chars - non_space AS DOUBLE) / NULLIF(n_chars, 0)")} AS space_ratio
+            FROM b""",
+        "lang_id": """
+            WITH t AS (SELECT doc_id, ' ' || text || ' ' AS pt FROM documents),
+            s AS (SELECT doc_id,
+                   (length(pt) - length(replace(pt, ' the ', ''))) / length(' the ')
+                 + (length(pt) - length(replace(pt, ' a ', ''))) / length(' a ')
+                 + (length(pt) - length(replace(pt, ' and ', ''))) / length(' and ')
+                 + (length(pt) - length(replace(pt, ' of ', ''))) / length(' of ') AS sc
+                  FROM t)
+            SELECT doc_id, CAST(sc AS INTEGER) AS en_score,
+                   CASE WHEN sc >= 1 THEN 'en' ELSE 'other' END AS pred_lang
+            FROM s""",
+        "fingerprint": """
+            SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+            FROM documents""",
+        "minhash_lsh_buckets": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_transform(range(1, len(sp) - 1),
+                                      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) AS shingles
+                FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)),
+            bands AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS band),
+            sig AS (
+                SELECT doc_id, band,
+                       list_min(list_transform(shingles,
+                                s -> md5(s || '#' || CAST(band AS VARCHAR)))) AS minhash
+                FROM sh, bands)
+            SELECT band, minhash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   MIN(doc_id) AS min_id
+            FROM sig WHERE minhash IS NOT NULL
+            GROUP BY band, minhash HAVING COUNT(*) > 1""",
+        "ngram_jaccard_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+                FROM documents WHERE doc_id < 60)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.tk, b.tk))) AS jaccard
+            FROM toks a, toks b WHERE a.doc_id < b.doc_id""",
+        "topk_cosine": """
+            SELECT vec_id FROM embeddings,
+                 (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q) DESC, vec_id
+            LIMIT 20""",
+        "sessionize": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN prev IS NULL
+                                 OR epoch_us(ts) - epoch_us(prev) > 1800 * 1000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM (SELECT user_id, ts,
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                  FROM events)
+            GROUP BY user_id""",
+        "tpch_q1_exactstats": f"""
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS count_order,
+                   {R4.format(x="SUM(l_quantity) / COUNT(*)")} AS avg_qty
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "join_agg_segment": """
+            SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+    }

@@ -1,0 +1,148 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket-join),
+SimHash, and n-gram Jaccard.  All but SimHash are pure Catalyst expressions
+(portable enough that the DuckDB oracle can replicate them — the MinHash
+uses lexicographic MIN over fixed-width md5 hex digests, which is
+order-isomorphic to numeric min over the 128-bit hash, so both engines
+agree bit-for-bit).
+
+Scale notes (100 TB design point):
+- exact dedup is a single hash-aggregate shuffle on the digest — the digest
+  (16 bytes) shuffles, never the document body;
+- MinHash signatures are computed scan-side (map-only); only (band, bucket,
+  id) rows shuffle, so candidate generation is O(n·bands) small rows;
+- n-gram Jaccard is for candidate VERIFICATION (run it on LSH candidate
+  pairs, never as a blind cross join — the helper caps the id range for
+  demo/oracle use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact content digest (hash-groupBy)."""
+    h = F.md5(F.col(text_col)).alias("content_md5")
+    keep = df.select(h, F.col(id_col)).groupBy("content_md5").agg(
+        F.min(id_col).alias(id_col))
+    return keep
+
+
+def shingles_expr(text_col: str, k: int = 3):
+    """k-token shingles of a whitespace-tokenized text column.
+    Guarded: fewer than k tokens -> empty array (Spark's sequence() would
+    otherwise produce a DESCENDING range)."""
+    sp = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(sp) - (k - 1))
+    mk = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(sp, i + j) for j in range(k)]))
+    return F.when(F.size(sp) >= k, mk).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      n_hashes: int = 4, shingle_k: int = 3) -> DataFrame:
+    """(id, band, minhash) — minhash_i = MIN(md5(shingle || '#' || i)).
+    Lexicographic min over fixed-width hex == numeric min over the hash."""
+    sh = shingles_expr(text_col, shingle_k)
+
+    def band_min(band: int):
+        # NB: the lambda must take exactly ONE arg — PySpark treats a
+        # second lambda parameter as the array index.
+        tag = F.lit(f"#{band}")
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, tag))))
+
+    cols = [band_min(i).alias(f"mh{i}") for i in range(n_hashes)]
+    wide = df.select(F.col(id_col), *cols)
+    stack = ", ".join(f"{i}, mh{i}" for i in range(n_hashes))
+    return wide.selectExpr(id_col, f"stack({n_hashes}, {stack}) as (band, minhash)") \
+               .where(F.col("minhash").isNotNull())
+
+
+def lsh_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                n_hashes: int = 4, shingle_k: int = 3) -> DataFrame:
+    """Candidate buckets: (band, minhash) groups with >1 member."""
+    sig = minhash_signature(df, text_col, id_col, n_hashes, shingle_k)
+    return (sig.groupBy("band", "minhash")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_id"))
+            .where(F.col("n_docs") > 1))
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n_hashes: int = 4,
+                        shingle_k: int = 3) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any band bucket —
+    the bucket-join; only ids shuffle."""
+    sig = minhash_signature(df, text_col, id_col, n_hashes, shingle_k)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (a.join(b, ["band", "minhash"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.2,
+                        max_id: int | None = 60) -> DataFrame:
+    """Token-set Jaccard over all pairs within a bounded id range (demo /
+    verification operator — at scale, feed LSH candidates instead)."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    base = df.select(F.col(id_col), toks.alias("toks"))
+    if max_id is not None:
+        base = base.where(F.col(id_col) < max_id)
+    a, b = base.alias("a"), base.alias("b")
+    # int/int division — identical IEEE doubles in any engine, no rounding
+    j = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double") / \
+        F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    return (a.crossJoin(b)
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    j.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens (Arrow-vectorized pandas UDF;
+    md5-derived 64-bit token hashes, sign-sum per bit).  Near-dup groups =
+    equal simhash (or small Hamming distance downstream)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _simhash_fn(texts):
+        out = np.zeros(len(texts), dtype=np.int64)
+        for row, t in enumerate(texts):
+            if not t:
+                continue
+            toks = t.split()
+            hs = np.frombuffer(
+                b"".join(hashlib.md5(tok.encode()).digest()[:8] for tok in toks),
+                dtype=">u8").astype(np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            acc = (bits * 2 - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for k in np.flatnonzero(acc > 0):
+                sig |= np.uint64(1) << np.uint64(k)
+            out[row] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    # real annotation objects (module uses `from __future__ import
+    # annotations`, which would stringify inline hints and break
+    # pandas_udf's type inference)
+    _simhash_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _simhash = pandas_udf(_simhash_fn, "long")
+
+    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    sh = simhash64(df, text_col, id_col)
+    return (sh.groupBy("simhash")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_id"))
+            .where(F.col("n_docs") > 1))

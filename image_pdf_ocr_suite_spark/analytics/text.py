@@ -1,0 +1,62 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Catalyst expressions (whole-stage codegen; no Python), designed to
+be replicable in ANSI SQL for the DuckDB oracle:
+
+- token counting (whitespace arithmetic — identical in both engines),
+- quality scoring (length / token-length / uppercase ratios),
+- language-ID heuristic (stopword hits),
+- document fingerprinting (md5 over whitespace-normalized, lowercased text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def token_count_expr(text_col: str = "text"):
+    """Whitespace-separated token count via length arithmetic (portable:
+    LENGTH(t) - LENGTH(REPLACE(t, ' ', '')) + 1 for non-empty text)."""
+    t = F.col(text_col)
+    spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    return F.when(F.length(t) > 0, spaces + 1).otherwise(F.lit(0))
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col), token_count_expr(text_col).alias("n_tokens"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_chars, n_tokens, avg_token_len, space_ratio) — cheap quality
+    signals for corpus filtering."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count_expr(text_col)
+    non_space = n_chars - (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(F.try_divide(non_space.cast("double"), n_tokens.cast("double")), 4)
+        .alias("avg_token_len"),
+        F.round(F.try_divide((n_chars - non_space).cast("double"), n_chars.cast("double")), 4)
+        .alias("space_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language heuristic (n-gram-style, portable to SQL)."""
+    t = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    def hits(w):
+        return (F.length(t) - F.length(F.replace(t, F.lit(f" {w} "), F.lit("")))) \
+            / (F.length(F.lit(f" {w} ")))
+    en_score = hits("the") + hits("a") + hits("and") + hits("of")
+    pred = F.when(en_score >= 1, F.lit("en")).otherwise(F.lit("other"))
+    return df.select(F.col(id_col), en_score.cast("int").alias("en_score"),
+                     pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalized content fingerprint: md5(lower(whitespace-collapsed))."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))

@@ -1,0 +1,117 @@
+"""Snapshot-committed Parquet tables — Iceberg-style semantics offline.
+
+The north_rule requires idempotent resume from snapshot checkpoints.  The
+sandbox has no Iceberg jars, so this module implements the same interface
+over plain Parquet + JSON snapshot manifests:
+
+- ``append(df, run_id)`` writes data files into a snapshot-private
+  directory, then COMMITS by writing a manifest via write-temp + atomic
+  rename.  A crash before the rename leaves orphan data files that no
+  reader ever sees (exactly Iceberg's invariant: readers only see
+  committed snapshots).
+- ``read()`` unions the data directories of committed snapshots only.
+- ``processed_keys(col)`` is the resume primitive: restart = input
+  LEFT ANTI JOIN processed urls (SURVEY §2.6) — idempotent, no dupes,
+  no gaps.
+
+On a real cluster, swap this for ``df.writeTo(tbl).append()`` against an
+Iceberg catalog; the pipeline code only touches this interface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: str
+    parent_id: str | None
+    data_dir: str
+    run_id: str
+    committed_at: float
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.snap_dir = os.path.join(root, "_snapshots")
+        os.makedirs(self.snap_dir, exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # ---- manifest protocol -------------------------------------------------
+    def _snapshot_files(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.snap_dir)
+            if f.endswith(".json") and not f.startswith(".")
+        )
+
+    def snapshots(self) -> list[Snapshot]:
+        out = []
+        for f in self._snapshot_files():
+            with open(os.path.join(self.snap_dir, f)) as fh:
+                d = json.load(fh)
+            out.append(Snapshot(**d))
+        return out
+
+    def current_snapshot(self) -> Snapshot | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    def _commit(self, snap: Snapshot) -> None:
+        seq = len(self._snapshot_files())
+        final = os.path.join(self.snap_dir, f"{seq:06d}-{snap.snapshot_id}.json")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(snap.__dict__, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, final)  # atomic commit point
+
+    # ---- public API ----------------------------------------------------------
+    def append(self, df: DataFrame, run_id: str) -> Snapshot:
+        """Write df into a new snapshot directory, then commit atomically."""
+        snapshot_id = uuid.uuid4().hex[:16]
+        data_dir = os.path.join(self.root, "data", snapshot_id)
+        df.write.mode("error").parquet(data_dir)
+        parent = self.current_snapshot()
+        snap = Snapshot(snapshot_id=snapshot_id,
+                        parent_id=parent.snapshot_id if parent else None,
+                        data_dir=data_dir, run_id=run_id,
+                        committed_at=time.time())
+        self._commit(snap)
+        return snap
+
+    def write_uncommitted(self, df: DataFrame, run_id: str) -> str:
+        """Data files without a manifest — simulates a mid-job crash for
+        resume tests; readers must never see these rows."""
+        data_dir = os.path.join(self.root, "data", f"orphan-{uuid.uuid4().hex[:8]}")
+        df.write.mode("error").parquet(data_dir)
+        return data_dir
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        dirs = [s.data_dir for s in self.snapshots()]
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
+    def processed_keys(self, spark: SparkSession, key_col: str = "url") -> DataFrame | None:
+        committed = self.read(spark)
+        if committed is None:
+            return None
+        return committed.select(key_col).distinct()
+
+    def remaining_input(self, input_df: DataFrame, key_col: str = "url") -> DataFrame:
+        """Resume primitive: input minus committed keys (left anti join).
+        The processed-keys side is small (keys only) → broadcastable."""
+        done = self.processed_keys(input_df.sparkSession, key_col)
+        if done is None:
+            return input_df
+        from pyspark.sql.functions import broadcast
+        return input_df.join(broadcast(done), key_col, "left_anti")

@@ -1,0 +1,114 @@
+"""Behavioral tests for the training-data-pipeline operators: dedup finds
+planted near-duplicates, similarity search matches a numpy ground truth,
+multimodal metadata matches the payload fixture."""
+
+import numpy as np
+import pytest
+
+from image_pdf_ocr_suite_spark import fixtures
+from image_pdf_ocr_suite_spark.analytics import dedup, multimodal, similarity
+
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps near the warm stove in the kitchen every single day")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                        # exact dup of 0
+        (2, BASE.replace("kitchen", "garden")),           # near dup of 0
+        (3, "completely different content about spark shuffle partitions"),
+        (4, "another unrelated text mentioning adaptive query execution"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    keep = dedup.exact_dedup(docs).collect()
+    keepers = {r["doc_id"] for r in keep}
+    assert 0 in keepers and 1 not in keepers              # min-id survives
+    assert {2, 3, 4} <= keepers
+    assert len(keep) == 4
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs                                # exact dup always collides
+    assert (0, 2) in pairs or (1, 2) in pairs             # near dup shares a band
+    assert (3, 4) not in pairs                            # unrelated don't
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.0, max_id=None).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] > 0.8
+    assert pairs[(3, 4)] < 0.1
+
+
+def test_simhash_dup_and_near(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    assert sh[0] == sh[1]
+    ham02 = bin((sh[0] ^ sh[2]) & ((1 << 64) - 1)).count("1")
+    ham03 = bin((sh[0] ^ sh[3]) & ((1 << 64) - 1)).count("1")
+    assert ham02 < ham03                                  # near dup is closer
+    groups = dedup.simhash_groups(docs).collect()
+    assert any(g["n_docs"] == 2 for g in groups)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((100, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(100)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+def _numpy_topk(vecs, q, k):
+    sims = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((np.arange(len(vecs)), -sims))
+    return [int(i) for i in order[:k]]
+
+
+def test_cosine_topk_matches_numpy(spark, emb_df):
+    df, vecs = emb_df
+    q = vecs[0].astype(np.float64)
+    got = [r["vec_id"] for r in
+           similarity.cosine_topk(df, [float(x) for x in q], k=10).collect()]
+    assert got == _numpy_topk(vecs.astype(np.float64), q, 10)
+
+
+def test_lsh_topk_recall(spark, emb_df):
+    df, vecs = emb_df
+    q = vecs[0].astype(np.float64)
+    exact = set(_numpy_topk(vecs.astype(np.float64), q, 10))
+    approx = {r["vec_id"] for r in similarity.lsh_cosine_topk(
+        df, [float(x) for x in q], k=10, n_planes=12, max_hamming=4).collect()}
+    assert 0 in approx                                    # query vector found
+    assert len(exact & approx) >= 5                       # reasonable recall
+
+
+def test_payload_metadata(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(20)), "ja") for i in range(8)]
+    df = spark.createDataFrame(fixtures.build_pages_pdf(rows))
+    meta = {r["url"]: r for r in multimodal.payload_metadata(df).collect()}
+    for i in range(8):
+        r = meta[fixtures.url_for(i)]
+        if i % fixtures.EDGE_MOD == fixtures.EMPTY_AT:
+            assert r["n_pages"] == 0
+        elif r["kind"] == "spdf":
+            doc = fixtures.build_document(i, rows[i][1])
+            assert r["n_pages"] == len(doc.pages)
+            assert r["max_width"] == max(p.width_px for p in doc.pages)
+            assert r["n_words"] == sum(len(p.words) for p in doc.pages)
+        assert r["payload_bytes"] > 0
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG...")
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(b"\x00")
