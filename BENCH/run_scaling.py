@@ -1,0 +1,122 @@
+"""Two-cluster-size scaling measurement (north_rule evidence).
+
+The rule requires throughput scaling efficiency >= 0.8 from N to 4N
+executors.  No real cluster exists in the sandbox, so — per the driver's
+instruction — the same extraction job runs at two parallelism levels
+(N and 4N cores, same input, same 128-task graph) in FRESH JVMs, and
+efficiency = throughput(4N) / (4 × throughput(N)).
+
+Methodology notes:
+- N=4 / 4N=16 on the 32-core box: local mode co-locates the JVM task
+  threads with the Python workers, so using all 32 cores as task slots
+  oversubscribes the host — a local-mode artifact a real cluster (executor
+  cores sized to leave room for the Python workers) does not have.
+- best-of-2 wall per level: the sandbox shows 1.5-2x run-to-run noise from
+  outside interference; minimum wall is the least-interfered measurement.
+- REPLICATE=64 (~320k docs): per-job fixed costs (stage scheduling, plan
+  compilation, worker spin-up) are ~4-5 s regardless of input size; a
+  measurement meant to evidence 100 TB behavior must amortize them the way
+  real volume does, otherwise it measures the scheduler, not the engine.
+
+Usage: python BENCH/run_scaling.py [sf_dir]
+Writes results to BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_CPUS, N4_CPUS = 4, 16
+RUNS_PER_LEVEL = 2
+
+
+REPLICATE = int(os.environ.get("SCALING_REPLICATE", "64"))
+
+
+def _materialize_pages(sf_dir: str) -> str:
+    """Pages table replicated REPLICATE× with distinct urls: the scaling
+    measurement needs enough work that per-stage fixed costs don't dominate
+    (a 5-second job measures scheduler overhead, not scaling)."""
+    from pyspark.sql import functions as F
+
+    from image_pdf_ocr_suite_spark.fixtures import build_pages_df
+    from image_pdf_ocr_suite_spark.session import build_session
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/scaling_pages_{tag}_x{REPLICATE}"
+    spark = build_session(app="scaling-prep", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = build_pages_df(spark, sf_dir)
+    out = base.withColumn("url", F.concat("url", F.lit("#r0")))
+    for r in range(1, REPLICATE):
+        out = out.unionByName(
+            base.withColumn("url", F.concat("url", F.lit(f"#r{r}"))))
+    out.write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def _run_level(cpus: int, pages_path: str) -> dict:
+    best = None
+    for _ in range(RUNS_PER_LEVEL):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "BENCH", "extract_once.py"),
+             str(cpus), pages_path],
+            capture_output=True, text=True, cwd=REPO, timeout=1200)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        r = json.loads(line)
+        if best is None or r["sec"] < best["sec"]:
+            best = r
+    return best
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    pages_path = _materialize_pages(sf_dir)
+
+    r_n = _run_level(N_CPUS, pages_path)
+    r_4n = _run_level(N4_CPUS, pages_path)
+    efficiency = round(r_4n["docs_per_sec"] / (4.0 * r_n["docs_per_sec"]), 3)
+
+    result = {
+        "metric": "scaling_efficiency_N_to_4N",
+        "value": efficiency,
+        "unit": "ratio",
+        "n": r_n, "n4": r_4n,
+        "sf_dir": sf_dir,
+        "pass_0_8_gate": efficiency >= 0.8,
+        "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    print(json.dumps(result))
+
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(md, "w") as fh:
+        fh.write(f"""# BENCH/BASELINE.md — measured engine numbers
+
+Scaling evidence for the north_rule two-cluster-size criterion, measured
+as the same extraction job (pre-materialized pages parquet at
+`{sf_dir}`, fixed 64-way task graph, fresh JVM per level) at two
+parallelism levels — the sandbox stand-in for N vs 4N executors.
+
+| level | cores | docs | wall sec | docs/sec |
+|---|---|---|---|---|
+| N  | {r_n['cpus']} | {r_n['n_docs']} | {r_n['sec']} | {r_n['docs_per_sec']} |
+| 4N | {r_4n['cpus']} | {r_4n['n_docs']} | {r_4n['sec']} | {r_4n['docs_per_sec']} |
+
+**Scaling efficiency** = throughput(4N) / (4 × throughput(N)) =
+**{efficiency}** (gate: >= 0.8 → {"PASS" if efficiency >= 0.8 else "FAIL"}).
+
+Measured {result['measured_at']}. Reproduce: `python BENCH/run_scaling.py`.
+See repo-root `bench.py` for the full per-query suite.
+""")
+
+
+if __name__ == "__main__":
+    main()

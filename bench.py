@@ -1,0 +1,119 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "extract_docs_per_sec", "value": N, "unit": "docs/sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>}
+
+The headline metric is end-to-end extraction throughput (scan → payload
+synthesis → decode/explode → adaptive OCR → assembly → noop sink) in
+documents/second at the bench scale factor.  Per-query wall times cover the
+other operator families (dedup, similarity, sessionize, relational).
+
+Each timed query is forced with a noop-format write (full evaluation, no
+driver collect).  Scaling runs (BENCH/run_scaling.py) execute this same
+module at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from image_pdf_ocr_suite_spark import ExtractConfig, extract_pages  # noqa: E402
+from image_pdf_ocr_suite_spark.analytics import dedup, similarity  # noqa: E402
+from image_pdf_ocr_suite_spark.fixtures import build_pages_df  # noqa: E402
+from image_pdf_ocr_suite_spark.session import build_session  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def time_query(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    spark = build_session(app="bench", master=f"local[{CPUS}]",
+                          shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    cfg = ExtractConfig()
+
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    queries: dict[str, float] = {}
+
+    # materialize the input table once (untimed): the north_rule input is an
+    # Iceberg/parquet TABLE of pages — extraction reads it from storage, it
+    # does not synthesize payloads in-flight
+    sf_tag = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
+    pages_path = f"/tmp/bench_pages_{sf_tag}"
+    build_pages_df(spark, SF_DIR).write.mode("overwrite").parquet(pages_path)
+    pages_table = spark.read.parquet(pages_path)
+
+    # warmup: spin up Python workers / JIT before timing (small slice)
+    warm = extract_pages(pages_table.limit(64), cfg, run_id="warmup")
+    _force(warm.text)
+    warm.unpersist()
+
+    # headline: full extraction pipeline, text + spans forced
+    def run_extract():
+        res = extract_pages(pages_table, cfg, run_id="bench")
+        _force(res.text)
+        res.unpersist()
+    queries["ocr_extract"] = time_query(run_extract)
+
+    def run_spans():
+        res = extract_pages(pages_table, cfg, run_id="bench")
+        _force(res.spans)
+        res.unpersist()
+    queries["ocr_spans"] = time_query(run_spans)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    queries["minhash_lsh"] = time_query(lambda: _force(dedup.lsh_buckets(docs)))
+    queries["exact_dedup"] = time_query(lambda: _force(dedup.exact_dedup(docs)))
+    queries["simhash"] = time_query(lambda: _force(dedup.simhash64(docs)))
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()[1]]
+    queries["cosine_topk"] = time_query(
+        lambda: similarity.cosine_topk(emb, qvec, k=20).collect())
+    queries["ann_lsh_topk"] = time_query(
+        lambda: similarity.lsh_cosine_topk(emb, qvec, k=20, n_planes=12,
+                                           max_hamming=3).collect())
+
+    queries["sessionize"] = time_query(
+        lambda: _force(entrymod.q_sessionize(spark, SF_DIR)))
+    queries["tpch_q1"] = time_query(
+        lambda: _force(entrymod.q_tpch_q1_exactstats(spark, SF_DIR)))
+    queries["doc_assembly"] = time_query(
+        lambda: _force(entrymod.q_doc_assembly(spark, SF_DIR)))
+
+    docs_per_sec = round(n_docs / queries["ocr_extract"], 2)
+    print(json.dumps({
+        "metric": "extract_docs_per_sec",
+        "value": docs_per_sec,
+        "unit": "docs/sec",
+        "queries": queries,
+        "sf": sf,
+        "n_docs": n_docs,
+        "cpus": CPUS,
+        "total_sec": round(sum(queries.values()), 3),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -30,31 +30,52 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return keep
 
 
-def shingles_expr(text_col: str, k: int = 3):
-    """k-token shingles of a whitespace-tokenized text column.
-    Guarded: fewer than k tokens -> empty array (Spark's sequence() would
-    otherwise produce a DESCENDING range)."""
-    sp = F.split(F.col(text_col), " ")
+def shingles_from_tokens(sp, k: int = 3):
+    """k-token shingles from a token-array column.  Guarded: fewer than k
+    tokens -> empty array (Spark's sequence() would otherwise produce a
+    DESCENDING range).  Pass an ATTRIBUTE column, not a split() expression —
+    element_at inside the lambda re-evaluates its argument per element, so
+    an inlined split() would re-tokenize the text once per shingle term."""
     idx = F.sequence(F.lit(1), F.size(sp) - (k - 1))
     mk = F.transform(idx, lambda i: F.concat_ws(
         " ", *[F.element_at(sp, i + j) for j in range(k)]))
     return F.when(F.size(sp) >= k, mk).otherwise(F.array().cast("array<string>"))
 
 
+def shingles_expr(text_col: str, k: int = 3):
+    """k-token shingles of a whitespace-tokenized text column."""
+    return shingles_from_tokens(F.split(F.col(text_col), " "), k)
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       n_hashes: int = 4, shingle_k: int = 3) -> DataFrame:
     """(id, band, minhash) — minhash_i = MIN(md5(shingle || '#' || i)).
     Lexicographic min over fixed-width hex == numeric min over the hash."""
-    sh = shingles_expr(text_col, shingle_k)
+    # materialize the token array as a projection attribute so the shingle
+    # lambda reads it instead of re-splitting the text per element
+    # (CollapseProject keeps the projections separate: split() is non-cheap
+    # and referenced many times)
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    sh = shingles_from_tokens(F.col("__toks"), shingle_k)
 
-    def band_min(band: int):
-        # NB: the lambda must take exactly ONE arg — PySpark treats a
-        # second lambda parameter as the array index.
-        tag = F.lit(f"#{band}")
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, tag))))
+    # Single traversal of the shingle array computing ALL band minima at
+    # once (aggregate with an array accumulator) — avoids re-evaluating the
+    # shingle expression per band.  Sentinel "g" sorts after every md5 hex
+    # digest; it survives only for empty shingle sets → NULL minhash.
+    # NB: lambdas must take exactly the declared args — PySpark treats an
+    # extra lambda parameter as the array index.
+    sentinel = "g"
+    init = F.array(*[F.lit(sentinel) for _ in range(n_hashes)])
 
-    cols = [band_min(i).alias(f"mh{i}") for i in range(n_hashes)]
-    wide = df.select(F.col(id_col), *cols)
+    def step(acc, s):
+        return F.array(*[
+            F.least(acc[i], F.md5(F.concat(s, F.lit(f"#{i}"))))
+            for i in range(n_hashes)])
+
+    sig = toks.select(F.col(id_col), F.aggregate(sh, init, step).alias("sig"))
+    cols = [F.when(F.col("sig")[i] != sentinel, F.col("sig")[i]).alias(f"mh{i}")
+            for i in range(n_hashes)]
+    wide = sig.select(F.col(id_col), *cols)
     stack = ", ".join(f"{i}, mh{i}" for i in range(n_hashes))
     return wide.selectExpr(id_col, f"stack({n_hashes}, {stack}) as (band, minhash)") \
                .where(F.col("minhash").isNotNull())

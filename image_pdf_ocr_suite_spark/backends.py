@@ -109,18 +109,19 @@ def preprocess(img: FakeImage, upscale: float = 1.5, binarize_threshold: int = 1
     return FakeImage(binary, "L", img.page, preprocessed=True, scale=img.scale * scale), scale
 
 
-def page_words_frame(page: Page, preprocessed: bool, scale: float) -> pd.DataFrame:
-    """Tesseract-TSV word table for one page as the deterministic OCR reports
-    it (ocr.py:82-87 shape).  Includes the non-word structural rows (page and
-    line rows, conf=-1, text NaN) that Tesseract emits, which exercise the
-    conf>=0 validity filter (ocr.py:96-97)."""
-    rows: list[tuple] = [(1, 1, 0, 0, 0, 0, 0, 0, page.width_px, page.height_px, -1.0, None)]
+def words_rows(page: Page, preprocessed: bool, scale: float) -> list[tuple]:
+    """Tesseract-TSV rows for one page as the deterministic OCR reports
+    them (ocr.py:82-87 shape).  Includes the non-word structural rows (page
+    and line rows, conf=-1, text NaN) that Tesseract emits, which exercise
+    the conf>=0 validity filter (ocr.py:96-97)."""
+    rows: list[tuple] = [(1, 1, 0, 0, 0, 0, 0.0, 0.0, float(page.width_px),
+                          float(page.height_px), -1.0, None)]
     seen_lines: set[tuple[int, int, int]] = set()
     for w in sorted(page.words, key=lambda w: (w.block, w.par, w.line, w.word)):
         lk = (w.block, w.par, w.line)
         if lk not in seen_lines:
             seen_lines.add(lk)
-            rows.append((4, 1, w.block, w.par, w.line, 0, 0, 0, 0, 0, -1.0, None))
+            rows.append((4, 1, w.block, w.par, w.line, 0, 0.0, 0.0, 0.0, 0.0, -1.0, None))
         conf = w.conf_pre if preprocessed else w.conf_base
         rows.append((
             5, 1, w.block, w.par, w.line, w.word,
@@ -128,7 +129,11 @@ def page_words_frame(page: Page, preprocessed: bool, scale: float) -> pd.DataFra
             float(round(w.width * scale)), float(round(w.height * scale)),
             float(conf), w.text,
         ))
-    return pd.DataFrame(rows, columns=TSV_COLUMNS)
+    return rows
+
+
+def page_words_frame(page: Page, preprocessed: bool, scale: float) -> pd.DataFrame:
+    return pd.DataFrame(words_rows(page, preprocessed, scale), columns=TSV_COLUMNS)
 
 
 def ocr_boxes(img: FakeImage) -> pd.DataFrame:

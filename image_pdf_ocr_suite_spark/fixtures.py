@@ -174,12 +174,16 @@ def _rows_to_pages(pdf: pd.DataFrame, giant_doc_id: int, giant_pages: int) -> pd
 
 
 def build_pages_df(spark, sf_dir: str, limit: int | None = None,
-                   giant_doc_id: int = -1, giant_pages: int = 0):
+                   giant_doc_id: int = -1, giant_pages: int = 0,
+                   n_partitions: int | None = None):
     """Distributed pages-table synthesis: documents parquet -> (url, warc_ts,
-    html, text, lang).  Column-pruned scan (doc_id, text, lang only)."""
+    html, text, lang).  Column-pruned scan (doc_id, text, lang only).
+    The documents parquet is a single file, so spread synthesis across the
+    cluster explicitly (defaultParallelism) before the generator kernel."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
     if limit is not None:
         docs = docs.where(f"doc_id < {int(limit)}")
+    docs = docs.repartition(n_partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

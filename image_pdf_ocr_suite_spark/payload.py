@@ -102,11 +102,11 @@ def _xor(data: bytes, password: str) -> bytes:
     return bytes(b ^ key[i % 4] for i, b in enumerate(data))
 
 
-def encode(doc: Document, password: str | None = None) -> bytes:
+def encode(doc: Document, password: str | None = None, level: int = 6) -> bytes:
     body = zlib.compress(json.dumps(
         {"pages": [p.to_json() for p in doc.pages]},
         ensure_ascii=False, separators=(",", ":"), sort_keys=True,
-    ).encode("utf-8"), level=6)
+    ).encode("utf-8"), level=level)
     flags = 0
     if password is not None:
         body = _xor(body, password)
@@ -171,4 +171,6 @@ def split_pages(payload: bytes) -> list[bytes]:
     payloads — the unit of work for the page-exploded scale path (one giant
     scanned doc must not pin one task; SURVEY §4 skew handling)."""
     doc = decode(payload)
-    return [encode(Document(pages=[p])) for p in doc.pages]
+    # level=1: page payloads live only across one shuffle hop — cheap
+    # compression wins over ratio there
+    return [encode(Document(pages=[p]), level=1) for p in doc.pages]

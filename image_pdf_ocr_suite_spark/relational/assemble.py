@@ -36,37 +36,40 @@ def _chunk(page_col, text_col):
     return F.concat(_header(page_col), F.lit("\n"), pystrip(text_col), F.lit("\n"))
 
 
-def assemble_documents(ocr_df: DataFrame) -> DataFrame:
-    """Per-page OCR rows -> (url, extracted_text, n_pages).
+def assemble_documents(rows: DataFrame) -> DataFrame:
+    """Unified kernel rows -> (url, extracted_text, n_pages, kind) in ONE
+    groupBy — the only intentional shuffle of the tail.  array_sort on
+    struct(page, chunk) restores page order without a window.
 
-    Partition-local after the page shuffle only in the degenerate 1-doc
-    case; in general this is the one intentional shuffle of the tail
-    (groupBy url).  array_sort on struct(page, chunk) restores page order
-    without a window."""
-    chunks = ocr_df.select(
-        "url", "n_pages",
-        F.struct(F.col("page"), _chunk(F.col("page"), F.col("page_text")).alias("chunk")).alias("pc"),
+    Per kind: spdf pages get the header/join/strip treatment
+    (ocr.py:767, 780); 0-page markers become "\\n" (ocr.py:751-754); html
+    rows pass their stripped main text through unchanged."""
+    chunks = rows.select(
+        "url", "kind", "n_pages",
+        F.struct(
+            F.col("page"),
+            F.when(F.col("kind") == "html", F.col("page_text"))
+            .otherwise(_chunk(F.col("page"), F.col("page_text"))).alias("chunk"),
+        ).alias("pc"),
     )
     docs = chunks.groupBy("url").agg(
+        F.max("kind").alias("kind"),
         F.max("n_pages").alias("n_pages"),
         F.concat_ws(
             "\n",
             F.transform(F.array_sort(F.collect_list("pc")), lambda x: x["chunk"]),
         ).alias("joined"),
     )
+    extracted = (
+        F.when(F.col("kind") == "html", F.col("joined"))
+        .when(F.col("n_pages") == 0, F.lit(EMPTY_DOC_TEXT))
+        .otherwise(F.concat(pystrip(F.col("joined")), F.lit("\n")))
+    )
     return docs.select(
         "url",
-        F.concat(pystrip(F.col("joined")), F.lit("\n")).alias("extracted_text"),
+        extracted.alias("extracted_text"),
         F.col("n_pages").cast("int").alias("n_pages"),
-    )
-
-
-def empty_docs(decoded_df: DataFrame) -> DataFrame:
-    """0-page marker rows -> extracted text "\\n" (ocr.py:751-754)."""
-    return (
-        decoded_df.where((F.col("kind") == "spdf") & (F.col("n_pages") == 0))
-        .select("url", F.lit(EMPTY_DOC_TEXT).alias("extracted_text"),
-                F.lit(0).alias("n_pages"))
+        "kind",
     )
 
 
@@ -81,8 +84,16 @@ def emit_spans(ocr_df: DataFrame, cfg: ExtractConfig) -> DataFrame:
     chunk_len = hdr_len + 1 + F.length(pystrip(F.col("page_text"))) + 1
     w = Window.partitionBy("url").orderBy("page") \
         .rowsBetween(Window.unboundedPreceding, -1)
+    # zip the kernel's parallel word arrays back into structs — JVM-side
+    words = F.arrays_zip(
+        F.col("w_block").alias("block"), F.col("w_par").alias("par"),
+        F.col("w_line").alias("line"), F.col("w_word").alias("word"),
+        F.col("w_left").alias("left"), F.col("w_top").alias("top"),
+        F.col("w_width").alias("width"), F.col("w_height").alias("height"),
+        F.col("w_conf").alias("conf"), F.col("w_text").alias("text"),
+        F.col("w_off").alias("off"))
     pages = ocr_df.select(
-        "url", "page", "words",
+        "url", "page", words.alias("words"),
         (F.coalesce(F.sum(chunk_len + 1).over(w), F.lit(0)) + hdr_len + 1)
         .alias("page_text_off"),
     )

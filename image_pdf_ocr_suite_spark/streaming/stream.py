@@ -1,0 +1,62 @@
+"""Structured Streaming ingest — continuous extraction over an arriving
+pages table.
+
+Design: ``readStream`` (file source over the pages table directory) →
+``foreachBatch`` running the SAME batch pipeline (extract_pages) per
+micro-batch → snapshot-committed append.  foreachBatch (rather than pure
+streaming operators) because document assembly is a per-url aggregation
+that is complete within a micro-batch (a document arrives as one row), and
+because it reuses the exact batch semantics the byte-identity tests pin.
+
+Exactly-once: the SnapshotTable commit records the micro-batch id; a
+restarted query that replays a batch skips the already-committed id —
+idempotent sink + replayable source = end-to-end exactly-once, the same
+contract Iceberg's streaming sink offers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from image_pdf_ocr_suite_spark.config import ExtractConfig
+from image_pdf_ocr_suite_spark.fixtures import PAGES_SCHEMA
+from image_pdf_ocr_suite_spark.pipeline import extract_pages
+from image_pdf_ocr_suite_spark.tableio.snapshot import SnapshotTable
+
+
+def read_pages_stream(spark: SparkSession, input_dir: str,
+                      max_files_per_trigger: int = 8) -> DataFrame:
+    return (spark.readStream.schema(PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(input_dir))
+
+
+def _batch_committed(table: SnapshotTable, run_id: str) -> bool:
+    return any(s.run_id == run_id for s in table.snapshots())
+
+
+def start_extraction_stream(spark: SparkSession, input_dir: str,
+                            output_root: str, checkpoint_dir: str,
+                            cfg: ExtractConfig | None = None,
+                            available_now: bool = True):
+    """Continuous extraction: input pages dir -> snapshot-committed text
+    table (+ quarantine table).  Returns the StreamingQuery."""
+    cfg = cfg or ExtractConfig(cache_decoded=False)
+    text_table = SnapshotTable(f"{output_root}/text")
+    quar_table = SnapshotTable(f"{output_root}/quarantine")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        run_id = f"stream-batch-{batch_id}"
+        if _batch_committed(text_table, run_id):
+            return  # replayed micro-batch after restart: already committed
+        res = extract_pages(batch_df, cfg, run_id=run_id)
+        text_table.append(res.text, run_id=run_id)
+        quar_table.append(res.quarantine, run_id=run_id)
+
+    writer = (read_pages_stream(spark, input_dir)
+              .writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

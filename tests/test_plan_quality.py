@@ -1,0 +1,92 @@
+"""Physical-plan quality gates — the 100 TB checklist as assertions.
+
+- the binary pages scan is column-pruned to (url, html) even though
+  required-schema pruning stops at mapInPandas (explicit select upstream);
+- filters reach the parquet scan (PushedFilters);
+- the small dimension side of a join broadcasts;
+- the relational tail runs inside WholeStageCodegen;
+- no per-row Python in engine code (iterrows/itertuples lint; the
+  reference model mirrors the reference's row loops on purpose and is
+  exempt).
+"""
+
+import os
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+from image_pdf_ocr_suite_spark import ExtractConfig, extract_pages, fixtures
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pages") / "pages.parquet")
+    rows = [(i, " ".join(f"w{j}" for j in range(10)), "ja") for i in range(30)]
+    spark.createDataFrame(fixtures.build_pages_pdf(rows)).write.parquet(path)
+    return path
+
+
+def test_pages_scan_is_column_pruned(spark, pages_parquet):
+    """A job that extracts text must not read the text/lang/warc_ts columns;
+    only (url, html) may reach the scan."""
+    df = spark.read.parquet(pages_parquet)
+    res = extract_pages(df, ExtractConfig(cache_decoded=False), run_id="plan")
+    plan = _plan(res.pages)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"url", "html"}, f"scan reads {cols}"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = entrymod.q_conf_threshold_filter(spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(value,50.0\)", plan), plan
+
+
+def test_join_broadcasts_small_side(spark):
+    plan = _plan(entrymod.q_join_agg_segment(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_relational_tail_has_codegen(spark):
+    df = entrymod.q_tpch_q1_exactstats(spark, SF_DIR)
+    df.collect()  # finalize the AQE plan — codegen shows in the final plan
+    plan = _plan(df)
+    # "*(n)" prefixes mark WholeStageCodegen spans in the compact plan
+    assert re.search(r"\*\(\d+\) HashAggregate", plan), plan
+
+
+def test_ocr_stage_partitioning_is_explicit(spark, pages_parquet):
+    """The exchange feeding the OCR kernel must hash on (url, page) with an
+    explicit partition count (AQE must not coalesce the CPU-bound stage)."""
+    df = spark.read.parquet(pages_parquet)
+    res = extract_pages(df, ExtractConfig(cache_decoded=False), run_id="plan")
+    plan = _plan(res.pages)
+    assert re.search(r"hashpartitioning\(xxhash64\(url#\d+, page#\d+", plan), plan
+
+
+NO_ROW_LOOPS_EXEMPT = {"refmodel.py"}  # mirrors the reference's loops by design
+
+
+def test_no_per_row_python_in_engine():
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "image_pdf_ocr_suite_spark")
+    offenders = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".py") or f in NO_ROW_LOOPS_EXEMPT:
+                continue
+            src = open(os.path.join(dirpath, f)).read()
+            for pat in (".iterrows(", ".itertuples(", ".toLocalIterator("):
+                if pat in src:
+                    offenders.append((f, pat))
+    assert not offenders, offenders

@@ -1,0 +1,70 @@
+"""Streaming extraction: file-source micro-batches through the batch
+pipeline, exactly-once via snapshot commits, restart-safe."""
+
+import pytest
+
+from image_pdf_ocr_suite_spark import fixtures, refmodel
+from image_pdf_ocr_suite_spark import payload as spdf
+from image_pdf_ocr_suite_spark.config import ExtractConfig
+from image_pdf_ocr_suite_spark.streaming.stream import start_extraction_stream
+from image_pdf_ocr_suite_spark.tableio.snapshot import SnapshotTable
+
+DOC_ROWS = [(i, " ".join(f"s{i}_{j}" for j in range(10)), "ja") for i in range(12)]
+
+
+def _write_input(spark, input_dir):
+    pdf = fixtures.build_pages_pdf(DOC_ROWS)
+    # two separate files -> at least two micro-batch candidates
+    spark.createDataFrame(pdf.iloc[:6]).coalesce(1).write.mode("append").parquet(input_dir)
+    spark.createDataFrame(pdf.iloc[6:]).coalesce(1).write.mode("append").parquet(input_dir)
+    return pdf
+
+
+def test_stream_extracts_all_docs(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_root = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = _write_input(spark, input_dir)
+
+    q = start_extraction_stream(spark, input_dir, out_root, ckpt,
+                                ExtractConfig(cache_decoded=False),
+                                available_now=True)
+    q.awaitTermination(120)
+
+    text = SnapshotTable(f"{out_root}/text").read(spark)
+    got = {r["url"]: r["extracted_text"] for r in text.collect()}
+    expected = {}
+    for url, raw in zip(pdf["url"], pdf["html"]):
+        kind = spdf.sniff(raw)
+        if kind == "spdf" and not (raw[5] & spdf.FLAG_ENCRYPTED):
+            try:
+                expected[url] = refmodel.extract_text(raw)
+            except spdf.PayloadError:
+                pass
+    assert got == expected
+
+    quar = SnapshotTable(f"{out_root}/quarantine").read(spark)
+    rows = quar.collect()
+    assert {(r["url"], r["kind"]) for r in rows} == {
+        (fixtures.url_for(11), "encrypted")}  # only id 11 is an edge doc < 12
+
+
+def test_stream_restart_is_exactly_once(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_root = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_input(spark, input_dir)
+
+    q1 = start_extraction_stream(spark, input_dir, out_root, ckpt,
+                                 ExtractConfig(cache_decoded=False))
+    q1.awaitTermination(120)
+    n1 = SnapshotTable(f"{out_root}/text").read(spark).count()
+
+    # restart with the same checkpoint: no new data -> no new rows, no dupes
+    q2 = start_extraction_stream(spark, input_dir, out_root, ckpt,
+                                 ExtractConfig(cache_decoded=False))
+    q2.awaitTermination(120)
+    final = SnapshotTable(f"{out_root}/text").read(spark)
+    assert final.count() == n1
+    urls = [r["url"] for r in final.select("url").collect()]
+    assert len(urls) == len(set(urls))
