@@ -82,6 +82,15 @@ def q_payload_metadata(spark, sf_dir):
     return multimodal.payload_metadata(build_pages_df(spark, sf_dir))
 
 
+def q_searchable_pdf(spark, sf_dir):
+    """P2 parity sink (create_searchable_pdf, ocr.py:436-533): emits real
+    PDF bytes with raster + invisible text layer; returns metadata columns
+    (the binary itself is deterministic but large)."""
+    from image_pdf_ocr_suite_spark.kernels.pdfsink import emit_searchable_pdfs
+    out = emit_searchable_pdfs(build_pages_df(spark, sf_dir, limit=100), CFG)
+    return out.select("url", "n_pages", F.length("pdf").alias("pdf_bytes"))
+
+
 def q_conf_avg_valid(spark, sf_dir):
     """§2.2 average-confidence aggregate (ocr.py:90-102) over events.value."""
     e = _t(spark, sf_dir, "events")
@@ -255,6 +264,30 @@ def q_tpch_q1_exactstats(spark, sf_dir):
                  round4(F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")))
 
 
+def q_reorder_explicit(spark, sf_dir):
+    """§2.2 manual reorder (GUI move up/down, ocr_desktop_app.py:1055-1089):
+    explicit ordering by a user-supplied index column."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return d.select("doc_id", "source", "n_chars",
+                    F.row_number().over(w).alias("position"))
+
+
+def q_text_position_projection(spark, sf_dir):
+    """§2.2 text-position projection (ocr.py:502-507, 677, 686-691):
+    baseline point (x, y+h), fontsize h*0.8, 72/300 pt scale — raw IEEE
+    doubles, identical cross-engine."""
+    e = _t(spark, sf_dir, "events")
+    # single pre-folded literals: engines reassociate constant chains
+    # differently (a*0.8*0.24 vs a*(0.8*0.24)) — last-bit drift
+    scale = F.lit(72.0 / 300.0)
+    return e.select(
+        "event_id",
+        (F.col("value") * scale).alias("x"),
+        ((F.col("value") + F.col("user_id")) * scale).alias("y"),
+        (F.col("user_id") * F.lit(0.8 * 72.0 / 300.0)).alias("fontsize"))
+
+
 def q_join_agg_segment(spark, sf_dir):
     """Broadcast join orders ⋈ customer; exact aggregates per segment."""
     o = _t(spark, sf_dir, "orders")
@@ -274,6 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_quarantine": q_ocr_quarantine,
         "html_main_text": q_html_main_text,
         "payload_metadata": q_payload_metadata,
+        "searchable_pdf": q_searchable_pdf,
         "ann_lsh_topk": q_ann_lsh_topk,
         "simhash_groups": q_simhash_groups,
         # SQL-checkable operators
@@ -297,6 +331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "topk_cosine": q_topk_cosine,
         "sessionize": q_sessionize,
+        "reorder_explicit": q_reorder_explicit,
+        "text_position_projection": q_text_position_projection,
         "tpch_q1_exactstats": q_tpch_q1_exactstats,
         "join_agg_segment": q_join_agg_segment,
     }
@@ -423,6 +459,17 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
             ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q) DESC, vec_id
             LIMIT 20""",
+        "reorder_explicit": """
+            SELECT doc_id, source, n_chars,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY n_chars DESC, doc_id ASC) AS INTEGER) AS position
+            FROM documents""",
+        "text_position_projection": """
+            SELECT event_id,
+                   value * CAST(0.24 AS DOUBLE) AS x,
+                   (value + user_id) * CAST(0.24 AS DOUBLE) AS y,
+                   user_id * CAST(0.192 AS DOUBLE) AS fontsize
+            FROM events""",
         "sessionize": """
             SELECT user_id,
                    CAST(SUM(CASE WHEN prev IS NULL

@@ -124,5 +124,7 @@ def html_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def strip_html(page_df):
-    """html-kind page rows -> (url, main_text, n_blocks)."""
+    """html-kind page rows -> (url, main_text, n_blocks).  Standalone
+    utility; the main pipeline runs extract_main_text inside the unified
+    extract kernel (kernels/ocr.py) so one Python stage serves all kinds."""
     return page_df.select("url", "page_payload").mapInPandas(html_kernel, schema=HTML_SCHEMA)

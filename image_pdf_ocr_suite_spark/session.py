@@ -38,4 +38,9 @@ def build_session(app: str = "image-pdf-ocr-suite-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/spill on the RAM disk when available: the sandbox's /tmp is a
+    # shared spinning resource that serializes concurrent shuffle writers
+    # (a real cluster gives each executor its own local NVMe).
+    if os.path.isdir("/dev/shm"):
+        b = b.config("spark.local.dir", "/dev/shm/spark-local")
     return b.getOrCreate()
