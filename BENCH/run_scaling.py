@@ -34,7 +34,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 N_CPUS, N4_CPUS = 4, 16
-RUNS_PER_LEVEL = 2
+RUNS_PER_LEVEL = int(os.environ.get("SCALING_RUNS", "3"))
 
 
 REPLICATE = int(os.environ.get("SCALING_REPLICATE", "64"))
@@ -50,6 +50,8 @@ def _materialize_pages(sf_dir: str) -> str:
     from image_pdf_ocr_suite_spark.session import build_session
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     path = f"/tmp/scaling_pages_{tag}_x{REPLICATE}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path  # deterministic synthesis — safe to reuse
     spark = build_session(app="scaling-prep", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
     base = build_pages_df(spark, sf_dir)

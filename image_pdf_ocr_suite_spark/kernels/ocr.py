@@ -75,12 +75,26 @@ def _avg_conf_per_page(frame: pd.DataFrame, n: int) -> np.ndarray:
 
 
 def _batch_frame(pages: list, idxs: list[int], preprocessed: bool, scale: float) -> pd.DataFrame:
-    """One frame for many pages (rows carry an ``idx`` page key)."""
+    """One frame for many pages (rows carry an ``idx`` page key).
+    Columnar construction (zip-transpose into typed arrays) — the row-wise
+    pd.DataFrame(list-of-tuples) path costs ~2x in allocation traffic,
+    which is what degrades per-worker throughput at high concurrency."""
     rows: list[tuple] = []
     for i, page in zip(idxs, pages):
         for r in backends.words_rows(page, preprocessed, scale):
             rows.append(r + (i,))
-    return pd.DataFrame(rows, columns=_TSV_IDX)
+    if not rows:
+        return pd.DataFrame(columns=_TSV_IDX)
+    cols = list(zip(*rows))
+    data = {}
+    for name, vals in zip(_TSV_IDX, cols):
+        if name == "text":
+            data[name] = pd.array(vals, dtype=object)
+        elif name in ("left", "top", "width", "height", "conf"):
+            data[name] = np.asarray(vals, dtype=np.float64)
+        else:
+            data[name] = np.asarray(vals, dtype=np.int64)
+    return pd.DataFrame(data)
 
 
 def _word_offsets(words: pd.DataFrame, lead_ws: np.ndarray) -> pd.DataFrame:
