@@ -91,6 +91,15 @@ def q_searchable_pdf(spark, sf_dir):
     return out.select("url", "n_pages", F.length("pdf").alias("pdf_bytes"))
 
 
+def q_images_to_pdf(spark, sf_dir):
+    """P3 parity (create_searchable_pdf_from_images, ocr.py:596-716):
+    max-extent canvas -> E5 normalize -> OCR -> one PDF per group."""
+    from image_pdf_ocr_suite_spark.fixtures import build_images_df
+    from image_pdf_ocr_suite_spark.kernels.images import images_to_searchable_pdf
+    out = images_to_searchable_pdf(build_images_df(spark, sf_dir, limit=80), CFG)
+    return out.select("group", "n_images", F.length("pdf").alias("pdf_bytes"))
+
+
 def q_conf_avg_valid(spark, sf_dir):
     """§2.2 average-confidence aggregate (ocr.py:90-102) over events.value."""
     e = _t(spark, sf_dir, "events")
@@ -308,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_text": q_html_main_text,
         "payload_metadata": q_payload_metadata,
         "searchable_pdf": q_searchable_pdf,
+        "images_to_pdf": q_images_to_pdf,
         "ann_lsh_topk": q_ann_lsh_topk,
         "simhash_groups": q_simhash_groups,
         # SQL-checkable operators

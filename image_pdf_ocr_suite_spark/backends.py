@@ -36,7 +36,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 
-from image_pdf_ocr_suite_spark.payload import Page
+from image_pdf_ocr_suite_spark.payload import Page, Word
 
 LEGIBILITY_FLOOR = 30.0
 
@@ -139,6 +139,45 @@ def page_words_frame(page: Page, preprocessed: bool, scale: float) -> pd.DataFra
 def ocr_boxes(img: FakeImage) -> pd.DataFrame:
     """≈ pytesseract.image_to_data(img, lang, output_type=DATAFRAME)."""
     return page_words_frame(img.page, img.preprocessed, img.scale)
+
+
+def normalize_for_canvas(img: FakeImage, target_width: int, target_height: int) -> FakeImage:
+    """E5 (_normalize_image_for_canvas, ocr.py:561-593): fit-preserving
+    scale ``min(tw/w, th/h)``, resize (nearest-neighbor stand-in for
+    LANCZOS), center-paste on a white (tw, th) canvas.  EXIF transpose is a
+    no-op for the synthetic raster (no orientation metadata).  Rounding
+    mirrors the reference: ``max(1, int(round(dim * scale)))``; offsets
+    ``max((target - new) // 2, 0)``.  Ground-truth word boxes are scaled
+    and shifted the same way so the OCR backend stays consistent."""
+    arr = img.array if img.mode == "RGB" else np.stack([img.array] * 3, axis=-1)
+    h, w = arr.shape[0], arr.shape[1]
+    if w <= 0 or h <= 0:
+        canvas = np.full((target_height, target_width, 3), 255, dtype=np.uint8)
+        return FakeImage(canvas, "RGB", Page(target_width, target_height, []), False, 1.0)
+    scale = min(target_width / w, target_height / h)
+    if scale <= 0:
+        scale = 1.0
+    new_w = max(1, int(round(w * scale)))
+    new_h = max(1, int(round(h * scale)))
+    if (new_w, new_h) != (w, h):
+        ys = (np.arange(new_h) / (new_h / h)).astype(np.int64).clip(0, h - 1)
+        xs = (np.arange(new_w) / (new_w / w)).astype(np.int64).clip(0, w - 1)
+        resized = arr[np.ix_(ys, xs)]
+    else:
+        resized = arr
+    canvas = np.full((target_height, target_width, 3), 255, dtype=np.uint8)
+    off_x = max((target_width - new_w) // 2, 0)
+    off_y = max((target_height - new_h) // 2, 0)
+    canvas[off_y:off_y + new_h, off_x:off_x + new_w] = resized
+    words = [
+        Word(wd.block, wd.par, wd.line, wd.word,
+             wd.left * scale + off_x, wd.top * scale + off_y,
+             wd.width * scale, wd.height * scale,
+             wd.conf_base, wd.conf_pre, wd.text)
+        for wd in img.page.words
+    ]
+    page = Page(target_width, target_height, words, img.page.ink)
+    return FakeImage(canvas, "RGB", page, False, 1.0)
 
 
 def ocr_text(img: FakeImage) -> str:

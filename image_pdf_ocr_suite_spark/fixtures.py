@@ -193,6 +193,31 @@ def build_pages_df(spark, sf_dir: str, limit: int | None = None,
     return docs.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
+IMAGES_SCHEMA = "group string, image_index int, image binary"
+
+
+def build_images_df(spark, sf_dir: str, limit: int | None = 80, n_groups: int = 8):
+    """Images table for the P3 flow: one single-page payload per document
+    row, grouped deterministically (group = doc_id % n_groups)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    if limit is not None:
+        docs = docs.where(f"doc_id < {int(limit)}")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                page = build_document(doc_id, text or "").pages[0]
+                rows.append((f"grp{doc_id % n_groups}", doc_id,
+                             spdf.encode(spdf.Document(pages=[page]))))
+            if rows:
+                yield pd.DataFrame(rows, columns=["group", "image_index", "image"])
+
+    return docs.mapInPandas(gen, schema=IMAGES_SCHEMA)
+
+
 def build_pages_pdf(doc_rows: list[tuple[int, str, str]]) -> pd.DataFrame:
     """Driver-side variant for small unit-test corpora:
     rows of (doc_id, text, lang)."""

@@ -25,6 +25,7 @@ from __future__ import annotations
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from image_pdf_ocr_suite_spark import backends
@@ -74,6 +75,25 @@ def build_searchable_pdf(payload_bytes: bytes, cfg: ExtractConfig | None = None)
     """SPDF payload -> searchable PDF bytes (image + invisible text layer)."""
     cfg = cfg or ExtractConfig()
     doc = spdf.decode(payload_bytes)
+    return assemble_pdf([ocr_page_bundle(backends.rasterize(p), cfg) for p in doc.pages])
+
+
+def ocr_page_bundle(img: backends.FakeImage, cfg: ExtractConfig) -> tuple:
+    """One page's PDF ingredients: (width_px, height_px, flate_imgdata,
+    content_stream).  Runs adaptive OCR + conf>=50 filter on the raster."""
+    result = perform_adaptive_ocr(img, cfg)
+    filtered = filter_frame_by_confidence(result.frame, cfg.render_conf_threshold)
+    filtered = filtered[filtered["level"] == 5]
+    w_px, h_px = img.width, img.height
+    w_pt, h_pt = w_px * PT_PER_PX, h_px * PT_PER_PX
+    arr = img.array if img.mode == "RGB" else np.stack([img.array] * 3, axis=-1)
+    imgdata = zlib.compress(arr.tobytes(), 6)
+    content = _page_content(img, filtered, w_pt, h_pt)
+    return (w_px, h_px, imgdata, content)
+
+
+def assemble_pdf(bundles: list[tuple]) -> bytes:
+    """Page bundles -> one PDF 1.4 byte string (shared by P2 and P3)."""
     objects: list[bytes] = []   # 1-based object bodies
 
     def add(body: bytes) -> int:
@@ -85,23 +105,14 @@ def build_searchable_pdf(payload_bytes: bytes, cfg: ExtractConfig | None = None)
     page_ids = []
     kids_placeholder = add(b"")  # pages node, filled later
 
-    for page in doc.pages:
-        img = backends.rasterize(page)
-        result = perform_adaptive_ocr(img, cfg)
-        filtered = filter_frame_by_confidence(result.frame, cfg.render_conf_threshold)
-        filtered = filtered[filtered["level"] == 5]
-
-        w_pt = page.width_px * PT_PER_PX
-        h_pt = page.height_px * PT_PER_PX
-        raw = img.array.tobytes()  # HxWx3 RGB8
-        imgdata = zlib.compress(raw, 6)
+    for w_px, h_px, imgdata, content in bundles:
+        w_pt, h_pt = w_px * PT_PER_PX, h_px * PT_PER_PX
         im_id = add(
-            f"<< /Type /XObject /Subtype /Image /Width {page.width_px} "
-            f"/Height {page.height_px} /ColorSpace /DeviceRGB "
+            f"<< /Type /XObject /Subtype /Image /Width {w_px} "
+            f"/Height {h_px} /ColorSpace /DeviceRGB "
             f"/BitsPerComponent 8 /Filter /FlateDecode "
             f"/Length {len(imgdata)} >>\nstream\n".encode()
             + imgdata + b"\nendstream")
-        content = _page_content(img, filtered, w_pt, h_pt)
         ct_id = add(f"<< /Length {len(content)} >>\nstream\n".encode()
                     + content + b"\nendstream")
         pg_id = add(
