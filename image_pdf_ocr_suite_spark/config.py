@@ -47,6 +47,11 @@ class ExtractConfig:
     # (measured).  At cluster scale, materialize the decoded stage to a
     # staging table instead.
     cache_decoded: bool = False
+    # drop duplicate urls before extraction (§2.2 dedup op, GUI analog
+    # ocr_desktop_app.py:1036-1037).  Off by default: it costs a full
+    # payload shuffle, and Common-Crawl-style inputs are url-unique by
+    # contract.
+    dedup_input: bool = False
 
 
 # Page-header template used for document assembly (ocr.py:767):

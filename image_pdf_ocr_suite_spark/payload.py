@@ -31,6 +31,7 @@ from dataclasses import dataclass, field
 MAGIC = b"SPDF"
 VERSION = 1
 FLAG_ENCRYPTED = 0x01
+FLAG_STORED = 0x02  # body is raw JSON (no zlib) — for short-lived payloads
 
 
 class PayloadError(ValueError):
@@ -103,11 +104,18 @@ def _xor(data: bytes, password: str) -> bytes:
 
 
 def encode(doc: Document, password: str | None = None, level: int = 6) -> bytes:
-    body = zlib.compress(json.dumps(
+    """``level=0`` stores the body uncompressed (FLAG_STORED) — right for
+    payloads that live only across one shuffle hop, where zlib CPU costs
+    more than the bytes saved."""
+    body = json.dumps(
         {"pages": [p.to_json() for p in doc.pages]},
         ensure_ascii=False, separators=(",", ":"), sort_keys=True,
-    ).encode("utf-8"), level=level)
+    ).encode("utf-8")
     flags = 0
+    if level > 0:
+        body = zlib.compress(body, level=level)
+    else:
+        flags |= FLAG_STORED
     if password is not None:
         body = _xor(body, password)
         flags |= FLAG_ENCRYPTED
@@ -143,7 +151,10 @@ def decode(payload: bytes, password: str | None = None) -> Document:
             raise EncryptedPayloadError("payload is encrypted and no password was given")
         body = _xor(body, password)
     try:
-        obj = json.loads(zlib.decompress(body).decode("utf-8"))
+        if flags & FLAG_STORED:
+            obj = json.loads(body.decode("utf-8"))
+        else:
+            obj = json.loads(zlib.decompress(body).decode("utf-8"))
     except Exception as exc:
         if flags & FLAG_ENCRYPTED:
             raise EncryptedPayloadError("wrong password") from exc
@@ -171,6 +182,6 @@ def split_pages(payload: bytes) -> list[bytes]:
     payloads — the unit of work for the page-exploded scale path (one giant
     scanned doc must not pin one task; SURVEY §4 skew handling)."""
     doc = decode(payload)
-    # level=1: page payloads live only across one shuffle hop — cheap
-    # compression wins over ratio there
-    return [encode(Document(pages=[p]), level=1) for p in doc.pages]
+    # stored (uncompressed): page payloads live only across one shuffle hop
+    # — shuffle-level lz4 already covers the wire, zlib here is pure waste
+    return [encode(Document(pages=[p]), level=0) for p in doc.pages]

@@ -63,6 +63,9 @@ def extract_pages(df: DataFrame, cfg: ExtractConfig | None = None,
     cfg = cfg or ExtractConfig()
     run_id = run_id or uuid4().hex[:12]
 
+    if cfg.dedup_input:
+        df = df.dropDuplicates(["url"])
+
     decoded = decode_pages(df)
     cached = None
     if cfg.cache_decoded:

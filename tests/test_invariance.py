@@ -1,0 +1,47 @@
+"""Metamorphic invariants (SURVEY §5.4): input row order and duplicate
+urls must not change per-url output; stored payloads round-trip."""
+
+import pytest
+
+from image_pdf_ocr_suite_spark import fixtures
+from image_pdf_ocr_suite_spark import payload as spdf
+from image_pdf_ocr_suite_spark.config import ExtractConfig
+from image_pdf_ocr_suite_spark.payload import Document, Page, Word
+from image_pdf_ocr_suite_spark.pipeline import extract_pages
+
+DOC_ROWS = [(i, " ".join(f"v{i}_{j}" for j in range(15)), "ja") for i in range(20)]
+
+
+def _texts(spark, pdf):
+    res = extract_pages(spark.createDataFrame(pdf), ExtractConfig(), run_id="inv")
+    return {r["url"]: r["extracted_text"] for r in res.text.collect()}
+
+
+def test_row_order_invariance(spark):
+    pdf = fixtures.build_pages_pdf(DOC_ROWS)
+    shuffled = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    assert _texts(spark, pdf) == _texts(spark, shuffled)
+
+
+def test_duplicate_urls_deduped_with_flag(spark):
+    pdf = fixtures.build_pages_pdf(DOC_ROWS)
+    doubled = spark.createDataFrame(pdf).unionAll(spark.createDataFrame(pdf))
+    res = extract_pages(doubled, ExtractConfig(dedup_input=True), run_id="inv")
+    rows = res.text.collect()
+    urls = [r["url"] for r in rows]
+    assert len(urls) == len(set(urls))
+    base = _texts(spark, pdf)
+    assert {r["url"]: r["extracted_text"] for r in rows} == base
+
+
+def test_stored_payload_roundtrip():
+    doc = Document(pages=[Page(50, 30, [Word(1, 1, 1, 1, 5, 5, 10, 8, 80, 40, "x")])])
+    raw = spdf.encode(doc, level=0)
+    assert raw[5] & spdf.FLAG_STORED
+    out = spdf.decode(raw)
+    assert out.pages[0].words[0].text == "x"
+    # stored + encrypted compose
+    enc = spdf.encode(doc, password="p", level=0)
+    assert spdf.decode(enc, password="p").pages[0].words[0].text == "x"
+    with pytest.raises(spdf.EncryptedPayloadError):
+        spdf.decode(enc, password="wrong")
