@@ -238,6 +238,14 @@ def q_topk_cosine(spark, sf_dir):
     return similarity.cosine_topk(emb, [float(x) for x in qvec], k=20).select("vec_id")
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (id pairs only — exact ints hash
+    identically; the cosine itself stays engine-internal)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.3, max_id=150) \
+        .select("id_a", "id_b")
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -319,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "searchable_pdf": q_searchable_pdf,
         "images_to_pdf": q_images_to_pdf,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "simhash_groups": q_simhash_groups,
         # SQL-checkable operators
         "conf_avg_valid": q_conf_avg_valid,
@@ -464,6 +473,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
                        / len(list_distinct(list_concat(a.tk, b.tk))) AS jaccard
             FROM toks a, toks b WHERE a.doc_id < b.doc_id""",
+        "embedding_near_dup": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 150)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM v a, v b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.v, b.v) >= 0.3""",
         "topk_cosine": """
             SELECT vec_id FROM embeddings,
                  (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)

@@ -53,6 +53,29 @@ def sketch_expr(vec_col, planes: np.ndarray):
     return bits
 
 
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
+                             vec_col: str = "embedding", id_col: str = "vec_id",
+                             max_id: int | None = 150) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    Demo/verification form is a bounded self-join with exact f64 cosine; the
+    scale path buckets by the sign sketch first (sketch equality or small
+    Hamming distance) so only candidate buckets join — same pattern as
+    lsh_cosine_topk."""
+    emb = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col), emb.alias("v"))
+    if max_id is not None:
+        base = base.where(F.col(id_col) < max_id)
+    a, b = base.alias("a"), base.alias("b")
+    sim = cosine_expr(F.col("a.v"), F.col("b.v"))
+    return (a.crossJoin(b)
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    sim.alias("cosine"))
+            .where(F.col("cosine") >= F.lit(threshold)))
+
+
 def lsh_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 20,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     n_planes: int = 12, max_hamming: int = 2,
