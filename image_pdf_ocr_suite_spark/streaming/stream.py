@@ -24,6 +24,28 @@ from image_pdf_ocr_suite_spark.pipeline import extract_pages
 from image_pdf_ocr_suite_spark.tableio.snapshot import SnapshotTable
 
 
+def windowed_crawl_counts(pages_stream: DataFrame,
+                          window_minutes: int = 10,
+                          watermark_minutes: int = 30) -> DataFrame:
+    """Streaming windowed aggregation with late-data handling: documents
+    per (crawl window, lang), watermarked on warc_ts so state for windows
+    older than the watermark is dropped (bounded state at 10^12-doc scale).
+
+    Works in append mode: a window finalizes once the watermark passes it.
+    """
+    from pyspark.sql import functions as F
+
+    return (pages_stream
+            .withWatermark("warc_ts", f"{watermark_minutes} minutes")
+            .groupBy(F.window("warc_ts", f"{window_minutes} minutes").alias("w"),
+                     F.col("lang"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length("html")).alias("payload_bytes"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "lang", "n_docs", "payload_bytes"))
+
+
 def read_pages_stream(spark: SparkSession, input_dir: str,
                       max_files_per_trigger: int = 8) -> DataFrame:
     return (spark.readStream.schema(PAGES_SCHEMA)
