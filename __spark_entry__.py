@@ -257,6 +257,27 @@ def q_simhash_groups(spark, sf_dir):
     return dedup.simhash_groups(_t(spark, sf_dir, "documents"))
 
 
+def q_top_tokens(spark, sf_dir):
+    """Corpus token frequencies: explode + count, deterministic tie-break.
+    Counts are exact ints."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    return (toks.where(F.col("token") != "")
+            .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("token")).limit(20))
+
+
+def q_bigram_counts(spark, sf_dir):
+    """Bigram (2-token shingle) frequencies over the corpus — n-gram
+    counting for LM-style corpus statistics; only bigrams seen > 100 times."""
+    d = _t(spark, sf_dir, "documents")
+    sp = F.split(F.col("text"), " ")
+    toks = d.select(sp.alias("toks"))
+    bi = toks.select(F.explode(dedup.shingles_from_tokens(F.col("toks"), 2)).alias("bigram"))
+    return (bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 100))
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min rule) — stateful analog."""
     e = _t(spark, sf_dir, "events")
@@ -351,6 +372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine": q_topk_cosine,
         "sessionize": q_sessionize,
         "reorder_explicit": q_reorder_explicit,
+        "top_tokens": q_top_tokens,
+        "bigram_counts": q_bigram_counts,
         "text_position_projection": q_text_position_projection,
         "tpch_q1_exactstats": q_tpch_q1_exactstats,
         "join_agg_segment": q_join_agg_segment,
@@ -485,6 +508,18 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
             ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q) DESC, vec_id
             LIMIT 20""",
+        "top_tokens": """
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            WHERE token <> ''
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""",
+        "bigram_counts": """
+            WITH sp AS (SELECT string_split(text, ' ') AS toks FROM documents),
+            bi AS (SELECT unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])) AS bigram
+                   FROM sp)
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+            FROM bi GROUP BY bigram HAVING COUNT(*) > 100""",
         "reorder_explicit": """
             SELECT doc_id, source, n_chars,
                    CAST(ROW_NUMBER() OVER (PARTITION BY source
