@@ -291,6 +291,17 @@ def q_sessionize(spark, sf_dir):
         .agg(F.sum("ns").cast("bigint").alias("n_sessions"))
 
 
+def q_windowed_event_counts(spark, sf_dir):
+    """Batch analog of the streaming windowed aggregation: 10-minute
+    tumbling windows per event_type (streaming path: streaming/stream.py
+    windowed_crawl_counts with watermark)."""
+    e = _t(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "10 minutes")
+    return e.groupBy(w.alias("w"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n")).select(
+        F.col("w.start").alias("window_start"), "event_type", "n")
+
+
 def q_tpch_q1_exactstats(spark, sf_dir):
     """TPC-H Q1-style pricing summary restricted to exact-integer-safe
     statistics (qty values are integral doubles → float sums exact)."""
@@ -375,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": q_top_tokens,
         "bigram_counts": q_bigram_counts,
         "text_position_projection": q_text_position_projection,
+        "windowed_event_counts": q_windowed_event_counts,
         "tpch_q1_exactstats": q_tpch_q1_exactstats,
         "join_agg_segment": q_join_agg_segment,
     }
@@ -540,6 +552,10 @@ def oracle_sql() -> dict[str, str]:
                          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
                   FROM events)
             GROUP BY user_id""",
+        "windowed_event_counts": """
+            SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2""",
         "tpch_q1_exactstats": f"""
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,

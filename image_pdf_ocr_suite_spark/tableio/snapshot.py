@@ -36,6 +36,10 @@ class Snapshot:
     data_dir: str
     run_id: str
     committed_at: float
+    # "append": data_dir adds to the table; "replace": data_dir IS the
+    # table as of this snapshot (upsert/compaction result) — readers ignore
+    # everything older.
+    op: str = "append"
 
 
 class SnapshotTable:
@@ -95,8 +99,73 @@ class SnapshotTable:
         df.write.mode("error").parquet(data_dir)
         return data_dir
 
+    def upsert(self, df: DataFrame, key_col: str, run_id: str) -> Snapshot:
+        """Iceberg-MERGE-style upsert: rows in ``df`` replace committed rows
+        with the same key; everything else carries over.  Implemented as a
+        REPLACE snapshot (anti-join survivors ∪ new rows written once) —
+        readers before the commit see the old table, after it the new one."""
+        current = self.read(df.sparkSession)
+        if current is None:
+            return self.append(df, run_id)
+        from pyspark.sql.functions import broadcast
+        keys = df.select(key_col).distinct()
+        survivors = current.join(broadcast(keys), key_col, "left_anti")
+        merged = survivors.unionByName(df)
+        return self._replace(merged, run_id)
+
+    def compact(self, spark: SparkSession, run_id: str,
+                n_files: int | None = None) -> Snapshot | None:
+        """Small-file compaction: rewrite all committed data as one
+        REPLACE snapshot (table maintenance — at 100 TB this runs per
+        partition, not whole-table)."""
+        current = self.read(spark)
+        if current is None:
+            return None
+        if n_files:
+            current = current.coalesce(n_files)
+        return self._replace(current, run_id)
+
+    def _replace(self, df: DataFrame, run_id: str) -> Snapshot:
+        snapshot_id = uuid.uuid4().hex[:16]
+        data_dir = os.path.join(self.root, "data", snapshot_id)
+        df.write.mode("error").parquet(data_dir)
+        parent = self.current_snapshot()
+        snap = Snapshot(snapshot_id=snapshot_id,
+                        parent_id=parent.snapshot_id if parent else None,
+                        data_dir=data_dir, run_id=run_id,
+                        committed_at=time.time(), op="replace")
+        self._commit(snap)
+        return snap
+
+    def expire_snapshots(self) -> list[str]:
+        """Drop data directories no committed reader can see (everything
+        older than the latest REPLACE snapshot).  Manifests stay (history);
+        returns removed dirs."""
+        import shutil
+        snaps = self.snapshots()
+        last_replace = max((i for i, s in enumerate(snaps) if s.op == "replace"),
+                           default=None)
+        if last_replace is None:
+            return []
+        removed = []
+        for s in snaps[:last_replace]:
+            if os.path.isdir(s.data_dir):
+                shutil.rmtree(s.data_dir)
+                removed.append(s.data_dir)
+        return removed
+
+    def _live_dirs(self) -> list[str]:
+        snaps = self.snapshots()
+        live: list[str] = []
+        for s in snaps:
+            if s.op == "replace":
+                live = [s.data_dir]
+            else:
+                live.append(s.data_dir)
+        return live
+
     def read(self, spark: SparkSession) -> DataFrame | None:
-        dirs = [s.data_dir for s in self.snapshots()]
+        dirs = self._live_dirs()
         if not dirs:
             return None
         return spark.read.parquet(*dirs)
