@@ -291,6 +291,14 @@ def q_sessionize(spark, sf_dir):
         .agg(F.sum("ns").cast("bigint").alias("n_sessions"))
 
 
+def q_value_median(spark, sf_dir):
+    """Exact interpolated median per group (sort + interpolate is
+    deterministic in both engines)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("median_value"))
+
+
 def q_windowed_event_counts(spark, sf_dir):
     """Batch analog of the streaming windowed aggregation: 10-minute
     tumbling windows per event_type (streaming path: streaming/stream.py
@@ -386,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": q_top_tokens,
         "bigram_counts": q_bigram_counts,
         "text_position_projection": q_text_position_projection,
+        "value_median": q_value_median,
         "windowed_event_counts": q_windowed_event_counts,
         "tpch_q1_exactstats": q_tpch_q1_exactstats,
         "join_agg_segment": q_join_agg_segment,
@@ -552,6 +561,9 @@ def oracle_sql() -> dict[str, str]:
                          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
                   FROM events)
             GROUP BY user_id""",
+        "value_median": """
+            SELECT event_type, quantile_cont(value, 0.5) AS median_value
+            FROM events GROUP BY event_type""",
         "windowed_event_counts": """
             SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
                    event_type, CAST(COUNT(*) AS BIGINT) AS n
