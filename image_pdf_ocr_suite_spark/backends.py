@@ -136,8 +136,11 @@ def page_words_frame(page: Page, preprocessed: bool, scale: float) -> pd.DataFra
     return pd.DataFrame(words_rows(page, preprocessed, scale), columns=TSV_COLUMNS)
 
 
-def ocr_boxes(img: FakeImage) -> pd.DataFrame:
-    """≈ pytesseract.image_to_data(img, lang, output_type=DATAFRAME)."""
+def ocr_boxes(img: FakeImage, lang: str = "jpn") -> pd.DataFrame:
+    """≈ pytesseract.image_to_data(img, lang=..., output_type=DATAFRAME)
+    (ocr.py:82-87).  The deterministic backend reads ground truth, so
+    ``lang`` selects the model in production bindings only ("jpn" default
+    per the reference; "jpn+eng" per the north_star)."""
     return page_words_frame(img.page, img.preprocessed, img.scale)
 
 
@@ -180,8 +183,8 @@ def normalize_for_canvas(img: FakeImage, target_width: int, target_height: int) 
     return FakeImage(canvas, "RGB", page, False, 1.0)
 
 
-def ocr_text(img: FakeImage) -> str:
-    """≈ pytesseract.image_to_string(img, lang) — runs on the adaptive
+def ocr_text(img: FakeImage, lang: str = "jpn") -> str:
+    """≈ pytesseract.image_to_string(img, lang=...) — runs on the adaptive
     WINNER image (ocr.py:766), a second engine call separate from the box
     frame.  Words below LEGIBILITY_FLOOR confidence on this image are
     dropped; join words " ", lines "\\n", blocks "\\n\\n"; trailing "\\n"."""

@@ -180,7 +180,7 @@ def _ocr_block(pdf: pd.DataFrame, cfg: ExtractConfig, pid: int) -> pd.DataFrame:
         v_sum[sm.index.to_numpy()] = sm.to_numpy()
 
     # page text = second engine call on the winner image (ocr.py:766)
-    texts = [backends.ocr_text(pre_imgs[i] if use_pre[i] else images[i])
+    texts = [backends.ocr_text(pre_imgs[i] if use_pre[i] else images[i], cfg.lang)
              for i in range(n)]
     lead_ws = np.array([len(t) - len(t.lstrip()) for t in texts], dtype=np.int64)
 

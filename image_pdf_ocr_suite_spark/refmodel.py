@@ -82,7 +82,7 @@ def perform_adaptive_ocr(image: backends.FakeImage, cfg: ExtractConfig) -> Adapt
     average confidence is below the threshold (65), OCR the preprocessed
     image and keep it only on STRICTLY greater average (ties keep base,
     ocr.py:71), rescaling its boxes back by 1/upscale."""
-    base_frame_raw = backends.ocr_boxes(image)
+    base_frame_raw = backends.ocr_boxes(image, cfg.lang)
     base_average = compute_average_confidence(base_frame_raw)
     base_frame = prepare_frame(base_frame_raw, scale=1.0)
 
@@ -91,7 +91,7 @@ def perform_adaptive_ocr(image: backends.FakeImage, cfg: ExtractConfig) -> Adapt
         return best
 
     pre_image, scale = backends.preprocess(image, cfg.upscale_factor, cfg.binarize_threshold)
-    pre_frame_raw = backends.ocr_boxes(pre_image)
+    pre_frame_raw = backends.ocr_boxes(pre_image, cfg.lang)
     pre_average = compute_average_confidence(pre_frame_raw)
     pre_frame = prepare_frame(pre_frame_raw, scale=scale)
 
@@ -113,7 +113,7 @@ def extract_text(payload_bytes: bytes, cfg: ExtractConfig | None = None) -> str:
     for index, page in enumerate(doc.pages, start=1):
         image = backends.rasterize(page)
         result = perform_adaptive_ocr(image, cfg)
-        page_text = backends.ocr_text(result.image_for_string)
+        page_text = backends.ocr_text(result.image_for_string, cfg.lang)
         texts.append(f"--- ページ {index} ---\n{page_text.strip()}\n")
     return "\n".join(texts).strip() + "\n"
 
@@ -129,7 +129,7 @@ def extract_page_records(payload_bytes: bytes, cfg: ExtractConfig | None = None)
         result = perform_adaptive_ocr(image, cfg)
         out.append({
             "page": index,
-            "page_text": backends.ocr_text(result.image_for_string),
+            "page_text": backends.ocr_text(result.image_for_string, cfg.lang),
             "avg_conf": result.average_confidence,
             "used_preprocessing": result.used_preprocessing,
         })
