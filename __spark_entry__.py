@@ -291,6 +291,20 @@ def q_sessionize(spark, sf_dir):
         .agg(F.sum("ns").cast("bigint").alias("n_sessions"))
 
 
+def q_corpus_clean(spark, sf_dir):
+    """Composed training-data cleaning pipeline: exact-dedup keeper
+    (min doc_id per content digest) ∩ quality floor (>=30 tokens) ∩
+    language allowlist — the shape of a real corpus-prep job."""
+    d = _t(spark, sf_dir, "documents")
+    toks = textops.token_count_expr("text")
+    keepers = d.groupBy(F.md5(F.col("text")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id"))
+    return (d.join(keepers.select("doc_id"), "doc_id")
+            .where(toks >= 30)
+            .where(F.col("lang").isin("en", "ja", "de"))
+            .select("doc_id", "lang", toks.cast("bigint").alias("n_tokens")))
+
+
 def q_value_median(spark, sf_dir):
     """Exact interpolated median per group (sort + interpolate is
     deterministic in both engines)."""
@@ -394,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": q_top_tokens,
         "bigram_counts": q_bigram_counts,
         "text_position_projection": q_text_position_projection,
+        "corpus_clean": q_corpus_clean,
         "value_median": q_value_median,
         "windowed_event_counts": q_windowed_event_counts,
         "tpch_q1_exactstats": q_tpch_q1_exactstats,
@@ -561,6 +576,18 @@ def oracle_sql() -> dict[str, str]:
                          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
                   FROM events)
             GROUP BY user_id""",
+        "corpus_clean": """
+            WITH keepers AS (
+                SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+            tok AS (
+                SELECT doc_id, lang,
+                       CASE WHEN length(text) > 0
+                            THEN length(text) - length(replace(text, ' ', '')) + 1
+                            ELSE 0 END AS n_tokens
+                FROM documents)
+            SELECT t.doc_id, t.lang, CAST(t.n_tokens AS BIGINT) AS n_tokens
+            FROM tok t JOIN keepers k ON t.doc_id = k.doc_id
+            WHERE t.n_tokens >= 30 AND t.lang IN ('en', 'ja', 'de')""",
         "value_median": """
             SELECT event_type, quantile_cont(value, 0.5) AS median_value
             FROM events GROUP BY event_type""",

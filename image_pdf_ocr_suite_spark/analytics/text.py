@@ -23,7 +23,9 @@ def token_count_expr(text_col: str = "text"):
 
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    return df.select(F.col(id_col), token_count_expr(text_col).alias("n_tokens"))
+    # bigint: SQL engines' length() is 64-bit; keep schemas aligned
+    return df.select(F.col(id_col),
+                     token_count_expr(text_col).cast("bigint").alias("n_tokens"))
 
 
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -35,8 +37,8 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     non_space = n_chars - (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))))
     return df.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
         F.round(F.try_divide(non_space.cast("double"), n_tokens.cast("double")), 4)
         .alias("avg_token_len"),
         F.round(F.try_divide((n_chars - non_space).cast("double"), n_chars.cast("double")), 4)
