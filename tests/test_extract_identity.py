@@ -34,7 +34,7 @@ def _expected_texts(corpus: pd.DataFrame) -> dict[str, str]:
     return out
 
 
-@pytest.mark.parametrize("n_parts", [1, 8])
+@pytest.mark.parametrize("n_parts", [1, 8, 32])
 def test_byte_identity(spark, corpus, n_parts):
     expected = _expected_texts(corpus)
     df = spark.createDataFrame(corpus).repartition(n_parts)
