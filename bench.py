@@ -94,6 +94,8 @@ def main() -> None:
         lambda: similarity.lsh_cosine_topk(emb, qvec, k=20, n_planes=12,
                                            max_hamming=3).collect())
 
+    queries["images_to_pdf"] = time_query(
+        lambda: _force(entrymod.q_images_to_pdf(spark, SF_DIR)))
     queries["sessionize"] = time_query(
         lambda: _force(entrymod.q_sessionize(spark, SF_DIR)))
     queries["tpch_q1"] = time_query(
