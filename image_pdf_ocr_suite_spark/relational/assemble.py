@@ -102,7 +102,9 @@ def emit_spans(ocr_df: DataFrame, cfg: ExtractConfig) -> DataFrame:
     sp = (
         sp.where(F.col("conf") >= F.lit(cfg.render_conf_threshold))
         .withColumn("text", F.coalesce(F.col("text"), F.lit("")))
-        .where(F.trim(F.col("text")) != "")
+        # pystrip, not trim: Python str.strip() removes ALL whitespace
+        # (ocr.py:495), Spark trim removes spaces only
+        .where(pystrip(F.col("text")) != "")
         .where(
             ~F.isnan("left") & ~F.isnan("top") & ~F.isnan("height")
             & F.col("left").isNotNull() & F.col("top").isNotNull()
@@ -112,12 +114,20 @@ def emit_spans(ocr_df: DataFrame, cfg: ExtractConfig) -> DataFrame:
     return sp.select(
         "url", "page", "block", "par", "line", "word",
         "left", "top", "width", "height", "conf",
-        F.trim(F.col("text")).alias("text"),
+        pystrip(F.col("text")).alias("text"),
         F.col("left").alias("x"),
         (F.col("top") + F.col("height")).alias("y"),
         (F.col("height") * F.lit(cfg.font_size_ratio)).alias("fontsize"),
-        (F.col("page_text_off") + F.col("off")).alias("start_off"),
-        (F.col("page_text_off") + F.col("off") + F.length(F.trim(F.col("text"))))
+        # kernel `off` locates the RAW word text; the emitted span text is
+        # stripped, so skip any leading whitespace the word itself carries
+        (F.col("page_text_off") + F.col("off")
+         + F.length(F.col("text"))
+         - F.length(F.regexp_replace(F.col("text"), r"^\s+", "")))
+        .alias("start_off"),
+        (F.col("page_text_off") + F.col("off")
+         + F.length(F.col("text"))
+         - F.length(F.regexp_replace(F.col("text"), r"^\s+", ""))
+         + F.length(pystrip(F.col("text"))))
         .alias("end_off"),
     )
 

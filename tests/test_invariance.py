@@ -34,6 +34,25 @@ def test_duplicate_urls_deduped_with_flag(spark):
     assert {r["url"]: r["extracted_text"] for r in rows} == base
 
 
+def test_leading_whitespace_word_span_offsets(spark):
+    """A word whose raw text carries leading whitespace: the span text is
+    stripped, and start_off must skip the whitespace the page text keeps."""
+    doc = Document(pages=[Page(120, 40, [
+        Word(1, 1, 1, 1, 10, 5, 20, 10, 80.0, 0, "plain"),
+        Word(1, 1, 1, 2, 40, 5, 20, 10, 80.0, 0, " padded"),
+        Word(1, 1, 1, 3, 70, 5, 20, 10, 80.0, 0, "tail  "),
+    ])])
+    rows = [("u1", spdf.encode(doc))]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    res = extract_pages(df, ExtractConfig(), run_id="ws")
+    text = res.text.head()["extracted_text"]
+    spans = {r["word"]: r for r in res.spans.collect()}
+    assert spans[2]["text"] == "padded"
+    assert spans[3]["text"] == "tail"
+    for s in spans.values():
+        assert text[s["start_off"]:s["end_off"]] == s["text"]
+
+
 def test_stored_payload_roundtrip():
     doc = Document(pages=[Page(50, 30, [Word(1, 1, 1, 1, 5, 5, 10, 8, 80, 40, "x")])])
     raw = spdf.encode(doc, level=0)
