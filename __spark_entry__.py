@@ -257,6 +257,11 @@ def q_simhash_groups(spark, sf_dir):
     return dedup.simhash_groups(_t(spark, sf_dir, "documents"))
 
 
+def q_simhash_near_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"),
+                                    max_hamming=3, n_bands=4)
+
+
 def q_top_tokens(spark, sf_dir):
     """Corpus token frequencies: explode + count, deterministic tie-break.
     Counts are exact ints."""
@@ -383,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "simhash_groups": q_simhash_groups,
+        "simhash_near_pairs": q_simhash_near_pairs,
         # SQL-checkable operators
         "conf_avg_valid": q_conf_avg_valid,
         "conf_threshold_filter": q_conf_threshold_filter,

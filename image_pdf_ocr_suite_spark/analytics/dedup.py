@@ -167,3 +167,40 @@ def simhash_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return (sh.groupBy("simhash")
             .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_id"))
             .where(F.col("n_docs") > 1))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       n_bands: int = 4) -> DataFrame:
+    """SimHash near-duplicate pairs within ``max_hamming`` bits.
+
+    Pigeonhole LSH: split the 64-bit signature into ``n_bands`` bit bands —
+    any pair within max_hamming < n_bands bits must agree on at least one
+    whole band, so candidates = pairs sharing any band value (tiny
+    (band, value, id) shuffle), verified with an exact popcount.  All
+    JVM-side bit arithmetic; the only Python is the signature UDF."""
+    assert max_hamming < n_bands, "pigeonhole requires max_hamming < n_bands"
+    sh = simhash64(df, text_col, id_col)
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = [
+        F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)).alias("bv")
+        for i in range(n_bands)
+    ]
+    sig = sh.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"), b) for i, b in enumerate(bands)
+        ])).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bv")
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (a.join(b, ["band", "bv"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.simhash").alias("sh_b"))
+            .distinct())
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")) \
+               .where(F.col("hamming") <= max_hamming)

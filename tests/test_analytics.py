@@ -49,6 +49,20 @@ def test_ngram_jaccard(spark, docs):
     assert pairs[(3, 4)] < 0.1
 
 
+def test_simhash_near_pairs(spark):
+    base = BASE
+    rows = [(0, base), (1, base),                       # identical (hamming 0)
+            (2, base.replace("kitchen", "kitchon")),    # tiny perturbation
+            (3, "entirely different words about catalyst optimizer rules"),
+            (4, "spark adaptive execution and shuffle partition tuning")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_near_pairs(df, max_hamming=8, n_bands=16).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 8
+    assert (3, 4) not in pairs and (0, 3) not in pairs
+
+
 def test_simhash_dup_and_near(spark, docs):
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
     assert sh[0] == sh[1]
