@@ -43,20 +43,29 @@ def main(argv: list[str] | None = None) -> None:
 
     pages = spark.read.parquet(args.input_table)
     text_table = SnapshotTable(f"{args.output_root}/text")
+    quar_table = SnapshotTable(f"{args.output_root}/quarantine")
     if args.resume:
+        # done = extracted urls ∪ quarantined urls: quarantined payloads are
+        # settled (retrying a corrupt payload forever is the wrong default;
+        # re-run without --resume to retry them deliberately)
         pages = text_table.remaining_input(pages, "url")
+        pages = quar_table.remaining_input(pages, "url")
+
+    def _append(table: SnapshotTable, df) -> None:
+        if not df.isEmpty():
+            table.append(df, run_id=run_id)
 
     res = extract_pages(pages, cfg, run_id=run_id)
     if args.mode in ("text", "all"):
-        text_table.append(res.text, run_id=run_id)
+        _append(text_table, res.text)
     if args.mode in ("spans", "all"):
-        SnapshotTable(f"{args.output_root}/spans").append(res.spans, run_id=run_id)
+        _append(SnapshotTable(f"{args.output_root}/spans"), res.spans)
     if args.mode == "pdf":
         from image_pdf_ocr_suite_spark.kernels.pdfsink import emit_searchable_pdfs
-        SnapshotTable(f"{args.output_root}/pdf").append(
-            emit_searchable_pdfs(pages, cfg), run_id=run_id)
-    SnapshotTable(f"{args.output_root}/quarantine").append(res.quarantine, run_id=run_id)
-    SnapshotTable(f"{args.output_root}/metrics").append(res.metrics, run_id=run_id)
+        _append(SnapshotTable(f"{args.output_root}/pdf"),
+                emit_searchable_pdfs(pages, cfg))
+    _append(quar_table, res.quarantine)
+    _append(SnapshotTable(f"{args.output_root}/metrics"), res.metrics)
     spark.stop()
 
 
