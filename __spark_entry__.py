@@ -217,6 +217,12 @@ def q_lang_id(spark, sf_dir):
     return textops.lang_id(_t(spark, sf_dir, "documents"))
 
 
+def q_lang_id_script(spark, sf_dir):
+    """Unicode-script language ID (kana/CJK/hangul/cyrillic/latin ratios) —
+    vectorized kernel, not SQL-expressible."""
+    return textops.lang_id_script(_t(spark, sf_dir, "documents"))
+
+
 def q_fingerprint(spark, sf_dir):
     return textops.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -405,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
+        "lang_id_script": q_lang_id_script,
         "fingerprint": q_fingerprint,
         "minhash_lsh_buckets": q_minhash_lsh_buckets,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

@@ -58,6 +58,40 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
                      pred.alias("pred_lang"))
 
 
+def lang_id_script(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Script-based language ID for Common-Crawl text: classify by Unicode
+    block ratios (kana/CJK -> ja-or-zh split by kana share, hangul -> ko,
+    cyrillic -> ru, latin -> en-family).  Arrow-vectorized numpy over
+    codepoints — the real-world first-pass filter before a model-based
+    identifier; deterministic."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _classify(texts):
+        out = []
+        for t in texts:
+            if not t:
+                out.append("unknown")
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype="<u4")
+            n = len(cp)
+            kana = (((cp >= 0x3040) & (cp <= 0x30FF)) | ((cp >= 0xFF66) & (cp <= 0xFF9D))).sum()
+            cjk = ((cp >= 0x4E00) & (cp <= 0x9FFF)).sum()
+            hangul = (((cp >= 0xAC00) & (cp <= 0xD7AF)) | ((cp >= 0x1100) & (cp <= 0x11FF))).sum()
+            cyr = ((cp >= 0x0400) & (cp <= 0x04FF)).sum()
+            latin = (((cp >= 0x41) & (cp <= 0x5A)) | ((cp >= 0x61) & (cp <= 0x7A))).sum()
+            scores = {"ja": kana + 0.5 * cjk, "zh": cjk * (0.9 if kana == 0 else 0.0),
+                      "ko": hangul, "ru": cyr, "en": latin * 0.5}
+            best, val = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
+            out.append(best if val >= max(1.0, 0.05 * n) else "unknown")
+        return pd.Series(out)
+
+    _classify.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    udf = pandas_udf(_classify, "string")
+    return df.select(F.col(id_col), udf(F.col(text_col)).alias("script_lang"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Normalized content fingerprint: md5(lower(whitespace-collapsed))."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))

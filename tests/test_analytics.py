@@ -105,6 +105,22 @@ def test_lsh_topk_recall(spark, emb_df):
     assert len(exact & approx) >= 5                       # reasonable recall
 
 
+def test_lang_id_script(spark):
+    from image_pdf_ocr_suite_spark.analytics import text as textops
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "画像ベースのPDFからテキストを抽出します"),
+        (2, "本文提取是网页数据处理的核心步骤之一"),
+        (3, "한국어 텍스트 분류 테스트 문장입니다"),
+        (4, "извлечение текста из веб-страниц"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["script_lang"]
+           for r in textops.lang_id_script(df).collect()}
+    assert got == {0: "en", 1: "ja", 2: "zh", 3: "ko", 4: "ru", 5: "unknown"}
+
+
 def test_payload_metadata(spark):
     rows = [(i, " ".join(f"w{j}" for j in range(20)), "ja") for i in range(8)]
     df = spark.createDataFrame(fixtures.build_pages_pdf(rows))
