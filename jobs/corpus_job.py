@@ -1,0 +1,103 @@
+"""Training-corpus preparation job — the full composition.
+
+    pages table
+      -> extraction (OCR / HTML strip / quarantine)     pipeline.extract_pages
+      -> quality floor (token count)                    analytics.text
+      -> script language allowlist                      analytics.text
+      -> exact dedup (md5 keeper)                       analytics.dedup
+      -> MinHash-LSH near-dup removal (keep lowest url  analytics.dedup
+         per candidate pair component, greedy)
+      -> snapshot-committed clean corpus + reject log
+
+This is the end-to-end shape a 100 TB training-data pipeline runs daily;
+every stage is one of the engine's tested operators.
+
+    spark-submit --py-files pkg.zip jobs/corpus_job.py \
+        --input-table pages.parquet --output-root /out \
+        [--min-tokens 20] [--langs en,ja] [--jaccard 0.5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+
+from image_pdf_ocr_suite_spark import ExtractConfig, extract_pages
+from image_pdf_ocr_suite_spark.analytics import dedup
+from image_pdf_ocr_suite_spark.analytics import text as textops
+from image_pdf_ocr_suite_spark.session import build_session
+from image_pdf_ocr_suite_spark.tableio.snapshot import SnapshotTable
+
+
+def clean_corpus(pages: DataFrame, cfg: ExtractConfig | None = None,
+                 min_tokens: int = 10, langs: tuple[str, ...] = ("en", "ja"),
+                 run_id: str | None = None) -> tuple[DataFrame, DataFrame]:
+    """pages -> (clean_docs, rejects).  clean_docs: (url, text, script_lang,
+    n_tokens); rejects: (url, reason)."""
+    cfg = cfg or ExtractConfig()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    res = extract_pages(pages, cfg, run_id=run_id)
+
+    # The cleaning stages reference the extracted text many times (joins,
+    # reject accounting); persist it so OCR runs once.  Extracted text is
+    # tiny next to the payloads — in production, extract_job.py writes it
+    # to its own table first and this job reads that table instead.
+    from pyspark import StorageLevel
+    docs = res.text.select("url", F.col("extracted_text").alias("text")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    feats = textops.lang_id_script(docs, "text", "url") \
+        .join(textops.token_counts(docs, "text", "url"), "url")
+    enriched = docs.join(feats, "url")
+
+    quality_ok = enriched.where(F.col("n_tokens") >= min_tokens)
+    lang_ok = quality_ok.where(F.col("script_lang").isin(*langs))
+
+    # exact dedup: lowest url per content digest
+    keeper = dedup.exact_dedup(lang_ok, "text", "url").select("url")
+    exact_unique = lang_ok.join(keeper, "url")
+
+    # near-dup removal: drop the higher url of every LSH candidate pair
+    pairs = dedup.lsh_candidate_pairs(exact_unique, "text", "url")
+    losers = pairs.select(F.col("id_b").alias("url")).distinct()
+    clean = exact_unique.join(losers, "url", "left_anti")
+
+    rejects = (
+        res.quarantine.select("url", F.col("kind").alias("reason"))
+        .unionByName(enriched.where(F.col("n_tokens") < min_tokens)
+                     .select("url", F.lit("low_quality").alias("reason")))
+        .unionByName(quality_ok.where(~F.col("script_lang").isin(*langs))
+                     .select("url", F.lit("lang").alias("reason")))
+        .unionByName(lang_ok.join(keeper, "url", "left_anti")
+                     .select("url", F.lit("exact_dup").alias("reason")))
+        .unionByName(exact_unique.join(losers, "url", "left_semi")
+                     .select("url", F.lit("near_dup").alias("reason")))
+    )
+    return clean.select("url", "text", "script_lang", "n_tokens"), rejects
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input-table", required=True)
+    ap.add_argument("--output-root", required=True)
+    ap.add_argument("--min-tokens", type=int, default=10)
+    ap.add_argument("--langs", default="en,ja")
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args(argv)
+
+    spark = build_session(app="corpus-job")
+    run_id = args.run_id or uuid.uuid4().hex[:12]
+    clean, rejects = clean_corpus(
+        spark.read.parquet(args.input_table),
+        min_tokens=args.min_tokens,
+        langs=tuple(args.langs.split(",")),
+        run_id=run_id)
+    SnapshotTable(f"{args.output_root}/clean").append(clean, run_id=run_id)
+    SnapshotTable(f"{args.output_root}/rejects").append(rejects, run_id=run_id)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
