@@ -231,6 +231,11 @@ def q_minhash_lsh_buckets(spark, sf_dir):
     return dedup.lsh_buckets(_t(spark, sf_dir, "documents"))
 
 
+def q_minhash_candidate_pairs(spark, sf_dir):
+    """LSH bucket-join candidate pairs (the dedup shuffle: ids only)."""
+    return dedup.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Jaccard is int/int division → identical IEEE doubles in both engines;
     no rounding needed."""
@@ -414,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_script": q_lang_id_script,
         "fingerprint": q_fingerprint,
         "minhash_lsh_buckets": q_minhash_lsh_buckets,
+        "minhash_candidate_pairs": q_minhash_candidate_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "topk_cosine": q_topk_cosine,
         "sessionize": q_sessionize,
@@ -537,6 +543,21 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS min_id
             FROM sig WHERE minhash IS NOT NULL
             GROUP BY band, minhash HAVING COUNT(*) > 1""",
+        "minhash_candidate_pairs": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_transform(range(1, len(sp) - 1),
+                                      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) AS shingles
+                FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)),
+            bands AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS band),
+            sig AS (
+                SELECT doc_id, band,
+                       list_min(list_transform(shingles,
+                                s -> md5(s || '#' || CAST(band AS VARCHAR)))) AS minhash
+                FROM sh, bands)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+            WHERE a.minhash IS NOT NULL AND a.doc_id < b.doc_id""",
         "ngram_jaccard_pairs": f"""
             WITH toks AS (
                 SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk

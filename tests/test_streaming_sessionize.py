@@ -1,0 +1,46 @@
+"""Custom stateful streaming operator: gap sessionization across
+micro-batches with applyInPandasWithState + event-time timeout."""
+
+import datetime as dt
+
+import pytest
+
+from image_pdf_ocr_suite_spark.streaming.sessionize import sessionize_stream
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, "user_id long, ts timestamp") \
+        .coalesce(1).write.mode("append").parquet(path)
+
+
+def test_sessions_close_across_batches(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    m = dt.timedelta(minutes=1)
+    # burst 1: 3 events within 10 min; burst 2: 2 events an hour later
+    _write(spark, input_dir, [(1, T0), (1, T0 + 5 * m), (1, T0 + 10 * m),
+                              (1, T0 + 70 * m), (1, T0 + 75 * m)])
+    # two more files -> later batches that advance the watermark and fire
+    # the event-time timeout for user 1's open session
+    _write(spark, input_dir, [(2, T0 + dt.timedelta(hours=5))])
+    _write(spark, input_dir, [(3, T0 + dt.timedelta(hours=6))])
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", "1").parquet(input_dir))
+    q = (sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+         .writeStream.format("memory").queryName("sessions")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    q.awaitTermination(180)
+
+    rows = spark.sql("select * from sessions").collect()
+    u1 = sorted([(r["session_start"], r["session_end"], r["n_events"])
+                 for r in rows if r["user_id"] == 1])
+    assert u1 == [
+        (T0, T0 + 10 * m, 3),                       # burst 1: closed by gap
+        (T0 + 70 * m, T0 + 75 * m, 2),              # burst 2: closed by timeout
+    ]
+    # users 2/3's sessions are still open (watermark never passed them)
+    assert not [r for r in rows if r["user_id"] in (2, 3)]
