@@ -30,7 +30,11 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, n_chars, n_tokens, avg_token_len, space_ratio) — cheap quality
-    signals for corpus filtering."""
+    signals for corpus filtering.
+
+    Ratios are RAW doubles: rounding policy belongs to the query layer
+    (cross-engine rule: FLOOR(x*1e4+0.5)/1e4, never engine ROUND — Spark's
+    BigDecimal HALF_UP and DuckDB's double ROUND disagree at .5 boundaries)."""
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = token_count_expr(text_col)
@@ -39,9 +43,9 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         F.col(id_col),
         n_chars.cast("bigint").alias("n_chars"),
         n_tokens.cast("bigint").alias("n_tokens"),
-        F.round(F.try_divide(non_space.cast("double"), n_tokens.cast("double")), 4)
+        F.try_divide(non_space.cast("double"), n_tokens.cast("double"))
         .alias("avg_token_len"),
-        F.round(F.try_divide((n_chars - non_space).cast("double"), n_chars.cast("double")), 4)
+        F.try_divide((n_chars - non_space).cast("double"), n_chars.cast("double"))
         .alias("space_ratio"),
     )
 

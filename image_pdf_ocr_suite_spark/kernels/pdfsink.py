@@ -151,6 +151,8 @@ def make_pdf_kernel(cfg: ExtractConfig):
         for pdf in batches:
             rows = []
             for url, raw in zip(pdf["url"], pdf["html"]):
+                if raw is None:
+                    continue  # null payload: skip, never a task failure
                 raw = bytes(raw)
                 if spdf.sniff(raw) != "spdf" or (len(raw) > 5 and raw[5] & spdf.FLAG_ENCRYPTED):
                     continue

@@ -51,7 +51,10 @@ def make_session_fn(gap_minutes: int = GAP_MINUTES_DEFAULT):
                     closed.append((user_id, start, last, n))
                     start, last, n = t, t, 1
                 else:
-                    last, n = t, n + 1
+                    # Out-of-order event (within the watermark) earlier than
+                    # the stored boundary must not move the session backwards:
+                    # session_end may never precede an already-counted event.
+                    start, last, n = min(start, t), max(last, t), n + 1
             if start is not None:
                 state.update((start, last, n))
                 state.setTimeoutTimestamp((last + gap_us) // 1000)

@@ -69,11 +69,18 @@ def start_extraction_stream(spark: SparkSession, input_dir: str,
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         run_id = f"stream-batch-{batch_id}"
-        if _batch_committed(text_table, run_id):
-            return  # replayed micro-batch after restart: already committed
+        # Per-table replay guard: a crash between the two appends must not
+        # skip the not-yet-committed table on replay (a text-only check
+        # would silently drop that batch's quarantine rows forever).
+        text_done = _batch_committed(text_table, run_id)
+        quar_done = _batch_committed(quar_table, run_id)
+        if text_done and quar_done:
+            return  # replayed micro-batch after restart: fully committed
         res = extract_pages(batch_df, cfg, run_id=run_id)
-        text_table.append(res.text, run_id=run_id)
-        quar_table.append(res.quarantine, run_id=run_id)
+        if not text_done:
+            text_table.append(res.text, run_id=run_id)
+        if not quar_done:
+            quar_table.append(res.quarantine, run_id=run_id)
 
     writer = (read_pages_stream(spark, input_dir)
               .writeStream

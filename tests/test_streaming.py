@@ -68,3 +68,34 @@ def test_stream_restart_is_exactly_once(spark, tmp_path):
     assert final.count() == n1
     urls = [r["url"] for r in final.select("url").collect()]
     assert len(urls) == len(set(urls))
+
+
+def test_partial_commit_replay_fills_missing_table(spark, tmp_path):
+    """Crash between the text append and the quarantine append: on replay the
+    per-table guard must skip the already-committed text table but still
+    write the quarantine rows (a text-only check would drop them forever)."""
+    from image_pdf_ocr_suite_spark.pipeline import extract_pages
+
+    input_dir = str(tmp_path / "in")
+    out_root = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = fixtures.build_pages_pdf(DOC_ROWS)
+    # single file -> the whole input is micro-batch 0
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(input_dir)
+
+    cfg = ExtractConfig(cache_decoded=False)
+    # simulate the pre-crash half-commit: text committed, quarantine not
+    res = extract_pages(spark.read.parquet(input_dir), cfg,
+                        run_id="stream-batch-0")
+    SnapshotTable(f"{out_root}/text").append(res.text, run_id="stream-batch-0")
+
+    q = start_extraction_stream(spark, input_dir, out_root, ckpt, cfg,
+                                available_now=True)
+    q.awaitTermination(120)
+
+    text = SnapshotTable(f"{out_root}/text").read(spark)
+    urls = [r["url"] for r in text.select("url").collect()]
+    assert len(urls) == len(set(urls))  # no duplicate re-append
+    quar = SnapshotTable(f"{out_root}/quarantine").read(spark)
+    assert {(r["url"], r["kind"]) for r in quar.collect()} == {
+        (fixtures.url_for(11), "encrypted")}

@@ -44,3 +44,33 @@ def test_sessions_close_across_batches(spark, tmp_path):
     ]
     # users 2/3's sessions are still open (watermark never passed them)
     assert not [r for r in rows if r["user_id"] in (2, 3)]
+
+
+def test_out_of_order_merge_keeps_session_bounds(spark, tmp_path):
+    """An out-of-order event (within the watermark) earlier than the stored
+    session boundary must not move session_end backwards: merging uses
+    last=max(last,t), start=min(start,t)."""
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    m = dt.timedelta(minutes=1)
+    # batch 1: events at T0 and T0+10m; batch 2: LATE event at T0+5m
+    _write(spark, input_dir, [(1, T0), (1, T0 + 10 * m)])
+    _write(spark, input_dir, [(1, T0 + 5 * m)])
+    # later batches advance the watermark so user 1's session times out
+    _write(spark, input_dir, [(2, T0 + dt.timedelta(hours=5))])
+    _write(spark, input_dir, [(3, T0 + dt.timedelta(hours=6))])
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", "1").parquet(input_dir))
+    q = (sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+         .writeStream.format("memory").queryName("sessions_ooo")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    q.awaitTermination(180)
+
+    rows = spark.sql("select * from sessions_ooo").collect()
+    u1 = [(r["session_start"], r["session_end"], r["n_events"])
+          for r in rows if r["user_id"] == 1]
+    # one session spanning [T0, T0+10m] with all 3 events — session_end
+    # stays at the latest event even though the last arrival was earlier
+    assert u1 == [(T0, T0 + 10 * m, 3)]
