@@ -243,6 +243,18 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, threshold=0.0, max_id=60)
 
 
+def q_near_dup_components(spark, sf_dir):
+    """Full near-dup composition: LSH candidates → exact pair Jaccard
+    verification (>= 0.2) → connected components (min-label propagation).
+    (id, comp): comp is each verified near-dup cluster's smallest doc_id —
+    the representative a corpus-prep job keeps."""
+    d = _t(spark, sf_dir, "documents")
+    cand = dedup.lsh_candidate_pairs(d)
+    verified = dedup.jaccard_verify_pairs(cand, d) \
+        .where(F.col("jaccard") >= 0.2)
+    return dedup.connected_components_min(verified)
+
+
 def q_topk_cosine(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -421,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_buckets": q_minhash_lsh_buckets,
         "minhash_candidate_pairs": q_minhash_candidate_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "near_dup_components": q_near_dup_components,
         "topk_cosine": q_topk_cosine,
         "sessionize": q_sessionize,
         "reorder_explicit": q_reorder_explicit,
@@ -566,6 +579,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
                        / len(list_distinct(list_concat(a.tk, b.tk))) AS jaccard
             FROM toks a, toks b WHERE a.doc_id < b.doc_id""",
+        "near_dup_components": """
+            WITH RECURSIVE
+            sh AS (
+                SELECT doc_id,
+                       list_transform(range(1, len(sp) - 1),
+                                      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) AS shingles
+                FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)),
+            bands AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS band),
+            sig AS (
+                SELECT doc_id, band,
+                       list_min(list_transform(shingles,
+                                s -> md5(s || '#' || CAST(band AS VARCHAR)))) AS minhash
+                FROM sh, bands),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+                WHERE a.minhash IS NOT NULL AND a.doc_id < b.doc_id),
+            tox AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+                    FROM documents),
+            ver AS (
+                SELECT id_a, id_b
+                FROM cand
+                JOIN tox ta ON ta.doc_id = cand.id_a
+                JOIN tox tb ON tb.doc_id = cand.id_b
+                WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                      / len(list_distinct(list_concat(ta.tk, tb.tk))) >= 0.2),
+            edges AS (SELECT id_a AS a, id_b AS b FROM ver
+                      UNION ALL SELECT id_b, id_a FROM ver),
+            reach AS (
+                SELECT a AS id, a AS r FROM edges
+                UNION
+                SELECT e.b AS id, reach.r AS r
+                FROM edges e JOIN reach ON e.a = reach.id)
+            SELECT id, MIN(r) AS comp FROM reach GROUP BY id""",
         "embedding_near_dup": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings WHERE vec_id < 150)

@@ -14,7 +14,9 @@ Scale notes (100 TB design point):
   id) rows shuffle, so candidate generation is O(n·bands) small rows;
 - n-gram Jaccard is for candidate VERIFICATION (run it on LSH candidate
   pairs, never as a blind cross join — the helper caps the id range for
-  demo/oracle use).
+  demo/oracle use).  ``verified_near_dup_losers`` is that composition:
+  LSH candidates → pair-only exact Jaccard → connected components →
+  drop everything but each component's smallest id.
 """
 
 from __future__ import annotations
@@ -124,6 +126,73 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                     F.col(f"b.{id_col}").alias("id_b"),
                     j.alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
+
+
+def jaccard_verify_pairs(pairs: DataFrame, df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id_a, id_b, jaccard) — exact token-set Jaccard computed ONLY on the
+    given candidate pairs (two id-equi joins back to the token sets; never a
+    cross join).  The verification stage LSH candidates must pass before a
+    document may be dropped: with few bands, bucket collisions between
+    genuinely different documents are routine."""
+    toks = df.select(F.col(id_col),
+                     F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"))
+    a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    # int/int division — identical IEEE doubles in any engine
+    j = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("double") / \
+        F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+    return (pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b", j.alias("jaccard")))
+
+
+def connected_components_min(pairs: DataFrame, id_a: str = "id_a",
+                             id_b: str = "id_b", max_iters: int = 20) -> DataFrame:
+    """(id, comp) for every id appearing in ``pairs``; comp = smallest id
+    reachable through the pair graph.
+
+    Min-label propagation: every round each node takes the min label over
+    itself and its neighbors; converges in O(component diameter) rounds.
+    Near-dup components are tiny and shallow, and the label table holds
+    only ids that appear in candidate pairs — a sliver of the corpus — so
+    the per-round convergence count() and localCheckpoint (lineage
+    truncation) are cheap.  At extreme diameters switch to the
+    large-star/small-star variant; the interface is unchanged."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .select("id", F.col("id").alias("comp"))
+              .localCheckpoint())
+    for _ in range(max_iters):
+        nbr = (sym.join(labels, sym["src"] == labels["id"])
+               .select(F.col("dst").alias("id"), F.col("comp")))
+        new_labels = (labels.unionByName(nbr)
+                      .groupBy("id").agg(F.min("comp").alias("comp"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n").join(labels.alias("o"), "id")
+                   .where(F.col("n.comp") != F.col("o.comp")).limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def verified_near_dup_losers(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", threshold: float = 0.5,
+                             n_hashes: int = 4, shingle_k: int = 3) -> DataFrame:
+    """Ids safe to DROP as near-duplicates: LSH candidates → exact Jaccard
+    verification (>= threshold) → connected components → everything except
+    each component's smallest id.  Component-wise keeper selection avoids
+    the greedy-pair over-deletion on chains (for verified pairs (1,2),(2,3)
+    the component {1,2,3} keeps exactly 1; but if only (2,3) verifies, 1
+    survives and {2,3} keeps 2)."""
+    cand = lsh_candidate_pairs(df, text_col, id_col, n_hashes, shingle_k)
+    verified = jaccard_verify_pairs(cand, df, text_col, id_col) \
+        .where(F.col("jaccard") >= F.lit(threshold))
+    comp = connected_components_min(verified)
+    return comp.where(F.col("id") != F.col("comp")) \
+               .select(F.col("id").alias(id_col))
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

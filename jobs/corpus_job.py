@@ -5,8 +5,11 @@
       -> quality floor (token count)                    analytics.text
       -> script language allowlist                      analytics.text
       -> exact dedup (md5 keeper)                       analytics.dedup
-      -> MinHash-LSH near-dup removal (keep lowest url  analytics.dedup
-         per candidate pair component, greedy)
+      -> MinHash-LSH near-dup removal: candidates are   analytics.dedup
+         Jaccard-VERIFIED (>= --jaccard) before any
+         drop; each verified component keeps its
+         smallest url (connected components, not
+         greedy pair-drop)
       -> snapshot-committed clean corpus + reject log
 
 This is the end-to-end shape a 100 TB training-data pipeline runs daily;
@@ -34,6 +37,7 @@ from image_pdf_ocr_suite_spark.tableio.snapshot import SnapshotTable
 
 def clean_corpus(pages: DataFrame, cfg: ExtractConfig | None = None,
                  min_tokens: int = 10, langs: tuple[str, ...] = ("en", "ja"),
+                 jaccard: float = 0.5,
                  run_id: str | None = None) -> tuple[DataFrame, DataFrame]:
     """pages -> (clean_docs, rejects).  clean_docs: (url, text, script_lang,
     n_tokens); rejects: (url, reason)."""
@@ -59,9 +63,11 @@ def clean_corpus(pages: DataFrame, cfg: ExtractConfig | None = None,
     keeper = dedup.exact_dedup(lang_ok, "text", "url").select("url")
     exact_unique = lang_ok.join(keeper, "url")
 
-    # near-dup removal: drop the higher url of every LSH candidate pair
-    pairs = dedup.lsh_candidate_pairs(exact_unique, "text", "url")
-    losers = pairs.select(F.col("id_b").alias("url")).distinct()
+    # near-dup removal: LSH candidates are only CANDIDATES — verify with
+    # exact pair Jaccard before dropping anything, then keep one
+    # representative (smallest url) per verified component
+    losers = dedup.verified_near_dup_losers(
+        exact_unique, "text", "url", threshold=jaccard)
     clean = exact_unique.join(losers, "url", "left_anti")
 
     rejects = (
@@ -84,6 +90,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--output-root", required=True)
     ap.add_argument("--min-tokens", type=int, default=10)
     ap.add_argument("--langs", default="en,ja")
+    ap.add_argument("--jaccard", type=float, default=0.5,
+                    help="token-set Jaccard a LSH candidate pair must reach "
+                         "before either side may be dropped as a near-dup")
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args(argv)
 
@@ -93,6 +102,7 @@ def main(argv: list[str] | None = None) -> None:
         spark.read.parquet(args.input_table),
         min_tokens=args.min_tokens,
         langs=tuple(args.langs.split(",")),
+        jaccard=args.jaccard,
         run_id=run_id)
     SnapshotTable(f"{args.output_root}/clean").append(clean, run_id=run_id)
     SnapshotTable(f"{args.output_root}/rejects").append(rejects, run_id=run_id)

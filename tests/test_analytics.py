@@ -142,3 +142,41 @@ def test_multimodal_decode_is_stubbed():
         multimodal.decode_image(b"\x89PNG...")
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(b"\x00")
+
+
+def test_jaccard_verify_pairs(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.jaccard_verify_pairs(pairs, docs).collect()}
+    assert set(got) == {(0, 1), (0, 2), (0, 3)}           # pairs only, no cross join
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] > 0.8
+    assert got[(0, 3)] < 0.1
+
+
+def test_connected_components_min(spark):
+    # chain 1-2-3, isolated pair 5-6, self-contained triangle 8-9/9-10/8-10
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (8, 10)],
+        "id_a long, id_b long")
+    comp = {r["id"]: r["comp"]
+            for r in dedup.connected_components_min(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components_min(pairs).count() == 0
+
+
+def test_verified_near_dup_losers(spark, docs):
+    # docs 0,1,2 are a verified near-dup component (keep 0); 3 and 4 are
+    # dissimilar — even if LSH buckets them, verification must keep them
+    losers = {r["doc_id"]
+              for r in dedup.verified_near_dup_losers(docs, threshold=0.5).collect()}
+    assert losers == {1, 2}
+
+
+def test_verified_near_dup_respects_threshold(spark, docs):
+    # at an impossible threshold nothing may be dropped
+    assert dedup.verified_near_dup_losers(docs, threshold=1.01).count() == 0

@@ -49,3 +49,55 @@ def test_clean_corpus_accounting(spark, pages):
     for r in c.values():
         assert r["n_tokens"] >= 5
         assert r["script_lang"] in ("en", "ja", "unknown")
+
+
+CHAIN_A = " ".join(f"a{j}" for j in range(30))
+CHAIN_B = " ".join(f"a{j}" for j in range(29)) + " zz"
+CHAIN_C = "qq " + " ".join(f"a{j}" for j in range(1, 29)) + " zz"
+# LSH-candidate pair with LOW Jaccard (deterministic: shares only the
+# "p0 p1 p2" prefix whose shingle happens to be a band minimum for both)
+LOWSIM_P = "p0 p1 p2 " + " ".join(f"u0x{i}" for i in range(27))
+LOWSIM_Q = "p0 p1 p2 " + " ".join(f"v0x{i}" for i in range(27))
+NEARDUP_R = "p0 p1 p2 " + " ".join(f"v0x{i}" for i in range(26)) + " rr"
+
+
+@pytest.fixture(scope="module")
+def neardup_pages(spark):
+    """Planted near-dup scenarios (ids chosen to avoid % 29 edge payloads):
+    - 100,101,102: verified near-dup 3-chain (same layout seed) — the
+      component keeps exactly its smallest url;
+    - 106,107: LSH candidate pair with Jaccard ~0.13 — BOTH must survive;
+    - 107,108: verified near-dup pair — keeps 107."""
+    rows = [(i, " ".join(f"c{i}_{j}" for j in range(30)), "ja")
+            for i in (90, 91, 93)]
+    rows += [(100, CHAIN_A, "ja"), (101, CHAIN_B, "ja"), (102, CHAIN_C, "ja"),
+             (106, LOWSIM_P, "ja"), (107, LOWSIM_Q, "ja"), (108, NEARDUP_R, "ja")]
+    pdf = fixtures.build_pages_pdf(rows)
+    # same layout seed for the chain: near-identical extracted text
+    payloads = list(pdf["html"])
+    by_id = {r[0]: i for i, r in enumerate(rows)}
+    for did, text in ((101, CHAIN_B), (102, CHAIN_C)):
+        payloads[by_id[did]] = spdf.encode(fixtures.build_document(100, text))
+    pdf["html"] = payloads
+    return spark.createDataFrame(pdf)
+
+
+def test_near_dup_verification_and_components(spark, neardup_pages):
+    clean, rejects = clean_corpus(neardup_pages, ExtractConfig(), min_tokens=5,
+                                  langs=("en", "ja", "unknown"),
+                                  jaccard=0.5, run_id="t2")
+    kept = {r["url"] for r in clean.collect()}
+    rej = {r["url"]: r["reason"] for r in rejects.collect()}
+
+    u = fixtures.url_for
+    # chain component {100,101,102}: exactly the smallest url survives —
+    # greedy pair-drop would also delete 102 against the kept 100
+    assert u(100) in kept and u(101) not in kept and u(102) not in kept
+    assert rej[u(101)] == "near_dup" and rej[u(102)] == "near_dup"
+    # the below-threshold LSH candidate pair survives verification intact
+    assert u(106) in kept
+    # verified pair (107,108): component keeps 107, drops 108
+    assert u(107) in kept and u(108) not in kept
+    assert rej[u(108)] == "near_dup"
+    # unrelated docs untouched
+    assert {u(90), u(91), u(93)} <= kept
