@@ -262,10 +262,13 @@ def q_topk_cosine(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (id pairs only — exact ints hash
-    identically; the cosine itself stays engine-internal)."""
+    """Sketch-bucketed embedding near-dup pairs over the FULL table — the
+    scale path (no all-pairs join; id pairs only so exact ints hash
+    identically).  16 planes / 4 bands here purely to bound the generated
+    oracle SQL; the library default is 64/8."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, threshold=0.3, max_id=150) \
+    return similarity.embedding_near_dup_pairs(
+        emb, threshold=0.3, n_planes=16, n_bands=4, dim=64) \
         .select("id_a", "id_b")
 
 
@@ -455,6 +458,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 R4 = "FLOOR(({x}) * 10000.0 + 0.5) / 10000.0"
 
 
+def _embedding_lsh_near_dup_oracle(n_planes: int = 16, n_bands: int = 4,
+                                   dim: int = 64, threshold: float = 0.3) -> str:
+    """DuckDB replication of the sketch-bucketed near-dup path: the 16
+    plane dot products are spelled as explicit left-associated chains of
+    v[i]*coeff literals — the exact evaluation order Spark's aggregate
+    uses, so the IEEE sums (and therefore the sign bits) are identical.
+    repr(float) literals round-trip exactly in both engines."""
+    planes = similarity.hyperplanes(dim, n_planes, seed=42)
+    width = n_planes // n_bands
+    mask = (1 << width) - 1
+    dots = []
+    for j, row in enumerate(planes):
+        terms = " + ".join(f"v[{i + 1}]*{float(x)!r}" for i, x in enumerate(row))
+        dots.append(f"CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END")
+    sketch = "\n                 + ".join(dots)
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sk AS (SELECT vec_id, CAST({sketch} AS BIGINT) AS sketch FROM v),
+        bands AS (SELECT CAST(unnest(range(0, {n_bands})) AS INTEGER) AS band),
+        sig AS (SELECT vec_id, band, (sketch >> (band * {width})) & {mask} AS bv
+                FROM sk, bands),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM sig a JOIN sig b USING (band, bv)
+                 WHERE a.vec_id < b.vec_id)
+        SELECT id_a, id_b
+        FROM cand
+        JOIN v va ON va.vec_id = cand.id_a
+        JOIN v vb ON vb.vec_id = cand.id_b
+        WHERE list_cosine_similarity(va.v, vb.v) >= {threshold}"""
+
+
 def oracle_sql() -> dict[str, str]:
     strip = "regexp_replace({x}, '^\\s+|\\s+$', '', 'g')"
     return {
@@ -613,13 +647,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.b AS id, reach.r AS r
                 FROM edges e JOIN reach ON e.a = reach.id)
             SELECT id, MIN(r) AS comp FROM reach GROUP BY id""",
-        "embedding_near_dup": """
-            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                       FROM embeddings WHERE vec_id < 150)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM v a, v b
-            WHERE a.vec_id < b.vec_id
-              AND list_cosine_similarity(a.v, b.v) >= 0.3""",
+        "embedding_near_dup": _embedding_lsh_near_dup_oracle(),
         "topk_cosine": """
             SELECT vec_id FROM embeddings,
                  (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)

@@ -8,6 +8,9 @@
   neighborhood.  Hyperplanes are seeded-deterministic and broadcast as
   literals; at 100 TB the bucketing turns a full scan into a partition-
   pruned fraction (trade recall for scan size; k-probe widens recall).
+- ``embedding_near_dup_pairs``: sketch-banded near-dup pairs (default,
+  no all-pairs join anywhere); ``embedding_near_dup_exact`` is the O(n²)
+  verifier for recall tests and small corpora.
 """
 
 from __future__ import annotations
@@ -42,26 +45,96 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
 
 
 def sketch_expr(vec_col, planes: np.ndarray):
-    """Sign sketch as a bigint: bit i = 1 iff <v, h_i> > 0.  Pure Catalyst
-    (one aggregate per plane over the array column)."""
+    """Sign sketch as a bigint: bit j = 1 iff <v, h_j> > 0.
+
+    SINGLE traversal of the embedding array: one ``aggregate`` whose
+    accumulator is (position, array of n_planes running dot products) —
+    each element updates every partial dot with one ``zip_with`` against
+    the transposed plane matrix, then the finish lambda folds the signs
+    into the bit field.  Per-plane sums add the same values in the same
+    order as independent per-plane aggregates, so the bits are unchanged;
+    the n-traversals-per-row cost is not.  Bit 63 is the sign bit: added
+    as the negative two's-complement literal (1<<63 overflows a long)."""
+    n_planes, dim = planes.shape
+    assert n_planes <= 64, "sketch is a single 64-bit word"
+    # transpose: element i of the vector multiplies row i (n_planes coeffs)
+    pt = F.array(*[
+        F.array(*[F.lit(float(planes[j][i])) for j in range(n_planes)])
+        for i in range(dim)])
     emb = F.col(vec_col).cast("array<double>")
-    bits = F.lit(0).cast("long")
-    for i, row in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in row])
-        bits = bits + F.when(_dot(emb, plane) > 0, F.lit(1 << i).cast("long")) \
-                       .otherwise(F.lit(0).cast("long"))
-    return bits
+    init = F.struct(F.lit(0).alias("i"),
+                    F.array_repeat(F.lit(0.0), n_planes).alias("s"))
+
+    def step(acc, x):
+        return F.struct(
+            (acc["i"] + F.lit(1)).alias("i"),
+            F.zip_with(acc["s"], F.element_at(pt, acc["i"] + F.lit(1)),
+                       lambda s, p: s + x * p).alias("s"))
+
+    def finish(acc):
+        bits = F.lit(0).cast("long")
+        for j in range(n_planes):
+            val = (1 << j) if j < 63 else -(1 << 63)
+            bits = bits + F.when(acc["s"][j] > 0, F.lit(val).cast("long")) \
+                           .otherwise(F.lit(0).cast("long"))
+        return bits
+
+    return F.aggregate(emb, init, step, finish)
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
                              vec_col: str = "embedding", id_col: str = "vec_id",
-                             max_id: int | None = 150) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+                             n_planes: int = 64, n_bands: int = 8,
+                             seed: int = 42, dim: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold) —
+    the 100 TB default: sketch-bucketed, never an all-pairs join.
 
-    Demo/verification form is a bounded self-join with exact f64 cosine; the
-    scale path buckets by the sign sketch first (sketch equality or small
-    Hamming distance) so only candidate buckets join — same pattern as
-    lsh_cosine_topk."""
+    sign sketch (one-pass ``sketch_expr``) → band explode (n_bands bit
+    bands, same pigeonhole shape as ``simhash_near_pairs``) → id-only
+    bucket join → exact f64 cosine rerank on the candidate pairs only.
+    Only (band, bucket, id) rows shuffle for candidate generation; vectors
+    are joined back just for the rerank.  Precision is exact (every
+    returned pair passes the true-cosine filter); recall is the sign-LSH
+    collision probability, rising with cosine — near 1 for true
+    near-duplicates, probabilistic for borderline pairs.  Use
+    ``embedding_near_dup_exact`` as the small-data verifier."""
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
+    assert n_planes % n_bands == 0
+    planes = hyperplanes(dim, n_planes, seed)
+    width = n_planes // n_bands
+    mask = (1 << width) - 1
+
+    base = df.select(F.col(id_col), sketch_expr(vec_col, planes).alias("sketch"))
+    bands = [
+        F.shiftright(F.col("sketch"), i * width).bitwiseAND(F.lit(mask)).alias("bv")
+        for i in range(n_bands)]
+    sig = base.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"), b) for i, b in enumerate(bands)
+        ])).alias("bb")).select(id_col, "bb.band", "bb.bv")
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (a.join(b, ["band", "bv"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    sim = cosine_expr(F.col("va"), F.col("vb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b", sim.alias("cosine"))
+            .where(F.col("cosine") >= F.lit(threshold)))
+
+
+def embedding_near_dup_exact(df: DataFrame, threshold: float = 0.3,
+                             vec_col: str = "embedding", id_col: str = "vec_id",
+                             max_id: int | None = None) -> DataFrame:
+    """Exact all-pairs form — the VERIFIER for the LSH path (recall tests,
+    small corpora).  O(n²): cap with max_id on anything non-trivial."""
     emb = F.col(vec_col).cast("array<double>")
     base = df.select(F.col(id_col), emb.alias("v"))
     if max_id is not None:

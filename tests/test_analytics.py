@@ -180,3 +180,36 @@ def test_verified_near_dup_losers(spark, docs):
 def test_verified_near_dup_respects_threshold(spark, docs):
     # at an impossible threshold nothing may be dropped
     assert dedup.verified_near_dup_losers(docs, threshold=1.01).count() == 0
+
+
+@pytest.fixture(scope="module")
+def neardup_emb(spark):
+    """60 background vectors + 10 planted clone pairs (cosine ~0.998)."""
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((60, 32))
+    clones_a = rng.standard_normal((10, 32))
+    clones_b = clones_a + 0.05 * rng.standard_normal((10, 32))
+    vecs = np.vstack([base, clones_a, clones_b]).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_dup_lsh_vs_exact(spark, neardup_emb):
+    exact = {(r["id_a"], r["id_b"])
+             for r in similarity.embedding_near_dup_exact(
+                 neardup_emb, threshold=0.9).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in similarity.embedding_near_dup_pairs(
+               neardup_emb, threshold=0.9, dim=32).collect()}
+    planted = {(60 + i, 70 + i) for i in range(10)}
+    assert planted <= exact                 # ground truth sanity
+    assert lsh <= exact                     # precision 1: exact rerank
+    assert planted <= lsh                   # every true clone pair found
+    assert len(lsh) / len(exact) >= 0.9     # high recall at near-dup sims
+
+
+def test_embedding_near_dup_no_crossjoin_plan(spark, neardup_emb):
+    plan = similarity.embedding_near_dup_pairs(
+        neardup_emb, threshold=0.9, dim=32)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
