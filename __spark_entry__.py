@@ -489,6 +489,107 @@ def _embedding_lsh_near_dup_oracle(n_planes: int = 16, n_bands: int = 4,
         WHERE list_cosine_similarity(va.v, vb.v) >= {threshold}"""
 
 
+def _simhash_cte() -> str:
+    """Shared DuckDB replication of dedup.simhash64: python-split tokens,
+    md5-hex first 16 chars -> uint64 (big-endian, same bytes as the
+    kernel's digest[:8]), per-bit sign sums, two's-complement fold (bit 63
+    added as the negative literal).  Docs with no tokens get simhash 0."""
+    sums = ",\n                   ".join(
+        f"SUM(CASE WHEN (hv >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS b{k}"
+        for k in range(64))
+    sig_terms = " + ".join(
+        f"CASE WHEN b{k} > 0 THEN {(1 << k) if k < 63 else -(1 << 63)} ELSE 0 END"
+        for k in range(64))
+    return f"""
+            toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                          x -> x <> '')) AS tok
+                FROM documents),
+            h AS (SELECT doc_id,
+                         CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS hv
+                  FROM toks),
+            acc AS (
+                SELECT doc_id,
+                   {sums}
+                FROM h GROUP BY doc_id),
+            sig AS (SELECT doc_id, CAST({sig_terms} AS BIGINT) AS simhash
+                    FROM acc),
+            fullsig AS (
+                SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+                FROM documents d LEFT JOIN sig s USING (doc_id))"""
+
+
+def _ann_lsh_topk_oracle(n_planes: int = 12, max_hamming: int = 3,
+                         dim: int = 64, k: int = 10) -> str:
+    """DuckDB replication of lsh_cosine_topk: data and query sketches via
+    explicit left-assoc dot chains (identical IEEE order to both
+    sketch_expr and the Python query-sketch loop), hamming prefilter,
+    exact cosine rerank."""
+    planes = similarity.hyperplanes(dim, n_planes, seed=42)
+
+    def chain(vexpr: str, row) -> str:
+        return " + ".join(f"{vexpr}[{i + 1}]*{float(x)!r}"
+                          for i, x in enumerate(row))
+
+    sk_d = "\n               + ".join(
+        f"CASE WHEN ({chain('v', row)}) > 0 THEN {1 << j} ELSE 0 END"
+        for j, row in enumerate(planes))
+    sk_q = "\n               + ".join(
+        f"CASE WHEN ({chain('qv', row)}) > 0 THEN {1 << j} ELSE 0 END"
+        for j, row in enumerate(planes))
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+        sk AS (SELECT vec_id, v, CAST({sk_d} AS BIGINT) AS sketch FROM v),
+        qsk AS (SELECT qv, CAST({sk_q} AS BIGINT) AS qsketch FROM q)
+        SELECT vec_id FROM sk, qsk
+        WHERE bit_count(xor(sketch, qsketch)) <= {max_hamming}
+        ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+        LIMIT {k}"""
+
+
+def _lang_id_script_oracle() -> str:
+    """DuckDB replication of analytics.text.lang_id_script: Unicode-range
+    codepoint counts via RE2 \\x{...} classes; scores and thresholds in
+    DOUBLE (decimal literals CAST — DuckDB would otherwise use DECIMAL
+    math); argmax tie-break = lexicographically largest key, spelled as a
+    CASE cascade in descending key order (zh > ru > ko > ja > en)."""
+    d = "CAST({} AS DOUBLE)"
+    return f"""
+        WITH c AS (
+            SELECT doc_id, text, length(text) AS n,
+                len(regexp_extract_all(text, '[\\x{{3040}}-\\x{{30FF}}\\x{{FF66}}-\\x{{FF9D}}]')) AS kana,
+                len(regexp_extract_all(text, '[\\x{{4E00}}-\\x{{9FFF}}]')) AS cjk,
+                len(regexp_extract_all(text, '[\\x{{AC00}}-\\x{{D7AF}}\\x{{1100}}-\\x{{11FF}}]')) AS hangul,
+                len(regexp_extract_all(text, '[\\x{{0400}}-\\x{{04FF}}]')) AS cyr,
+                len(regexp_extract_all(text, '[A-Za-z]')) AS latin
+            FROM documents),
+        s AS (
+            SELECT doc_id, text, n,
+                kana + {d.format('0.5')} * cjk AS ja,
+                CASE WHEN kana = 0 THEN cjk * {d.format('0.9')}
+                     ELSE {d.format('0.0')} END AS zh,
+                CAST(hangul AS DOUBLE) AS ko,
+                CAST(cyr AS DOUBLE) AS ru,
+                latin * {d.format('0.5')} AS en
+            FROM c),
+        b AS (
+            SELECT doc_id, text, n, greatest(ja, zh, ko, ru, en) AS best_val,
+                CASE WHEN zh = greatest(ja, zh, ko, ru, en) THEN 'zh'
+                     WHEN ru = greatest(ja, zh, ko, ru, en) THEN 'ru'
+                     WHEN ko = greatest(ja, zh, ko, ru, en) THEN 'ko'
+                     WHEN ja = greatest(ja, zh, ko, ru, en) THEN 'ja'
+                     ELSE 'en' END AS best
+            FROM s)
+        SELECT doc_id,
+               CASE WHEN text IS NULL OR text = '' THEN 'unknown'
+                    WHEN best_val >= greatest({d.format('1.0')},
+                                              {d.format('0.05')} * n) THEN best
+                    ELSE 'unknown' END AS script_lang
+        FROM b"""
+
+
 def oracle_sql() -> dict[str, str]:
     strip = "regexp_replace({x}, '^\\s+|\\s+$', '', 'g')"
     return {
@@ -574,6 +675,27 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": """
             SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
             FROM documents""",
+        "lang_id_script": _lang_id_script_oracle(),
+        "simhash_groups": f"""
+            WITH {_simhash_cte()}
+            SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   MIN(doc_id) AS min_id
+            FROM fullsig GROUP BY simhash HAVING COUNT(*) > 1""",
+        "simhash_near_pairs": f"""
+            WITH {_simhash_cte()},
+            bands AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS band),
+            bsig AS (
+                SELECT doc_id, simhash, band,
+                       (simhash >> (band * 16)) & 65535 AS bv
+                FROM fullsig, bands),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.simhash AS sh_a, b.simhash AS sh_b
+                FROM bsig a JOIN bsig b ON a.band = b.band AND a.bv = b.bv
+                WHERE a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+            FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""",
         "minhash_lsh_buckets": """
             WITH sh AS (
                 SELECT doc_id,
@@ -613,6 +735,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
                        / len(list_distinct(list_concat(a.tk, b.tk))) AS jaccard
             FROM toks a, toks b WHERE a.doc_id < b.doc_id""",
+        "ann_lsh_topk": _ann_lsh_topk_oracle(),
         "near_dup_components": """
             WITH RECURSIVE
             sh AS (

@@ -157,8 +157,17 @@ def lsh_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 20,
     ``max_hamming`` bits of the query's sketch; exact rerank inside."""
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes, seed)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    q_sketch = int(sum((1 << i) for i, h in enumerate(planes) if float(h @ qv) > 0))
+    # Sequential left-associated dot product — the SAME summation order as
+    # sketch_expr's aggregate (and any SQL oracle's explicit chain), so the
+    # query sketch is bit-identical across engines.  numpy's @ uses
+    # pairwise summation, which can flip a sign-boundary bit.
+    q_sketch = 0
+    for i, h in enumerate(planes):
+        s = 0.0
+        for x, p in zip(query_vec, h):
+            s += float(x) * float(p)
+        if s > 0:
+            q_sketch |= 1 << i
 
     sk = sketch_expr(vec_col, planes)
     cand = df.select(F.col(id_col), F.col(vec_col), sk.alias("sketch"))
