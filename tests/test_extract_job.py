@@ -1,0 +1,67 @@
+"""extract_job --mode all must execute the OCR kernel exactly once per
+page row (staged-table derivation), and its four outputs must match the
+direct pipeline results."""
+
+import pytest
+
+from image_pdf_ocr_suite_spark import fixtures
+from image_pdf_ocr_suite_spark.config import ExtractConfig
+from image_pdf_ocr_suite_spark.kernels import ocr as ocr_mod
+from image_pdf_ocr_suite_spark.pipeline import extract_pages
+from image_pdf_ocr_suite_spark.tableio.snapshot import SnapshotTable
+from jobs.extract_job import run as run_job
+
+DOC_ROWS = [(i, " ".join(f"e{i}_{j}" for j in range(12)), "ja") for i in range(20)]
+
+
+@pytest.fixture()
+def counted_kernel(spark, monkeypatch):
+    """Wrap make_extract_kernel so an accumulator counts every page row
+    the OCR kernel actually receives (worker-side, Arrow batches)."""
+    acc = spark.sparkContext.accumulator(0)
+    real = ocr_mod.make_extract_kernel
+
+    def counting(cfg):
+        kern = real(cfg)
+
+        def wrapped(batches):
+            def gen():
+                for pdf in batches:
+                    acc.add(len(pdf))
+                    yield pdf
+            return kern(gen())
+        return wrapped
+
+    monkeypatch.setattr(ocr_mod, "make_extract_kernel", counting)
+    return acc
+
+
+def test_mode_all_runs_ocr_once(spark, tmp_path, counted_kernel):
+    input_dir = str(tmp_path / "in")
+    out_root = str(tmp_path / "out")
+    pdf = fixtures.build_pages_pdf(DOC_ROWS)
+    spark.createDataFrame(pdf).write.parquet(input_dir)
+
+    run_id = run_job(spark, input_dir, out_root, mode="all", run_id="job1")
+    assert run_id == "job1"
+
+    staged = SnapshotTable(f"{out_root}/_staged_pages/job1").read(spark)
+    n_staged = staged.count()
+    assert n_staged > 0
+    # the kernel saw each page row exactly once — not once per output
+    assert counted_kernel.value == n_staged
+
+    # outputs complete and identical to the direct single-pass pipeline
+    text = SnapshotTable(f"{out_root}/text").read(spark)
+    spans = SnapshotTable(f"{out_root}/spans").read(spark)
+    quar = SnapshotTable(f"{out_root}/quarantine").read(spark)
+    metrics = SnapshotTable(f"{out_root}/metrics").read(spark)
+
+    res = extract_pages(spark.read.parquet(input_dir), ExtractConfig(),
+                        run_id="ref")
+    expected_text = {(r["url"], r["extracted_text"]) for r in res.text.collect()}
+    assert {(r["url"], r["extracted_text"]) for r in text.collect()} == expected_text
+    assert spans.count() == res.spans.count()
+    assert {r["url"] for r in quar.collect()} == \
+        {r["url"] for r in res.quarantine.collect()}
+    assert metrics.count() > 0
