@@ -1,11 +1,12 @@
 """Multimodal column handling — opaque binary payloads + typed metadata.
 
 Images/audio/video are carried as ``binary`` columns with typed metadata
-extracted by Arrow-batched ``mapInPandas`` kernels.  The container has no
-image/audio codec libraries, so the DECODE step is stubbed behind a
-clearly-marked ``NotImplementedError`` (production would bind Pillow/
-ffmpeg there); the Spark-side plumbing — schema, batch shape, partitioning,
-UDF signature — is real and tested against the deterministic SPDF payloads.
+extracted by Arrow-batched ``mapInPandas`` kernels.  Image decode is REAL
+for codec-free formats (uncompressed BMP, binary PPM/PGM — pure numpy);
+compressed formats (JPEG/PNG) and video frame sampling stay behind a
+clearly-marked ``NotImplementedError`` seam where production binds
+Pillow/libvips/ffmpeg.  The Spark-side plumbing — schema, batch shape,
+partitioning, UDF signature — is real and tested end-to-end.
 """
 
 from __future__ import annotations
@@ -51,12 +52,126 @@ def payload_metadata(df):
     return df.select("url", "html").mapInPandas(_meta_kernel, schema=META_SCHEMA)
 
 
-def decode_image(payload: bytes) -> "object":
-    """Production image decode (Pillow/libvips binding). STUB: codec
-    libraries are not available in this container."""
+def _decode_bmp(payload: bytes):
+    """Uncompressed BI_RGB BMP (24/32-bit) -> HxWx3 uint8 RGB numpy array.
+    Dependency-free: header fields per the Windows BITMAPINFOHEADER layout;
+    rows are 4-byte aligned, stored bottom-up (positive height), BGR."""
+    import struct
+
+    import numpy as np
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BI_RGB BMPs decode without codec "
+            f"libraries (got bpp={bpp}, compression={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    nch = bpp // 8
+    stride = ((nch * width + 3) // 4) * 4
+    rows = np.frombuffer(payload, dtype=np.uint8,
+                         count=stride * height, offset=data_off)
+    rows = rows.reshape(height, stride)[:, : nch * width] \
+               .reshape(height, width, nch)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[..., 2::-1].copy()  # BGR(A) -> RGB
+
+
+def _decode_ppm(payload: bytes):
+    """Binary PPM (P6, RGB) / PGM (P5, grayscale), maxval <= 255."""
+    import numpy as np
+    magic = payload[:2]
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":                   # comment to EOL
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1                                             # single ws after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    nch = 3 if magic == b"P6" else 1
+    arr = np.frombuffer(payload, dtype=np.uint8,
+                        count=width * height * nch, offset=i)
+    return arr.reshape(height, width, 3).copy() if nch == 3 \
+        else arr.reshape(height, width).copy()
+
+
+def decode_image(payload: bytes):
+    """Image decode without codec libraries: dependency-free BMP
+    (24/32-bit BI_RGB) and binary PPM/PGM decoders; anything else (JPEG,
+    PNG, ...) needs a Pillow/libvips binding — that seam raises
+    NotImplementedError so production can plug the real codec in."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_ppm(payload)
     raise NotImplementedError(
-        "image codec libraries are not available in this environment; "
-        "bind Pillow/libvips here in production")
+        "JPEG/PNG/... decoding needs codec libraries not available in this "
+        "environment; bind Pillow/libvips here in production "
+        "(BMP and PPM/PGM decode natively)")
+
+
+IMAGE_FEATURES_SCHEMA = ("id string, format string, width int, height int, "
+                         "channels int, mean_lum double, err string")
+
+
+def image_features(df, image_col: str = "image", id_col: str = "id"):
+    """(id, image binary) -> decoded image features via an Arrow-batched
+    mapInPandas kernel: format, dimensions, channel count, mean luminance
+    (ITU-R 601 on RGB).  Undecodable payloads report err instead of
+    failing the task — the quarantine contract."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, raw in zip(pdf["id"], pdf["image"]):
+                if raw is None:
+                    rows.append((rid, "none", 0, 0, 0, 0.0, "null_payload"))
+                    continue
+                raw = bytes(raw)
+                fmt = ("bmp" if raw[:2] == b"BM"
+                       else "ppm" if raw[:2] == b"P6"
+                       else "pgm" if raw[:2] == b"P5" else "unknown")
+                try:
+                    arr = decode_image(raw)
+                except (NotImplementedError, ValueError) as e:
+                    rows.append((rid, fmt, 0, 0, 0, 0.0, type(e).__name__))
+                    continue
+                if arr.ndim == 3:
+                    a = arr.astype(np.float64)
+                    lum = (a[..., 0] * 0.299 + a[..., 1] * 0.587
+                           + a[..., 2] * 0.114).mean()
+                    ch = arr.shape[2]
+                else:
+                    lum = float(arr.astype(np.float64).mean())
+                    ch = 1
+                rows.append((rid, fmt, arr.shape[1], arr.shape[0], ch,
+                             float(lum), None))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "id", "format", "width", "height", "channels",
+                    "mean_lum", "err"])
+
+    return df.select(df[id_col].cast("string").alias("id"),
+                     df[image_col].alias("image")) \
+             .mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
 
 
 def sample_frames(payload: bytes, every_n: int = 30) -> list[bytes]:

@@ -136,11 +136,24 @@ def page_words_frame(page: Page, preprocessed: bool, scale: float) -> pd.DataFra
     return pd.DataFrame(words_rows(page, preprocessed, scale), columns=TSV_COLUMNS)
 
 
+def parse_langs(lang: str) -> tuple[str, ...]:
+    """Tesseract multi-language syntax: '+'-separated three-letter codes
+    ("jpn", "jpn+eng").  A production binding passes the string verbatim to
+    the engine; the deterministic backend validates it and treats every
+    script as in-model (ground truth carries the text), so adding languages
+    never removes words — the same superset behavior real tesseract has."""
+    parts = tuple(lang.split("+"))
+    if not all(len(p) == 3 and p.isalpha() and p.islower() for p in parts):
+        raise ValueError(f"invalid tesseract lang spec: {lang!r}")
+    return parts
+
+
 def ocr_boxes(img: FakeImage, lang: str = "jpn") -> pd.DataFrame:
     """≈ pytesseract.image_to_data(img, lang=..., output_type=DATAFRAME)
     (ocr.py:82-87).  The deterministic backend reads ground truth, so
     ``lang`` selects the model in production bindings only ("jpn" default
     per the reference; "jpn+eng" per the north_star)."""
+    parse_langs(lang)
     return page_words_frame(img.page, img.preprocessed, img.scale)
 
 
@@ -188,6 +201,7 @@ def ocr_text(img: FakeImage, lang: str = "jpn") -> str:
     WINNER image (ocr.py:766), a second engine call separate from the box
     frame.  Words below LEGIBILITY_FLOOR confidence on this image are
     dropped; join words " ", lines "\\n", blocks "\\n\\n"; trailing "\\n"."""
+    parse_langs(lang)
     words = sorted(img.page.words, key=lambda w: (w.block, w.par, w.line, w.word))
     blocks: dict[int, dict[tuple[int, int], list[str]]] = {}
     for w in words:

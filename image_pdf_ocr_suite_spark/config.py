@@ -14,7 +14,9 @@ single-process reference model share one source of truth:
 - ``font_size_ratio`` = 0.8 — invisible-text font size = box height × 0.8
   (ocr.py:506-507).
 - ``lang`` = "jpn" — OCR language (ocr.py:86, 766); configurable because the
-  production north-star wants jpn+eng.
+  production north-star wants jpn+eng.  Tesseract multi-language syntax
+  ("jpn+eng": '+'-separated three-letter codes) is validated here and passed
+  through to the backend verbatim.
 """
 
 from __future__ import annotations
@@ -52,6 +54,13 @@ class ExtractConfig:
     # payload shuffle, and Common-Crawl-style inputs are url-unique by
     # contract.
     dedup_input: bool = False
+
+    def __post_init__(self) -> None:
+        parts = self.lang.split("+")
+        if not all(len(p) == 3 and p.isalpha() and p.islower() for p in parts):
+            raise ValueError(
+                f"lang must be '+'-separated three-letter codes "
+                f"(e.g. 'jpn', 'jpn+eng'); got {self.lang!r}")
 
 
 # Page-header template used for document assembly (ocr.py:767):

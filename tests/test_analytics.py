@@ -213,3 +213,58 @@ def test_embedding_near_dup_no_crossjoin_plan(spark, neardup_emb):
         neardup_emb, threshold=0.9, dim=32)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def _bmp_bytes(arr):
+    """Minimal 24-bit BI_RGB BMP encoder (bottom-up, BGR, 4-byte stride)."""
+    import struct
+    h, w = arr.shape[:2]
+    stride = ((3 * w + 3) // 4) * 4
+    body = bytearray()
+    for row in arr[::-1]:
+        line = bytearray()
+        for px in row:
+            line += bytes([px[2], px[1], px[0]])
+        line += b"\x00" * (stride - len(line))
+        body += line
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                          2835, 2835, 0, 0)
+    return bytes(header + body)
+
+
+def test_decode_image_bmp_roundtrip():
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+    got = multimodal.decode_image(_bmp_bytes(arr))
+    assert got.shape == (5, 7, 3)
+    assert (got == arr).all()
+
+
+def test_decode_image_ppm_roundtrip():
+    rng = np.random.RandomState(4)
+    arr = rng.randint(0, 256, (4, 6, 3), dtype=np.uint8)
+    payload = b"P6\n# comment\n6 4\n255\n" + arr.tobytes()
+    got = multimodal.decode_image(payload)
+    assert (got == arr).all()
+    gray = rng.randint(0, 256, (3, 5), dtype=np.uint8)
+    got = multimodal.decode_image(b"P5 5 3 255 " + gray.tobytes())
+    assert (got == gray).all()
+
+
+def test_image_features_kernel(spark):
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+    rows = [("a", bytearray(_bmp_bytes(arr))),
+            ("b", bytearray(b"P6 2 2 255 " + bytes(12))),
+            ("c", bytearray(b"\x89PNG garbage")),
+            ("d", None)]
+    df = spark.createDataFrame(rows, "id string, image binary")
+    got = {r["id"]: r for r in multimodal.image_features(df).collect()}
+    assert (got["a"]["format"], got["a"]["width"], got["a"]["height"],
+            got["a"]["channels"], got["a"]["err"]) == ("bmp", 8, 8, 3, None)
+    lum = (arr[..., 0] * 0.299 + arr[..., 1] * 0.587 + arr[..., 2] * 0.114).mean()
+    assert abs(got["a"]["mean_lum"] - lum) < 1e-9
+    assert (got["b"]["format"], got["b"]["mean_lum"]) == ("ppm", 0.0)
+    assert got["c"]["err"] == "NotImplementedError"   # codec seam, no task failure
+    assert got["d"]["err"] == "null_payload"

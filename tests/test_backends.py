@@ -1,5 +1,6 @@
 import numpy as np
 import pandas as pd
+import pytest
 
 from image_pdf_ocr_suite_spark import backends
 from image_pdf_ocr_suite_spark.payload import Page, Word
@@ -68,3 +69,45 @@ def test_ocr_text_reading_order_and_legibility():
 def test_ocr_text_empty_page():
     img = backends.rasterize(Page(50, 50, []))
     assert backends.ocr_text(img) == "\n"
+
+
+def test_parse_langs():
+    from image_pdf_ocr_suite_spark.backends import parse_langs
+    assert parse_langs("jpn") == ("jpn",)
+    assert parse_langs("jpn+eng") == ("jpn", "eng")
+    for bad in ("", "jpn+", "JPN", "j p n", "japanese", "jpn++eng"):
+        with pytest.raises(ValueError):
+            parse_langs(bad)
+
+
+def test_config_rejects_bad_lang():
+    from image_pdf_ocr_suite_spark.config import ExtractConfig
+    with pytest.raises(ValueError):
+        ExtractConfig(lang="jpn+")
+    assert ExtractConfig(lang="jpn+eng").lang == "jpn+eng"
+
+
+def test_jpn_eng_extraction_golden(spark):
+    """north_star: lang='jpn+eng' flows end-to-end; on the deterministic
+    backend (ground truth carries the text) adding a language never removes
+    words, so output is byte-identical to the jpn run and to the reference
+    model under the same config."""
+    from image_pdf_ocr_suite_spark import fixtures, refmodel
+    from image_pdf_ocr_suite_spark.config import ExtractConfig
+    from image_pdf_ocr_suite_spark.pipeline import extract_pages
+
+    rows = [(i, f"こんにちは world w{i} 混在 text t{i}", "ja") for i in range(6)]
+    pdf = fixtures.build_pages_pdf(rows)
+    pages = spark.createDataFrame(pdf)
+
+    got = {}
+    for lang in ("jpn", "jpn+eng"):
+        res = extract_pages(pages, ExtractConfig(lang=lang), run_id=lang)
+        got[lang] = {r["url"]: r["extracted_text"] for r in res.text.collect()}
+    assert got["jpn"] == got["jpn+eng"]
+
+    cfg = ExtractConfig(lang="jpn+eng")
+    expected = {url: refmodel.extract_text(raw, cfg)
+                for url, raw in zip(pdf["url"], pdf["html"])
+                if url in got["jpn+eng"]}
+    assert got["jpn+eng"] == expected
