@@ -227,6 +227,18 @@ def q_fingerprint(spark, sf_dir):
     return textops.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """LM-style token estimate: BPE-ish pre-tokenizer match count
+    (letter runs | digit runs | single symbols), regexp_count JVM-side."""
+    return textops.token_count_bpe(_t(spark, sf_dir, "documents"))
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (rolling k-gram hash, window-min selection) document
+    fingerprints — the MOSS scheme; (doc_id, fp) distinct."""
+    return textops.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def q_minhash_lsh_buckets(spark, sf_dir):
     return dedup.lsh_buckets(_t(spark, sf_dir, "documents"))
 
@@ -433,6 +445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "lang_id_script": q_lang_id_script,
         "fingerprint": q_fingerprint,
+        "token_count_bpe": q_token_count_bpe,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "minhash_lsh_buckets": q_minhash_lsh_buckets,
         "minhash_candidate_pairs": q_minhash_candidate_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -676,6 +690,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
             FROM documents""",
         "lang_id_script": _lang_id_script_oracle(),
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents""",
+        "winnow_fingerprints": r"""
+            WITH nrm AS (
+                SELECT doc_id,
+                       lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN length(t) - 7 >= 1
+                            THEN list_transform(range(1, length(t) - 7 + 1),
+                                 i -> md5(substr(t, CAST(i AS INTEGER), 8)))
+                            ELSE [] END AS h
+                FROM nrm),
+            w AS (
+                SELECT doc_id,
+                       CASE WHEN len(h) >= 4
+                            THEN list_transform(range(1, len(h) - 4 + 2),
+                                 j -> list_min(h[j:j+3]))
+                            ELSE h END AS wins
+                FROM g)
+            SELECT DISTINCT doc_id, fp
+            FROM (SELECT doc_id, unnest(wins) AS fp FROM w)""",
         "simhash_groups": f"""
             WITH {_simhash_cte()}
             SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -63,8 +63,11 @@ def main() -> None:
     build_pages_df(spark, SF_DIR).write.mode("overwrite").parquet(pages_path)
     pages_table = spark.read.parquet(pages_path)
 
-    # warmup: spin up Python workers / JIT before timing (small slice)
-    warm = extract_pages(pages_table.limit(64), cfg, run_id="warmup")
+    # warmup (untimed): spin up EVERY Python worker slot + Arrow/JIT before
+    # timing — the kernel stage runs 4x-CPUS tasks, so a tiny warm slice
+    # leaves most workers cold and the first timed query pays their startup
+    # (measured: ~1.5 s of the extraction time at 32 cpus)
+    warm = extract_pages(pages_table.limit(CPUS * 16), cfg, run_id="warmup")
     _force(warm.text)
     warm.unpersist()
 

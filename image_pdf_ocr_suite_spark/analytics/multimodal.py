@@ -174,6 +174,82 @@ def image_features(df, image_col: str = "image", id_col: str = "id"):
              .mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def decode_wav(payload: bytes):
+    """RIFF/WAVE PCM parse without codec libraries: walks the chunk list,
+    reads the fmt header (PCM16/PCM8 only) and returns
+    (sample_rate, n_channels, samples) with samples as float64 in [-1, 1),
+    shape (n_frames, n_channels)."""
+    import struct
+
+    import numpy as np
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)          # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only PCM8/PCM16 WAV decodes without codec libraries "
+            f"(fmt={audio_fmt}, bits={bits}); bind ffmpeg for the rest")
+    if bits == 16:
+        raw = np.frombuffer(data, dtype="<i2")
+        samples = raw.astype(np.float64) / 32768.0
+    else:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        samples = (raw.astype(np.float64) - 128.0) / 128.0
+    n_frames = len(samples) // n_ch
+    return rate, n_ch, samples[: n_frames * n_ch].reshape(n_frames, n_ch)
+
+
+AUDIO_FEATURES_SCHEMA = ("id string, sample_rate int, channels int, "
+                         "n_frames bigint, duration_sec double, "
+                         "rms double, peak double, err string")
+
+
+def audio_features(df, audio_col: str = "audio", id_col: str = "id"):
+    """(id, audio binary) -> typed audio features (rate, channels, frames,
+    duration, RMS, peak) via an Arrow-batched mapInPandas kernel; rows
+    that fail to parse report err — never task failures."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, raw in zip(pdf["id"], pdf["audio"]):
+                if raw is None:
+                    rows.append((rid, 0, 0, 0, 0.0, 0.0, 0.0, "null_payload"))
+                    continue
+                try:
+                    rate, n_ch, samples = decode_wav(bytes(raw))
+                except (NotImplementedError, ValueError) as e:
+                    rows.append((rid, 0, 0, 0, 0.0, 0.0, 0.0, type(e).__name__))
+                    continue
+                n = samples.shape[0]
+                mono = samples.mean(axis=1) if n else np.zeros(0)
+                rms = float(np.sqrt((mono ** 2).mean())) if n else 0.0
+                peak = float(np.abs(samples).max()) if n else 0.0
+                rows.append((rid, rate, n_ch, n,
+                             n / rate if rate else 0.0, rms, peak, None))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "id", "sample_rate", "channels", "n_frames",
+                    "duration_sec", "rms", "peak", "err"])
+
+    return df.select(df[id_col].cast("string").alias("id"),
+                     df[audio_col].alias("audio")) \
+             .mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(payload: bytes, every_n: int = 30) -> list[bytes]:
     """Production video frame sampling (ffmpeg binding). STUB."""
     raise NotImplementedError(

@@ -100,3 +100,55 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Normalized content fingerprint: md5(lower(whitespace-collapsed))."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+# BPE-ish pre-tokenizer classes (GPT-2-style simplification, portable
+# RE2/Java subset): letter runs | digit runs | single non-space symbol.
+BPE_TOKEN_PATTERN = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """LM-style token estimate: count of BPE-ish pre-tokenizer matches
+    (letter runs, digit runs, single symbols).  Pure Catalyst
+    (regexp_count, whole-stage codegen); the same RE2-compatible pattern
+    runs verbatim in the DuckDB oracle."""
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN))
+        .cast("bigint").alias("n_bpe_tokens"))
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    rolling-hash scheme MOSS uses): hash every k-gram of the
+    whitespace-normalized lowercased text, slide a window of ``w`` hashes,
+    keep each window's minimum — near-identical documents share most
+    selected fingerprints even after local edits.
+
+    All Catalyst: the k-gram hash is md5 over ``substring`` (fixed-width
+    hex compares like the 128-bit integer, the same portability trick as
+    the MinHash), window minima via ``transform`` over a position sequence
+    + ``array_min(slice(...))``, dedup via explode+distinct.  Output
+    (id, fp) — the distinct selected fingerprints per document."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    base = df.select(F.col(id_col), norm.alias("__t"))
+    n_grams = F.length(F.col("__t")) - (k - 1)
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(F.sequence(F.lit(1), n_grams),
+                    lambda i: F.md5(F.col("__t").substr(i, F.lit(k))))
+    ).otherwise(F.array().cast("array<string>"))
+    # materialize the hash array as an attribute so the window-min lambda
+    # reads it instead of re-hashing per window position
+    hashed = base.select(F.col(id_col), grams.alias("__h"))
+    n_windows = F.size(F.col("__h")) - (w - 1)
+    wins = F.when(
+        n_windows >= 1,
+        F.transform(F.sequence(F.lit(1), n_windows),
+                    lambda j: F.array_min(F.slice(F.col("__h"), j, w)))
+    ).otherwise(F.col("__h"))  # fewer than w k-grams: keep them all
+    return (hashed.select(F.col(id_col), F.explode(wins).alias("fp"))
+            .distinct())

@@ -268,3 +268,71 @@ def test_image_features_kernel(spark):
     assert (got["b"]["format"], got["b"]["mean_lum"]) == ("ppm", 0.0)
     assert got["c"]["err"] == "NotImplementedError"   # codec seam, no task failure
     assert got["d"]["err"] == "null_payload"
+
+
+def test_token_count_bpe(spark):
+    from image_pdf_ocr_suite_spark.analytics import text as textops
+    rows = [(0, "hello world"), (1, "don't stop; x=42"), (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in textops.token_count_bpe(df).collect()}
+    # don ' t stop ; x = 42 -> 8
+    assert got == {0: 2, 1: 8, 2: 0, 3: None}
+
+
+def _py_winnow(text, k=8, w=4):
+    import hashlib, re
+    t = re.sub(r"\s+", " ", text).lower()
+    h = [hashlib.md5(t[i:i + k].encode()).hexdigest()
+         for i in range(len(t) - k + 1)]
+    if not h:
+        return set()
+    if len(h) < w:
+        return set(h)
+    return {min(h[j:j + w]) for j in range(len(h) - w + 1)}
+
+
+def test_winnow_fingerprints_matches_reference(spark):
+    from image_pdf_ocr_suite_spark.analytics import text as textops
+    rows = [(0, "The quick brown fox jumps over the lazy dog"),
+            (1, "The quick brown fox jumps over the lazy cat"),
+            (2, "tiny"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in textops.winnow_fingerprints(df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for did, text in rows:
+        assert got.get(did, set()) == _py_winnow(text), did
+    # near-identical docs share most selected fingerprints
+    inter = got[0] & got[1]
+    assert len(inter) / len(got[0] | got[1]) > 0.5
+
+
+def _wav_bytes(rate=8000, n=800, channels=1, amp=0.5):
+    import struct
+    t = np.arange(n)
+    sig = (amp * 32767 * np.sin(2 * np.pi * 440 * t / rate)).astype("<i2")
+    data = np.repeat(sig, channels).tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                 rate * channels * 2, channels * 2, 16)
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
+def test_audio_features_kernel(spark):
+    rows = [("a", bytearray(_wav_bytes())),
+            ("b", bytearray(_wav_bytes(rate=16000, n=1600, channels=2))),
+            ("c", bytearray(b"OggS not a wav")),
+            ("d", None)]
+    df = spark.createDataFrame(rows, "id string, audio binary")
+    got = {r["id"]: r for r in multimodal.audio_features(df).collect()}
+    a = got["a"]
+    assert (a["sample_rate"], a["channels"], a["n_frames"]) == (8000, 1, 800)
+    assert abs(a["duration_sec"] - 0.1) < 1e-9
+    assert abs(a["rms"] - 0.5 / np.sqrt(2)) < 0.01      # sine RMS = amp/sqrt(2)
+    assert 0.49 < a["peak"] <= 0.51
+    b = got["b"]
+    assert (b["sample_rate"], b["channels"], b["n_frames"]) == (16000, 2, 1600)
+    assert got["c"]["err"] == "ValueError"
+    assert got["d"]["err"] == "null_payload"
