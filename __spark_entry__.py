@@ -291,6 +291,16 @@ def q_ann_lsh_topk(spark, sf_dir):
                                       n_planes=12, max_hamming=3).select("vec_id")
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN: spherical-k-means coarse lists (trained on a bounded
+    sample — data-dependent, so no static SQL oracle; recall vs the exact
+    scan is pytest-pinned), n_probe-list search, exact rerank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.ivf_cosine_topk(emb, [float(x) for x in qvec], k=10,
+                                      n_lists=16, n_probe=4).select("vec_id")
+
+
 def q_simhash_groups(spark, sf_dir):
     return dedup.simhash_groups(_t(spark, sf_dir, "documents"))
 
@@ -424,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "searchable_pdf": q_searchable_pdf,
         "images_to_pdf": q_images_to_pdf,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "simhash_groups": q_simhash_groups,
         "simhash_near_pairs": q_simhash_near_pairs,

@@ -11,6 +11,10 @@
 - ``embedding_near_dup_pairs``: sketch-banded near-dup pairs (default,
   no all-pairs join anywhere); ``embedding_near_dup_exact`` is the O(n²)
   verifier for recall tests and small corpora.
+- ``ivf_cosine_topk``: IVF index — spherical-k-means coarse quantizer
+  (trained on a bounded sample), one-pass distributed list assignment,
+  n_probe-list search + exact rerank.  At scale the list id is a
+  partition column, so probing is partition pruning.
 """
 
 from __future__ import annotations
@@ -44,32 +48,39 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def sketch_expr(vec_col, planes: np.ndarray):
-    """Sign sketch as a bigint: bit j = 1 iff <v, h_j> > 0.
-
-    SINGLE traversal of the embedding array: one ``aggregate`` whose
-    accumulator is (position, array of n_planes running dot products) —
-    each element updates every partial dot with one ``zip_with`` against
-    the transposed plane matrix, then the finish lambda folds the signs
-    into the bit field.  Per-plane sums add the same values in the same
-    order as independent per-plane aggregates, so the bits are unchanged;
-    the n-traversals-per-row cost is not.  Bit 63 is the sign bit: added
-    as the negative two's-complement literal (1<<63 overflows a long)."""
-    n_planes, dim = planes.shape
-    assert n_planes <= 64, "sketch is a single 64-bit word"
-    # transpose: element i of the vector multiplies row i (n_planes coeffs)
-    pt = F.array(*[
-        F.array(*[F.lit(float(planes[j][i])) for j in range(n_planes)])
+def _matdots_aggregate(vec_col, mat: np.ndarray, finish):
+    """SINGLE traversal of the embedding array computing the dot product
+    with EVERY row of ``mat`` at once: one ``aggregate`` whose accumulator
+    is (position, array of running dots) — each element updates all
+    partials with one ``zip_with`` against the transposed matrix.
+    ``finish(acc)`` folds the dots array into the final expression.
+    Per-row sums add the same values in the same order as independent
+    per-row aggregates, so results are bit-identical to the n-pass form;
+    the n-traversals-per-row cost is not."""
+    n_rows, dim = mat.shape
+    # transpose: element i of the vector multiplies row i (n_rows coeffs)
+    mt = F.array(*[
+        F.array(*[F.lit(float(mat[j][i])) for j in range(n_rows)])
         for i in range(dim)])
     emb = F.col(vec_col).cast("array<double>")
     init = F.struct(F.lit(0).alias("i"),
-                    F.array_repeat(F.lit(0.0), n_planes).alias("s"))
+                    F.array_repeat(F.lit(0.0), n_rows).alias("s"))
 
     def step(acc, x):
         return F.struct(
             (acc["i"] + F.lit(1)).alias("i"),
-            F.zip_with(acc["s"], F.element_at(pt, acc["i"] + F.lit(1)),
-                       lambda s, p: s + x * p).alias("s"))
+            F.zip_with(acc["s"], F.element_at(mt, acc["i"] + F.lit(1)),
+                       lambda s, m: s + x * m).alias("s"))
+
+    return F.aggregate(emb, init, step, finish)
+
+
+def sketch_expr(vec_col, planes: np.ndarray):
+    """Sign sketch as a bigint: bit j = 1 iff <v, h_j> > 0.  One-pass
+    (``_matdots_aggregate``); bit 63 is the sign bit, added as the
+    negative two's-complement literal (1<<63 overflows a long)."""
+    n_planes = planes.shape[0]
+    assert n_planes <= 64, "sketch is a single 64-bit word"
 
     def finish(acc):
         bits = F.lit(0).cast("long")
@@ -79,7 +90,7 @@ def sketch_expr(vec_col, planes: np.ndarray):
                            .otherwise(F.lit(0).cast("long"))
         return bits
 
-    return F.aggregate(emb, init, step, finish)
+    return _matdots_aggregate(vec_col, planes, finish)
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
@@ -147,6 +158,77 @@ def embedding_near_dup_exact(df: DataFrame, threshold: float = 0.3,
                     F.col(f"b.{id_col}").alias("id_b"),
                     sim.alias("cosine"))
             .where(F.col("cosine") >= F.lit(threshold)))
+
+
+def train_ivf_centroids(df: DataFrame, n_lists: int = 16,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        sample: int = 2048, iters: int = 10,
+                        seed: int = 42) -> np.ndarray:
+    """Spherical k-means coarse quantizer for the IVF index, trained on a
+    BOUNDED deterministic sample (lowest ``sample`` ids) collected to the
+    driver — the standard IVF recipe: the quantizer trains on a sample,
+    assignment runs distributed.  Deterministic: fixed seed init, fixed
+    Lloyd iteration count, unit-norm centroids (argmax dot == argmax
+    cosine); empty clusters keep their previous centroid."""
+    rows = (df.orderBy(id_col).limit(sample)
+            .select(F.col(vec_col).cast("array<double>")).collect())
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0] / norms[norms > 0, None]
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def ivf_list_expr(vec_col, centroids: np.ndarray):
+    """Coarse-list assignment: argmax dot against the (unit-norm) centroid
+    matrix — one traversal of the vector; ties resolve to the FIRST
+    maximal list (array_position semantics)."""
+    def finish(acc):
+        return (F.array_position(acc["s"], F.array_max(acc["s"]))
+                .cast("int") - F.lit(1))
+    return _matdots_aggregate(vec_col, centroids, finish)
+
+
+def ivf_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 20,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    n_lists: int = 16, n_probe: int = 4,
+                    centroids: np.ndarray | None = None,
+                    seed: int = 42) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest coarse
+    centroid (argmax dot, one-pass), probe only the query's ``n_probe``
+    closest lists, exact-cosine rerank inside.
+
+    At 100 TB the assignment is written once as a partition column
+    (``df.withColumn("ivf_list", ivf_list_expr(...)).write.partitionBy(
+    "ivf_list")``) so probing becomes PartitionFilters-level pruning —
+    the scan reads n_probe/n_lists of the data.  Here the filter plays
+    that role on the fly."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, n_lists, vec_col, id_col,
+                                        seed=seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(qv)
+    qdots = centroids @ (qv / qn if qn > 0 else qv)
+    order = np.lexsort((np.arange(len(centroids)), -qdots))
+    probe = [int(i) for i in order[:n_probe]]
+
+    lists = ivf_list_expr(vec_col, centroids)
+    cand = df.select(F.col(id_col), F.col(vec_col), lists.alias("ivf_list")) \
+             .where(F.col("ivf_list").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    emb = F.col(vec_col).cast("array<double>")
+    scored = cand.select(F.col(id_col), cosine_expr(emb, q).alias("sim"))
+    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
 
 
 def lsh_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 20,

@@ -46,6 +46,20 @@ def windowed_crawl_counts(pages_stream: DataFrame,
                     "lang", "n_docs", "payload_bytes"))
 
 
+def dedup_pages_stream(pages_stream: DataFrame,
+                       watermark: str = "30 minutes",
+                       key: str = "url") -> DataFrame:
+    """Streaming exact dedup: drop re-crawled keys arriving within the
+    watermark of each other (``dropDuplicatesWithinWatermark``) — the
+    stream-native analog of the batch url dedup.  State holds only the
+    watermark's worth of keys, so it stays bounded at crawl scale; the
+    batch exact-dedup over the accumulated table is the periodic
+    full-history pass."""
+    return (pages_stream
+            .withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark([key]))
+
+
 def read_pages_stream(spark: SparkSession, input_dir: str,
                       max_files_per_trigger: int = 8) -> DataFrame:
     return (spark.readStream.schema(PAGES_SCHEMA)

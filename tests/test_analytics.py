@@ -336,3 +336,29 @@ def test_audio_features_kernel(spark):
     assert (b["sample_rate"], b["channels"], b["n_frames"]) == (16000, 2, 1600)
     assert got["c"]["err"] == "ValueError"
     assert got["d"]["err"] == "null_payload"
+
+
+def test_ivf_topk_recall(spark, emb_df):
+    df, vecs = emb_df
+    q = vecs[0].astype(np.float64)
+    exact = _numpy_topk(vecs.astype(np.float64), q, 10)
+    cents = similarity.train_ivf_centroids(df, n_lists=8, sample=100)
+    approx = [r["vec_id"] for r in similarity.ivf_cosine_topk(
+        df, [float(x) for x in q], k=10, n_lists=8, n_probe=4,
+        centroids=cents).collect()]
+    assert 0 in approx                                    # query vector found
+    assert len(set(exact) & set(approx)) >= 6             # probe-4/8 recall
+    # n_probe = n_lists degenerates to the exact scan
+    full = [r["vec_id"] for r in similarity.ivf_cosine_topk(
+        df, [float(x) for x in q], k=10, n_lists=8, n_probe=8,
+        centroids=cents).collect()]
+    assert full == exact
+
+
+def test_ivf_assignment_partitions_all_rows(spark, emb_df):
+    df, _ = emb_df
+    cents = similarity.train_ivf_centroids(df, n_lists=8, sample=100)
+    lists = df.select(
+        similarity.ivf_list_expr("embedding", cents).alias("l")).collect()
+    vals = {r["l"] for r in lists}
+    assert vals <= set(range(8)) and len(lists) == 100

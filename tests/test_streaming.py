@@ -99,3 +99,34 @@ def test_partial_commit_replay_fills_missing_table(spark, tmp_path):
     quar = SnapshotTable(f"{out_root}/quarantine").read(spark)
     assert {(r["url"], r["kind"]) for r in quar.collect()} == {
         (fixtures.url_for(11), "encrypted")}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per url across
+    micro-batches (bounded state)."""
+    import datetime as dt
+
+    from image_pdf_ocr_suite_spark.streaming.stream import dedup_pages_stream
+
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1)
+    rows1 = [("u1", t0, "a"), ("u2", t0, "b"), ("u1", t0, "a2")]
+    rows2 = [("u2", t0 + dt.timedelta(minutes=1), "b2"),
+             ("u3", t0 + dt.timedelta(minutes=1), "c")]
+    schema = "url string, warc_ts timestamp, html string"
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(input_dir)
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(input_dir)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(input_dir))
+    q = (dedup_pages_stream(stream, watermark="30 minutes")
+         .writeStream.format("memory").queryName("dedup_pages")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    q.awaitTermination(120)
+
+    urls = [r["url"] for r in spark.sql("select url from dedup_pages").collect()]
+    assert sorted(urls) == ["u1", "u2", "u3"]
