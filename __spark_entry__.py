@@ -527,8 +527,12 @@ def _simhash_cte() -> str:
         for k in range(64))
     return f"""
             toks AS (
+                -- Python str.split() splits on UNICODE whitespace (U+3000
+                -- ideographic space, NBSP, VT, ...); RE2's \\s is ASCII-only,
+                -- so spell the full class the kernel uses
                 SELECT doc_id,
-                       unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                       unnest(list_filter(regexp_split_to_array(text,
+                           '[\\t\\n\\x{{000B}}\\f\\r\\x{{001C}}-\\x{{001F}}\\x{{0085}}\\p{{Zs}}\\p{{Zl}}\\p{{Zp}}]+'),
                                           x -> x <> '')) AS tok
                 FROM documents),
             h AS (SELECT doc_id,
@@ -704,7 +708,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count_bpe": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,
-                        '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT)
+                        '\p{L}+|\p{N}+|[^\p{L}\p{N} \t\n\x{000B}\f\r]')) AS BIGINT)
                        AS n_bpe_tokens
             FROM documents""",
         "winnow_fingerprints": r"""

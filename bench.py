@@ -82,10 +82,10 @@ def main() -> None:
 
     def run_extract():
         res = extract_pages(pages_table, cfg, run_id="bench")
-        # coalesce to one file per core: the kernel stage keeps full
-        # parallelism (tasks merge 4:1 post-hash), the write stops paying
-        # for 4x tiny parquet files (measured: staging ~free vs direct)
-        res.pages.coalesce(CPUS).write.mode("overwrite").parquet(staged_path)
+        # coalesce to TWO tasks per slot (not one: a narrow coalesce merges
+        # the kernel stage itself, and 2 tasks/core keeps dynamic load
+        # balancing) — halves the small-file tax with zero shuffle
+        res.pages.coalesce(2 * CPUS).write.mode("overwrite").parquet(staged_path)
         _force(assemble_documents(spark.read.parquet(staged_path)))
         res.unpersist()
     queries["ocr_extract"] = time_query(run_extract)

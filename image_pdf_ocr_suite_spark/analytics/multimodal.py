@@ -189,6 +189,8 @@ def decode_wav(payload: bytes):
         cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:                # truncated header: quarantine,
+                raise ValueError("truncated fmt chunk")  # not struct.error
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -196,6 +198,8 @@ def decode_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, n_ch, rate, _, _, bits = fmt
+    if n_ch <= 0:
+        raise ValueError("invalid channel count 0")
     if audio_fmt != 1 or bits not in (8, 16):
         raise NotImplementedError(
             f"only PCM8/PCM16 WAV decodes without codec libraries "

@@ -110,7 +110,13 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
     near-duplicates, probabilistic for borderline pairs.  Use
     ``embedding_near_dup_exact`` as the small-data verifier."""
     if dim is None:
-        dim = len(df.select(vec_col).head()[0])
+        head = df.where(F.col(vec_col).isNotNull()).select(vec_col).head()
+        if head is None:
+            # no non-null vectors: no pairs (and nothing to size planes by)
+            return df.select(F.col(id_col).alias("id_a"),
+                             F.col(id_col).alias("id_b"),
+                             F.lit(0.0).alias("cosine")).limit(0)
+        dim = len(head[0])
     assert n_planes % n_bands == 0
     planes = hyperplanes(dim, n_planes, seed)
     width = n_planes // n_bands

@@ -104,7 +104,9 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # BPE-ish pre-tokenizer classes (GPT-2-style simplification, portable
 # RE2/Java subset): letter runs | digit runs | single non-space symbol.
-BPE_TOKEN_PATTERN = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
+# Whitespace spelled as an explicit ASCII class: Java's \s includes \x0B
+# but RE2's does not — an explicit class makes both engines identical.
+BPE_TOKEN_PATTERN = r"\p{L}+|\p{N}+|[^\p{L}\p{N} \t\n\x0B\f\r]"
 
 
 def token_count_bpe(df: DataFrame, text_col: str = "text",

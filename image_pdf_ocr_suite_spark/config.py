@@ -56,11 +56,9 @@ class ExtractConfig:
     dedup_input: bool = False
 
     def __post_init__(self) -> None:
-        parts = self.lang.split("+")
-        if not all(len(p) == 3 and p.isalpha() and p.islower() for p in parts):
-            raise ValueError(
-                f"lang must be '+'-separated three-letter codes "
-                f"(e.g. 'jpn', 'jpn+eng'); got {self.lang!r}")
+        # one source of truth for the tesseract lang-spec syntax
+        from image_pdf_ocr_suite_spark.backends import parse_langs
+        parse_langs(self.lang)
 
 
 # Page-header template used for document assembly (ocr.py:767):

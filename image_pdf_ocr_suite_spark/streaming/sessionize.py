@@ -39,25 +39,32 @@ def make_session_fn(gap_minutes: int = GAP_MINUTES_DEFAULT):
             ts_us = []
             for pdf in pdfs:
                 ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
-            ts_us.sort()
+            # Interval gap-merge: treat each batch event as a [t, t] interval
+            # plus the stored session as one [start, last] interval, sort by
+            # start, merge any pair within gap.  Handles out-of-order events
+            # on BOTH sides of the stored session: an event within the gap
+            # merges (bounds only ever widen); an event more than gap EARLIER
+            # than the session start forms its own already-closed session —
+            # the same split the batch sessionizer produces.  Only the
+            # latest merged interval stays in state (its timeout tracks
+            # last + gap).
+            intervals = [(t, t, 1) for t in sorted(ts_us)]
             if state.exists:
-                start, last, n = state.get
-            else:
-                start, last, n = None, None, 0
-            for t in ts_us:
-                if start is None:
-                    start, last, n = t, t, 1
-                elif t - last > gap_us:
-                    closed.append((user_id, start, last, n))
-                    start, last, n = t, t, 1
+                intervals.append(state.get)
+                intervals.sort()
+            cur = None
+            for s, e, cnt in intervals:
+                if cur is None:
+                    cur = [s, e, cnt]
+                elif s - cur[1] > gap_us:
+                    closed.append((user_id, cur[0], cur[1], cur[2]))
+                    cur = [s, e, cnt]
                 else:
-                    # Out-of-order event (within the watermark) earlier than
-                    # the stored boundary must not move the session backwards:
-                    # session_end may never precede an already-counted event.
-                    start, last, n = min(start, t), max(last, t), n + 1
-            if start is not None:
-                state.update((start, last, n))
-                state.setTimeoutTimestamp((last + gap_us) // 1000)
+                    cur[1] = max(cur[1], e)
+                    cur[2] += cnt
+            if cur is not None:
+                state.update((cur[0], cur[1], cur[2]))
+                state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
 
         if closed:
             out = pd.DataFrame(closed, columns=["user_id", "s", "e", "n_events"])

@@ -61,24 +61,38 @@ def run(spark: SparkSession, input_table: str, output_root: str,
         if not df.isEmpty():
             table.append(df, run_id=run_id)
 
+    def _append_once(table: SnapshotTable, df) -> None:
+        # idempotent per-(table, run_id) commit: a crash-and-restart with
+        # the same --run-id must not double-append any output
+        if any(s.run_id == run_id for s in table.snapshots()):
+            return
+        _append(table, df)
+
     res = extract_pages(pages, cfg, run_id=run_id)
     if mode == "all":
         # OCR exactly once: stage the kernel rows, derive every output from
         # the staged table (pure-Catalyst tail, no kernel re-execution).
-        # Run-scoped root so a --resume append never mixes runs.
+        # Run-scoped root so a --resume append never mixes runs; the staged
+        # table is an intermediate — drop _staged_pages/{run_id} after the
+        # run (or via snapshot expiry) in production.
         stage = SnapshotTable(f"{output_root}/_staged_pages/{run_id}")
-        # one file per core: kernel tasks merge 4:1 at write time (full OCR
-        # parallelism, no small-file tax on the staged table)
-        stage.append(res.pages.coalesce(
-            spark.sparkContext.defaultParallelism), run_id=run_id)
+        if not any(s.run_id == run_id for s in stage.snapshots()):
+            # coalesce to TWO tasks per slot: a narrow coalesce merges the
+            # kernel stage itself, so keep 2x-slots granularity — dynamic
+            # load balancing survives (2 tasks/core to steal) while the
+            # staged table avoids a 4x small-file tax, and no shuffle of
+            # the staged rows is paid (repartition would move them all)
+            stage.append(res.pages.coalesce(
+                2 * spark.sparkContext.defaultParallelism), run_id=run_id)
         staged = stage.read(spark)
         spdf_rows = staged.where((F.col("kind") == "spdf") & (F.col("page") > 0))
-        _append(text_table, assemble_documents(staged))
-        _append(SnapshotTable(f"{output_root}/spans"), emit_spans(spdf_rows, cfg))
+        _append_once(text_table, assemble_documents(staged))
+        _append_once(SnapshotTable(f"{output_root}/spans"),
+                     emit_spans(spdf_rows, cfg))
         # quarantine needs only the decode kernel (no OCR)
-        _append(quar_table, res.quarantine)
-        _append(SnapshotTable(f"{output_root}/metrics"),
-                partition_metrics(spdf_rows, res.quarantine, run_id))
+        _append_once(quar_table, res.quarantine)
+        _append_once(SnapshotTable(f"{output_root}/metrics"),
+                     partition_metrics(spdf_rows, res.quarantine, run_id))
         return run_id
 
     if mode == "text":

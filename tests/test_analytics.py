@@ -362,3 +362,23 @@ def test_ivf_assignment_partitions_all_rows(spark, emb_df):
         similarity.ivf_list_expr("embedding", cents).alias("l")).collect()
     vals = {r["l"] for r in lists}
     assert vals <= set(range(8)) and len(lists) == 100
+
+
+def test_audio_features_malformed_headers_quarantine(spark):
+    import struct
+    # truncated fmt chunk (size says 16, body has 8) and zero channels
+    trunc = (b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+             + b"fmt " + struct.pack("<I", 16) + b"\x00" * 8)
+    zeroch = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+              + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 0, 8000, 0, 0, 16)
+              + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    df = spark.createDataFrame(
+        [("t", bytearray(trunc)), ("z", bytearray(zeroch))],
+        "id string, audio binary")
+    got = {r["id"]: r["err"] for r in multimodal.audio_features(df).collect()}
+    assert got == {"t": "ValueError", "z": "ValueError"}  # rows, not failures
+
+
+def test_embedding_near_dup_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.embedding_near_dup_pairs(df).count() == 0

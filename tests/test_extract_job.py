@@ -65,3 +65,24 @@ def test_mode_all_runs_ocr_once(spark, tmp_path, counted_kernel):
     assert {r["url"] for r in quar.collect()} == \
         {r["url"] for r in res.quarantine.collect()}
     assert metrics.count() > 0
+
+
+def test_mode_all_restart_same_run_id_is_idempotent(spark, tmp_path):
+    """Re-running --mode all with the same --run-id (crash-restart path)
+    must not re-stage, re-append, or duplicate any rows."""
+    input_dir = str(tmp_path / "in")
+    out_root = str(tmp_path / "out")
+    spark.createDataFrame(fixtures.build_pages_pdf(DOC_ROWS)) \
+        .write.parquet(input_dir)
+
+    run_job(spark, input_dir, out_root, mode="all", run_id="rr")
+    stage = SnapshotTable(f"{out_root}/_staged_pages/rr")
+    n_staged = stage.read(spark).count()
+    text1 = SnapshotTable(f"{out_root}/text").read(spark).collect()
+
+    run_job(spark, input_dir, out_root, mode="all", run_id="rr")
+    assert stage.read(spark).count() == n_staged          # no second snapshot
+    text2 = SnapshotTable(f"{out_root}/text").read(spark).collect()
+    assert sorted(r["url"] for r in text2) == sorted(r["url"] for r in text1)
+    urls = [r["url"] for r in text2]
+    assert len(urls) == len(set(urls))

@@ -68,3 +68,28 @@ def test_rows_only_query_runs(spark, name):
 
 def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_simhash_and_bpe_parity_on_unicode_whitespace(spark, tmp_path):
+    """The generated corpus is ASCII-spaced; pin the cross-engine token
+    split on REAL unicode whitespace (U+3000 ideographic space, NBSP, VT)
+    so regenerated jpn-heavy testdata cannot silently break the gate."""
+    rows = [(0, "日本　語 text"), (1, "a b c"), (2, "v\x0bt end"),
+            (3, "mixed　  \t ws"), (4, ""), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pq = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.parquet(pq)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
+
+    import __spark_entry__ as em
+    from image_pdf_ocr_suite_spark.analytics import dedup, text as textops
+    for spark_df, oracle in [
+        (dedup.simhash_groups(df), em.oracle_sql()["simhash_groups"]),
+        (dedup.simhash_near_pairs(df, max_hamming=3, n_bands=4),
+         em.oracle_sql()["simhash_near_pairs"]),
+        (textops.token_count_bpe(df), em.oracle_sql()["token_count_bpe"]),
+    ]:
+        got = _normalize(spark_df.toPandas())
+        exp = _normalize(con.sql(oracle).df())
+        assert got == exp

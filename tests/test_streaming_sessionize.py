@@ -74,3 +74,32 @@ def test_out_of_order_merge_keeps_session_bounds(spark, tmp_path):
     # one session spanning [T0, T0+10m] with all 3 events — session_end
     # stays at the latest event even though the last arrival was earlier
     assert u1 == [(T0, T0 + 10 * m, 3)]
+
+
+def test_late_event_beyond_gap_forms_own_session(spark, tmp_path):
+    """A late event more than gap_minutes BEFORE the stored session start
+    must become its own (closed) session — the split batch sessionization
+    produces — not be merged into the newer session."""
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    m = dt.timedelta(minutes=1)
+    _write(spark, input_dir, [(1, T0 + 60 * m)])       # session at 11:00
+    _write(spark, input_dir, [(1, T0 + 5 * m)])        # late event at 10:05
+    _write(spark, input_dir, [(2, T0 + dt.timedelta(hours=6))])
+    _write(spark, input_dir, [(3, T0 + dt.timedelta(hours=7))])
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", "1").parquet(input_dir))
+    q = (sessionize_stream(stream, gap_minutes=30, watermark="2 hours")
+         .writeStream.format("memory").queryName("sessions_lategap")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    q.awaitTermination(180)
+
+    rows = spark.sql("select * from sessions_lategap").collect()
+    u1 = sorted([(r["session_start"], r["session_end"], r["n_events"])
+                 for r in rows if r["user_id"] == 1])
+    assert u1 == [
+        (T0 + 5 * m, T0 + 5 * m, 1),        # late event: own closed session
+        (T0 + 60 * m, T0 + 60 * m, 1),      # original session, by timeout
+    ]
