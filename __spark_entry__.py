@@ -412,6 +412,50 @@ def q_text_position_projection(spark, sf_dir):
         (F.col("user_id") * F.lit(0.8 * 72.0 / 300.0)).alias("fontsize"))
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_anti_join_customers(spark, sf_dir):
+    """Left anti join — customers that never ordered (corpus-filtering
+    shape: NOT EXISTS against a committed table)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti") \
+        .select("c_custkey", "c_mktsegment")
+
+
+def q_orders_rollup(spark, sf_dir):
+    """ROLLUP grouping-sets aggregate: order counts at (status, priority),
+    (status), and grand-total levels; NULL marks the rolled-up level."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority") \
+        .agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_event_counts_wide(spark, sf_dir):
+    """Pivot: one row per user with a count column per event type (fixed
+    type list so the output schema is static)."""
+    e = _t(spark, sf_dir, "events")
+    wide = e.groupBy("user_id").pivot("event_type", EVENT_TYPES) \
+        .agg(F.count(F.lit(1)))
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+          for t in EVENT_TYPES])
+
+
+def q_salted_user_stats(spark, sf_dir):
+    """Hot-key skew defuse: two-phase salted aggregation (groupBy(key,
+    salt) -> groupBy(key)) — oracle is the PLAIN aggregate, proving the
+    salted plan computes identical results (exact-int count + max only;
+    float sums are excluded by the cross-engine rule since salting
+    reorders the additions)."""
+    from image_pdf_ocr_suite_spark.relational.salted import salted_agg
+    e = _t(spark, sf_dir, "events")
+    return salted_agg(e, ["user_id"], n_salts=16,
+                      counts=["event_id"], maxs=["value"])
+
+
 def q_join_agg_segment(spark, sf_dir):
     """Broadcast join orders ⋈ customer; exact aggregates per segment."""
     o = _t(spark, sf_dir, "orders")
@@ -473,6 +517,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_counts": q_windowed_event_counts,
         "tpch_q1_exactstats": q_tpch_q1_exactstats,
         "join_agg_segment": q_join_agg_segment,
+        "anti_join_customers": q_anti_join_customers,
+        "orders_rollup": q_orders_rollup,
+        "event_counts_wide": q_event_counts_wide,
+        "salted_user_stats": q_salted_user_stats,
     }
 
 
@@ -896,4 +944,25 @@ def oracle_sql() -> dict[str, str]:
                    MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment""",
+        "anti_join_customers": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)""",
+        "orders_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "event_counts_wide": """
+            SELECT user_id,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS BIGINT) AS n_click,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS BIGINT) AS n_error,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchase,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'   THEN 1 END), 0) AS BIGINT) AS n_signup,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'view'     THEN 1 END), 0) AS BIGINT) AS n_view
+            FROM events GROUP BY user_id""",
+        "salted_user_stats": """
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_event_id,
+                   MAX(value) AS max_value
+            FROM events GROUP BY user_id""",
     }
