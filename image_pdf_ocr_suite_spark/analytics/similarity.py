@@ -93,6 +93,38 @@ def sketch_expr(vec_col, planes: np.ndarray):
     return _matdots_aggregate(vec_col, planes, finish)
 
 
+def sketch_np(vec_col, planes: np.ndarray):
+    """Arrow-vectorized sign sketch (one numpy matmul per batch) — the
+    fast path for WIDE sketches: Catalyst higher-order functions run
+    interpreted per array element, so a 64-plane × 64-dim sketch costs
+    ~ms/row JVM-side but ~µs/row here.  numpy's pairwise summation is not
+    bit-guaranteed to match the sequential-sum form at exact sign
+    boundaries, so oracle-checked configs use ``sketch_expr``; recall and
+    determinism are unaffected (numpy is deterministic)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_planes = planes.shape[0]
+    pt = planes.T.copy()
+    weights = np.array([(1 << j) if j < 63 else -(1 << 63)
+                        for j in range(n_planes)], dtype=np.int64)
+
+    def _fn(s):
+        vals = s.to_numpy()
+        out = np.empty(len(vals), dtype=object)
+        out[:] = None
+        idx = [i for i, v in enumerate(vals) if v is not None]
+        if idx:
+            m = np.stack([np.asarray(vals[i], dtype=np.float64) for i in idx])
+            bits = (((m @ pt) > 0) * weights).sum(axis=1)
+            for k, i in enumerate(idx):
+                out[i] = int(bits[k])
+        return pd.Series(out)
+
+    _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_fn, "long")(F.col(vec_col))
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
                              vec_col: str = "embedding", id_col: str = "vec_id",
                              n_planes: int = 64, n_bands: int = 8,
@@ -122,7 +154,12 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
     width = n_planes // n_bands
     mask = (1 << width) - 1
 
-    base = df.select(F.col(id_col), sketch_expr(vec_col, planes).alias("sketch"))
+    # narrow sketches stay Catalyst (exactly replicable in a SQL oracle);
+    # wide ones take the Arrow matmul path — interpreted HOF cost grows
+    # with n_planes*dim, the matmul doesn't
+    sk = (sketch_expr(vec_col, planes) if n_planes * dim <= 1024
+          else sketch_np(vec_col, planes))
+    base = df.select(F.col(id_col), sk.alias("sketch"))
     bands = [
         F.shiftright(F.col("sketch"), i * width).bitwiseAND(F.lit(mask)).alias("bv")
         for i in range(n_bands)]
