@@ -167,8 +167,17 @@ def connected_components_min(pairs: DataFrame, id_a: str = "id_a",
     for _ in range(max_iters):
         nbr = (sym.join(labels, sym["src"] == labels["id"])
                .select(F.col("dst").alias("id"), F.col("comp")))
-        new_labels = (labels.unionByName(nbr)
-                      .groupBy("id").agg(F.min("comp").alias("comp"))
+        stepped = (labels.unionByName(nbr)
+                   .groupBy("id").agg(F.min("comp").alias("comp"))
+                   .localCheckpoint())  # materialize BEFORE the self-join
+        # pointer jumping (path halving): follow comp -> comp(comp) so long
+        # chains collapse in O(log diameter) rounds instead of O(diameter)
+        new_labels = (stepped.alias("a")
+                      .join(stepped.alias("b"),
+                            F.col("a.comp") == F.col("b.id"), "left")
+                      .select(F.col("a.id"),
+                              F.coalesce(F.col("b.comp"), F.col("a.comp"))
+                              .alias("comp"))
                       .localCheckpoint())
         changed = (new_labels.alias("n").join(labels.alias("o"), "id")
                    .where(F.col("n.comp") != F.col("o.comp")).limit(1).count())
