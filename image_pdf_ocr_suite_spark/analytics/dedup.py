@@ -137,13 +137,20 @@ def jaccard_verify_pairs(pairs: DataFrame, df: DataFrame, text_col: str = "text"
     genuinely different documents are routine."""
     toks = df.select(F.col(id_col),
                      F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"))
-    a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
-    b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
-    # int/int division — identical IEEE doubles in any engine
-    j = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("double") / \
-        F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
-    return (pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
-            .select("id_a", "id_b", j.alias("jaccard")))
+    toks = toks.select(id_col, "toks", F.size("toks").alias("n"))
+    a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"),
+                    F.col("n").alias("n_a"))
+    b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"),
+                    F.col("n").alias("n_b"))
+    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    # one set traversal per pair: |union| = |a| + |b| - |intersect| (sides
+    # are already distinct), so array_union never materializes.  Exact
+    # int/int division — identical IEEE doubles in any engine.
+    inter = joined.select(
+        "id_a", "id_b", "n_a", "n_b",
+        F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).alias("i"))
+    j = F.col("i").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("i"))
+    return inter.select("id_a", "id_b", j.alias("jaccard"))
 
 
 def connected_components_min(pairs: DataFrame, id_a: str = "id_a",
