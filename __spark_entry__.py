@@ -377,6 +377,26 @@ def q_windowed_event_counts(spark, sf_dir):
         F.col("w.start").alias("window_start"), "event_type", "n")
 
 
+def q_text_nfc(spark, sf_dir):
+    """Unicode NFC canonicalization kernel; the DuckDB oracle's
+    nfc_normalize implements the same standard-defined mapping."""
+    return textops.nfc_normalize(_t(spark, sf_dir, "documents"))
+
+
+def q_event_rollup_hourly(spark, sf_dir):
+    """Multi-resolution rollup (hypertable continuous-aggregate pattern):
+    hourly counts derived by REAGGREGATING the 10-minute buckets; the
+    oracle computes hourly directly — equality proves the cascade."""
+    e = _t(spark, sf_dir, "events")
+    fine = e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type") \
+        .agg(F.count(F.lit(1)).alias("n"))
+    hourly = fine.groupBy(F.window(F.col("w.start"), "1 hour").alias("h"),
+                          "event_type") \
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    return hourly.select(F.col("h.start").alias("hour_start"),
+                         "event_type", "n")
+
+
 def q_tpch_q1_exactstats(spark, sf_dir):
     """TPC-H Q1-style pricing summary restricted to exact-integer-safe
     statistics (qty values are integral doubles → float sums exact)."""
@@ -515,6 +535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "value_median": q_value_median,
         "windowed_event_counts": q_windowed_event_counts,
+        "event_rollup_hourly": q_event_rollup_hourly,
+        "text_nfc": q_text_nfc,
         "tpch_q1_exactstats": q_tpch_q1_exactstats,
         "join_agg_segment": q_join_agg_segment,
         "anti_join_customers": q_anti_join_customers,
@@ -931,6 +953,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
                    event_type, CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY 1, 2""",
+        "event_rollup_hourly": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2""",
+        "text_nfc": """
+            SELECT doc_id, nfc_normalize(text) AS nfc_text FROM documents""",
         "tpch_q1_exactstats": f"""
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,

@@ -121,6 +121,28 @@ def token_count_bpe(df: DataFrame, text_col: str = "text",
         .cast("bigint").alias("n_bpe_tokens"))
 
 
+def nfc_normalize(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Unicode NFC normalization (corpus canonicalization before dedup /
+    tokenization).  Spark SQL has no normalization builtin, so this is an
+    Arrow-batched kernel over ``unicodedata``; NFC is standard-defined,
+    so any correct implementation (e.g. DuckDB's nfc_normalize oracle)
+    produces identical bytes."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(texts):
+        return pd.Series([
+            unicodedata.normalize("NFC", t) if t is not None else None
+            for t in texts])
+
+    _nfc.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    udf = pandas_udf(_nfc, "string")
+    return df.select(F.col(id_col), udf(F.col(text_col)).alias("nfc_text"))
+
+
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 8,
                         w: int = 4) -> DataFrame:

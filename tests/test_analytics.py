@@ -382,3 +382,19 @@ def test_audio_features_malformed_headers_quarantine(spark):
 def test_embedding_near_dup_empty_input(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert similarity.embedding_near_dup_pairs(df).count() == 0
+
+
+def test_nfc_normalize_combining_chars(spark):
+    from image_pdf_ocr_suite_spark.analytics import text as textops
+    import unicodedata
+    rows = [(0, "éclair"),       # e + combining acute -> é
+            (1, "ガ"),                  # already composed katakana GA
+            (2, "ガ"),            # KA + combining voiced mark -> ガ
+            (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["nfc_text"]
+           for r in textops.nfc_normalize(df).collect()}
+    for did, t in rows:
+        assert got[did] == (unicodedata.normalize("NFC", t)
+                            if t is not None else None)
+    assert got[2] == "ガ" and got[0].startswith("é")

@@ -93,3 +93,18 @@ def test_simhash_and_bpe_parity_on_unicode_whitespace(spark, tmp_path):
         got = _normalize(spark_df.toPandas())
         exp = _normalize(con.sql(oracle).df())
         assert got == exp
+
+
+def test_nfc_parity_on_combining_chars(spark, tmp_path):
+    rows = [(0, "éclair"), (1, "ガ"), (2, "ascii only"),
+            (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pq = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.parquet(pq)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
+    import __spark_entry__ as em
+    from image_pdf_ocr_suite_spark.analytics import text as textops
+    got = _normalize(textops.nfc_normalize(df).toPandas())
+    exp = _normalize(con.sql(em.oracle_sql()["text_nfc"]).df())
+    assert got == exp
