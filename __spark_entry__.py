@@ -167,7 +167,8 @@ def q_page_header_format(spark, sf_dir):
 
 
 def _pystrip(col):
-    return F.regexp_replace(col, r"^\s+|\s+$", "")
+    from image_pdf_ocr_suite_spark.unicode_ws import STRIP_PATTERN
+    return F.regexp_replace(col, STRIP_PATTERN, "")
 
 
 def q_doc_assembly(spark, sf_dir):
@@ -690,7 +691,13 @@ def _lang_id_script_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    strip = "regexp_replace({x}, '^\\s+|\\s+$', '', 'g')"
+    from image_pdf_ocr_suite_spark.unicode_ws import RUNS_PATTERN, STRIP_PATTERN
+    # the \x{...} class is valid in BOTH Java (Spark) and RE2 (DuckDB) —
+    # the engines' builtin \s classes disagree (ASCII±VT vs unicode).
+    # Brace-escape the class so str.format leaves it literal.
+    strip = ("regexp_replace({x}, '"
+             + STRIP_PATTERN.replace("{", "{{").replace("}", "}}")
+             + "', '', 'g')")
     return {
         "conf_avg_valid": f"""
             SELECT event_type,
@@ -771,8 +778,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(sc AS INTEGER) AS en_score,
                    CASE WHEN sc >= 1 THEN 'en' ELSE 'other' END AS pred_lang
             FROM s""",
-        "fingerprint": """
-            SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+        "fingerprint": f"""
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '{RUNS_PATTERN}', ' ', 'g'))) AS fp
             FROM documents""",
         "lang_id_script": _lang_id_script_oracle(),
         "token_count_bpe": r"""
@@ -781,10 +789,10 @@ def oracle_sql() -> dict[str, str]:
                         '\p{L}+|\p{N}+|[^\p{L}\p{N} \t\n\x{000B}\f\r]')) AS BIGINT)
                        AS n_bpe_tokens
             FROM documents""",
-        "winnow_fingerprints": r"""
+        "winnow_fingerprints": f"""
             WITH nrm AS (
                 SELECT doc_id,
-                       lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+                       lower(regexp_replace(text, '{RUNS_PATTERN}', ' ', 'g')) AS t
                 FROM documents),
             g AS (
                 SELECT doc_id,

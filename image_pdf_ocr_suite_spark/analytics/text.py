@@ -97,8 +97,12 @@ def lang_id_script(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Normalized content fingerprint: md5(lower(whitespace-collapsed))."""
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    """Normalized content fingerprint: md5(lower(whitespace-collapsed)).
+    Unicode whitespace class (Java \\s misses U+3000/NBSP and RE2 \\s
+    additionally misses VT — the explicit class is identical in both
+    engines)."""
+    from image_pdf_ocr_suite_spark.unicode_ws import RUNS_PATTERN
+    norm = F.lower(F.regexp_replace(F.col(text_col), RUNS_PATTERN, " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
 
 
@@ -157,7 +161,8 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     the MinHash), window minima via ``transform`` over a position sequence
     + ``array_min(slice(...))``, dedup via explode+distinct.  Output
     (id, fp) — the distinct selected fingerprints per document."""
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    from image_pdf_ocr_suite_spark.unicode_ws import RUNS_PATTERN
+    norm = F.lower(F.regexp_replace(F.col(text_col), RUNS_PATTERN, " "))
     base = df.select(F.col(id_col), norm.alias("__t"))
     n_grams = F.length(F.col("__t")) - (k - 1)
     grams = F.when(

@@ -67,3 +67,10 @@ PAGE_HEADER_FMT = "--- ページ %d ---\n%s\n"
 
 # Empty-document result (ocr.py:751-754).
 EMPTY_DOC_TEXT = "\n"
+
+# Sentinel for "word not rendered by ocr_text" in the kernel's span-offset
+# column.  NOT -1: a rendered first word whose raw text carries leading
+# whitespace gets offset -lead_ws (the page-level strip shift), which is a
+# VALID small negative later corrected in emit_spans — the sentinel must
+# be outside any reachable offset (|offset| < page text length < 2^31).
+SPAN_OFF_NOT_RENDERED = -(1 << 31)

@@ -35,7 +35,7 @@ import pandas as pd
 
 from image_pdf_ocr_suite_spark import backends
 from image_pdf_ocr_suite_spark import payload as spdf
-from image_pdf_ocr_suite_spark.config import ExtractConfig
+from image_pdf_ocr_suite_spark.config import SPAN_OFF_NOT_RENDERED, ExtractConfig
 
 WORD_ARRAY_COLS = {
     "w_block": ("block_num", "array<int>"),
@@ -105,7 +105,7 @@ def _word_offsets(words: pd.DataFrame, lead_ws: np.ndarray) -> pd.DataFrame:
     word is itself whitespace).  Pure shift/cumsum — no row loop."""
     words = words.copy()
     legible = words["text"].notna() & (words["conf"] >= backends.LEGIBILITY_FLOOR)
-    words["off"] = np.int64(-1)
+    words["off"] = np.int64(SPAN_OFF_NOT_RENDERED)
     leg = words[legible]
     if len(leg):
         g = leg.groupby("idx")

@@ -20,11 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from image_pdf_ocr_suite_spark.config import EMPTY_DOC_TEXT, ExtractConfig
+from image_pdf_ocr_suite_spark.config import EMPTY_DOC_TEXT, SPAN_OFF_NOT_RENDERED, ExtractConfig
+from image_pdf_ocr_suite_spark.unicode_ws import LSTRIP_PATTERN, STRIP_PATTERN
 
-# Python str.strip() equivalent (Spark trim() strips spaces only).
+# Python str.strip() equivalent: the FULL unicode whitespace class, not
+# Java's ASCII \s — the reference strips U+3000 ideographic space etc.
 def pystrip(col):
-    return F.regexp_replace(col, r"^\s+|\s+$", "")
+    return F.regexp_replace(col, STRIP_PATTERN, "")
 
 
 def _header(page_col):
@@ -108,7 +110,7 @@ def emit_spans(ocr_df: DataFrame, cfg: ExtractConfig) -> DataFrame:
         .where(
             ~F.isnan("left") & ~F.isnan("top") & ~F.isnan("height")
             & F.col("left").isNotNull() & F.col("top").isNotNull()
-            & F.col("height").isNotNull() & (F.col("off") >= 0)
+            & F.col("height").isNotNull() & (F.col("off") != F.lit(SPAN_OFF_NOT_RENDERED))
         )
     )
     return sp.select(
@@ -122,11 +124,11 @@ def emit_spans(ocr_df: DataFrame, cfg: ExtractConfig) -> DataFrame:
         # stripped, so skip any leading whitespace the word itself carries
         (F.col("page_text_off") + F.col("off")
          + F.length(F.col("text"))
-         - F.length(F.regexp_replace(F.col("text"), r"^\s+", "")))
+         - F.length(F.regexp_replace(F.col("text"), LSTRIP_PATTERN, "")))
         .alias("start_off"),
         (F.col("page_text_off") + F.col("off")
          + F.length(F.col("text"))
-         - F.length(F.regexp_replace(F.col("text"), r"^\s+", ""))
+         - F.length(F.regexp_replace(F.col("text"), LSTRIP_PATTERN, ""))
          + F.length(pystrip(F.col("text"))))
         .alias("end_off"),
     )

@@ -89,6 +89,8 @@ def test_simhash_and_bpe_parity_on_unicode_whitespace(spark, tmp_path):
         (dedup.simhash_near_pairs(df, max_hamming=3, n_bands=4),
          em.oracle_sql()["simhash_near_pairs"]),
         (textops.token_count_bpe(df), em.oracle_sql()["token_count_bpe"]),
+        (textops.fingerprint(df), em.oracle_sql()["fingerprint"]),
+        (textops.winnow_fingerprints(df), em.oracle_sql()["winnow_fingerprints"]),
     ]:
         got = _normalize(spark_df.toPandas())
         exp = _normalize(con.sql(oracle).df())

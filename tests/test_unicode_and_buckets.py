@@ -77,3 +77,35 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_meta")
+
+
+def test_unicode_whitespace_strip_byte_identity(spark):
+    """Word text edged with IDEOGRAPHIC SPACE / NBSP: the Catalyst strip
+    (explicit unicode class) must match the reference model's Python
+    str.strip() byte-for-byte - Java's ASCII \\s would diverge here."""
+    import datetime as dt
+
+    from image_pdf_ocr_suite_spark import refmodel
+    from image_pdf_ocr_suite_spark import payload as spdf
+    from image_pdf_ocr_suite_spark.config import ExtractConfig
+    from image_pdf_ocr_suite_spark.payload import Document, Page, Word
+    from image_pdf_ocr_suite_spark.pipeline import extract_pages
+
+    words = [
+        Word(1, 1, 1, 1, 10, 12, 30, 10, 80.0, 40.0, "　日本　"),
+        Word(1, 1, 1, 2, 50, 12, 15, 10, 85.0, 50.0, " 語x"),
+        Word(1, 1, 2, 1, 10, 30, 15, 10, 90.0, 60.0, " plain"),
+    ]
+    raw = spdf.encode(Document(pages=[Page(200, 100, words)]))
+    expected = refmodel.extract_text(raw)
+
+    rows = [("u1", dt.datetime(2024, 1, 1), bytearray(raw), "", "ja")]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string")
+    res = extract_pages(df, ExtractConfig(), run_id="uws")
+    got = {r["url"]: r["extracted_text"] for r in res.text.collect()}
+    assert got == {"u1": expected}
+
+    # span text is python-stripped on both sides too
+    spans = {r["text"] for r in res.spans.collect()}
+    assert "日本" in spans and "語x" in spans and "plain" in spans
