@@ -89,3 +89,76 @@ def test_adaptive_winner_never_below_base(page):
     base_avg = refmodel.compute_average_confidence(backends.ocr_boxes(img))
     result = refmodel.perform_adaptive_ocr(img, CFG)
     assert result.average_confidence >= base_avg
+
+
+# ---- multimodal codecs: encode/decode round-trips for ANY content ------
+
+import numpy as np
+
+
+def _bmp(arr):
+    import struct
+    h, w = arr.shape[:2]
+    stride = ((3 * w + 3) // 4) * 4
+    body = bytearray()
+    for row in arr[::-1]:
+        line = bytearray()
+        for px in row:
+            line += bytes([px[2], px[1], px[0]])
+        line += b"\x00" * (stride - len(line))
+        body += line
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return bytes(hdr + body)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**32 - 1))
+def test_bmp_roundtrip_any_shape(w, h, seed):
+    from image_pdf_ocr_suite_spark.analytics import multimodal
+    arr = np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (multimodal.decode_image(_bmp(arr)) == arr).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 3), st.integers(8000, 48000), st.integers(1, 400),
+       st.integers(0, 2**32 - 1))
+def test_wav_roundtrip_any_shape(channels, rate, n_frames, seed):
+    import struct
+
+    from image_pdf_ocr_suite_spark.analytics import multimodal
+    rng = np.random.RandomState(seed)
+    samples = rng.randint(-32768, 32768, (n_frames, channels)).astype("<i2")
+    data = samples.tobytes()
+    raw = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                   rate * channels * 2, channels * 2, 16)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    got_rate, got_ch, got = multimodal.decode_wav(raw)
+    assert (got_rate, got_ch) == (rate, channels)
+    assert got.shape == (n_frames, channels)
+    assert np.allclose(got * 32768.0, samples.astype(np.float64))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.sampled_from(["jpn", "eng", "deu", "fra", "osd"]),
+                min_size=1, max_size=4))
+def test_parse_langs_accepts_any_valid_combo(parts):
+    from image_pdf_ocr_suite_spark.backends import parse_langs
+    assert parse_langs("+".join(parts)) == tuple(parts)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=12))
+def test_parse_langs_never_crashes_weird_input(s):
+    import pytest as _pytest
+
+    from image_pdf_ocr_suite_spark.backends import parse_langs
+    parts = s.split("+")
+    valid = all(len(p) == 3 and p.isalpha() and p.islower() for p in parts)
+    if valid:
+        assert parse_langs(s) == tuple(parts)
+    else:
+        with _pytest.raises(ValueError):
+            parse_langs(s)
