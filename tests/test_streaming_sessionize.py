@@ -103,3 +103,80 @@ def test_late_event_beyond_gap_forms_own_session(spark, tmp_path):
         (T0 + 5 * m, T0 + 5 * m, 1),        # late event: own closed session
         (T0 + 60 * m, T0 + 60 * m, 1),      # original session, by timeout
     ]
+
+
+def _batch_sessions(events, gap_us):
+    """Ground truth: sort ALL events per user, gap-split — the batch
+    semantics the streaming operator must reproduce for closed sessions."""
+    from collections import defaultdict
+    per_user = defaultdict(list)
+    for uid, ts in events:
+        per_user[uid].append(int(ts.timestamp() * 1_000_000))
+    out = {}
+    for uid, us in per_user.items():
+        us.sort()
+        sessions, start, last, n = [], us[0], us[0], 1
+        for t in us[1:]:
+            if t - last > gap_us:
+                sessions.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        sessions.append((start, last, n))
+        out[uid] = sessions
+    return out
+
+
+def test_streaming_matches_batch_on_random_streams(spark, tmp_path):
+    """Seeded random event streams with bounded disorder (< watermark):
+    every CLOSED streaming session must equal the batch ground truth."""
+    import random
+
+    rng = random.Random(1234)
+    gap_min, watermark_min = 30, 120
+    events = []
+    t = T0
+    for uid in (1, 2, 3):
+        t = T0
+        for _burst in range(rng.randint(2, 4)):
+            # burst of events within the gap
+            for _ in range(rng.randint(1, 5)):
+                t += dt.timedelta(minutes=rng.randint(0, gap_min - 1))
+                events.append((uid, t))
+            # then a gap that closes the session
+            t += dt.timedelta(minutes=gap_min + rng.randint(1, 60))
+    # shuffle within a bounded window: reorder adjacent events only
+    # (disorder stays far below the 2h watermark)
+    events.sort(key=lambda e: e[1])
+    for i in range(0, len(events) - 1, 2):
+        if rng.random() < 0.5:
+            events[i], events[i + 1] = events[i + 1], events[i]
+    # sentinel user far in the future forces every real session to time out
+    closer = [(99, max(e[1] for e in events) + dt.timedelta(hours=12))]
+
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    chunk = max(1, len(events) // 5)
+    for i in range(0, len(events), chunk):
+        _write(spark, input_dir, events[i:i + chunk])
+    _write(spark, input_dir, closer)
+    _write(spark, input_dir, [(98, closer[0][1] + dt.timedelta(hours=1))])
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", "1").parquet(input_dir))
+    q = (sessionize_stream(stream, gap_minutes=gap_min,
+                           watermark=f"{watermark_min} minutes")
+         .writeStream.format("memory").queryName("sessions_rand")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    q.awaitTermination(300)
+
+    got = {}
+    for r in spark.sql("select * from sessions_rand").collect():
+        got.setdefault(r["user_id"], []).append(
+            (int(r["session_start"].timestamp() * 1_000_000),
+             int(r["session_end"].timestamp() * 1_000_000),
+             r["n_events"]))
+    expected = _batch_sessions(events, gap_min * 60 * 1_000_000)
+    for uid in (1, 2, 3):
+        assert sorted(got.get(uid, [])) == sorted(expected[uid]), uid
