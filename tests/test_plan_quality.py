@@ -90,3 +90,34 @@ def test_no_per_row_python_in_engine():
                 if pat in src:
                     offenders.append((f, pat))
     assert not offenders, offenders
+
+
+def test_token_count_bpe_is_map_only(spark):
+    plan = _plan(entrymod.q_token_count_bpe(spark, SF_DIR))
+    assert "Exchange" not in plan, plan        # pure projection, no shuffle
+
+
+def test_winnow_single_shuffle(spark):
+    plan = _plan(entrymod.q_winnow_fingerprints(spark, SF_DIR))
+    assert plan.count("Exchange") == 1, plan   # only the distinct agg
+
+
+def test_salted_agg_two_phase_shuffles(spark):
+    plan = _plan(entrymod.q_salted_user_stats(spark, SF_DIR))
+    assert re.search(r"hashpartitioning\(user_id#\d+L?, __salt", plan), plan
+    assert re.search(r"hashpartitioning\(user_id#\d+L?, \d+\)", plan), plan
+
+
+def test_anti_join_is_hash_join(spark):
+    plan = _plan(entrymod.q_anti_join_customers(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_near_dup_lsh_id_only_candidate_shuffle(spark):
+    """The candidate-dedup exchange must carry only the id pair — vectors
+    join back strictly after."""
+    plan = _plan(entrymod.q_embedding_near_dup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    m = re.search(r"Exchange hashpartitioning\(id_a#\d+L, id_b#\d+L", plan)
+    assert m, plan
