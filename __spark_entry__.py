@@ -250,8 +250,9 @@ def q_minhash_candidate_pairs(spark, sf_dir):
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Jaccard is int/int division → identical IEEE doubles in both engines;
-    no rounding needed."""
+    """All-pairs Jaccard VERIFIER (bounded id range — the scale path runs
+    Jaccard only on LSH candidates: see near_dup_components).  Jaccard is
+    int/int division → identical IEEE doubles in both engines."""
     d = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, threshold=0.0, max_id=60)
 
