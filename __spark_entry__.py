@@ -128,6 +128,16 @@ def q_rescale_projection(spark, sf_dir):
                      (F.col("l_extendedprice") / F.lit(1.5)).alias("rescaled"))
 
 
+def q_top_docs_per_lang(spark, sf_dir):
+    """Grouped top-k: the 3 largest documents per language (row_number
+    window + filter — the per-key top-k pattern corpus sampling uses)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (d.select("doc_id", "lang", "n_chars",
+                     F.row_number().over(w).alias("rk"))
+            .where(F.col("rk") <= 3))
+
+
 def q_reading_order(spark, sf_dir):
     """§2.2 reading-order window sort (ocr.py frame order)."""
     d = _t(spark, sf_dir, "documents")
@@ -510,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validity_filter_count": q_validity_filter_count,
         "rescale_projection": q_rescale_projection,
         "reading_order": q_reading_order,
+        "top_docs_per_lang": q_top_docs_per_lang,
         "nonempty_text_filter": q_nonempty_text_filter,
         "span_offsets": q_span_offsets,
         "max_extent": q_max_extent,
@@ -717,6 +728,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang,
                    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS INTEGER) AS rn
             FROM documents""",
+        "top_docs_per_lang": """
+            SELECT doc_id, lang, n_chars, rk FROM (
+                SELECT doc_id, lang, n_chars,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS INTEGER) AS rk
+                FROM documents)
+            WHERE rk <= 3""",
         "nonempty_text_filter": """
             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM documents WHERE trim(text) <> '' GROUP BY source""",
