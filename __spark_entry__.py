@@ -176,9 +176,8 @@ def q_page_header_format(spark, sf_dir):
                     F.format_string("--- ページ %d ---", F.col("doc_id")).alias("header"))
 
 
-def _pystrip(col):
-    from image_pdf_ocr_suite_spark.unicode_ws import STRIP_PATTERN
-    return F.regexp_replace(col, STRIP_PATTERN, "")
+# the ONE strip implementation — same expression the pipeline tail uses
+from image_pdf_ocr_suite_spark.relational.assemble import pystrip as _pystrip  # noqa: E402
 
 
 def q_doc_assembly(spark, sf_dir):
@@ -291,8 +290,11 @@ def q_embedding_near_dup(spark, sf_dir):
     identically).  16 planes / 4 bands here purely to bound the generated
     oracle SQL; the library default is 64/8."""
     emb = _t(spark, sf_dir, "embeddings")
+    # sketch_impl pinned: the DuckDB oracle replicates the bit-exact
+    # sequential-sum sketch — never let the size heuristic pick numpy here
     return similarity.embedding_near_dup_pairs(
-        emb, threshold=0.3, n_planes=16, n_bands=4, dim=64) \
+        emb, threshold=0.3, n_planes=16, n_bands=4, dim=64,
+        sketch_impl="catalyst") \
         .select("id_a", "id_b")
 
 

@@ -158,13 +158,13 @@ def connected_components_min(pairs: DataFrame, id_a: str = "id_a",
     """(id, comp) for every id appearing in ``pairs``; comp = smallest id
     reachable through the pair graph.
 
-    Min-label propagation: every round each node takes the min label over
-    itself and its neighbors; converges in O(component diameter) rounds.
-    Near-dup components are tiny and shallow, and the label table holds
-    only ids that appear in candidate pairs — a sliver of the corpus — so
-    the per-round convergence count() and localCheckpoint (lineage
-    truncation) are cheap.  At extreme diameters switch to the
-    large-star/small-star variant; the interface is unchanged."""
+    Min-label propagation with POINTER JUMPING (path halving): each round
+    every node takes the min label over itself and its neighbors, then
+    follows comp -> comp(comp) — so convergence is O(log diameter)
+    rounds, not O(diameter).  The label table holds only ids that appear
+    in candidate pairs — a sliver of the corpus — so the per-round
+    convergence count() and localCheckpoint (lineage truncation) are
+    cheap."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))

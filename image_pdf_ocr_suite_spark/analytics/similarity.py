@@ -128,7 +128,8 @@ def sketch_np(vec_col, planes: np.ndarray):
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
                              vec_col: str = "embedding", id_col: str = "vec_id",
                              n_planes: int = 64, n_bands: int = 8,
-                             seed: int = 42, dim: int | None = None) -> DataFrame:
+                             seed: int = 42, dim: int | None = None,
+                             sketch_impl: str = "auto") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold) —
     the 100 TB default: sketch-bucketed, never an all-pairs join.
 
@@ -154,10 +155,15 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
     width = n_planes // n_bands
     mask = (1 << width) - 1
 
-    # narrow sketches stay Catalyst (exactly replicable in a SQL oracle);
-    # wide ones take the Arrow matmul path — interpreted HOF cost grows
-    # with n_planes*dim, the matmul doesn't
-    sk = (sketch_expr(vec_col, planes) if n_planes * dim <= 1024
+    # sketch_impl: "catalyst" = bit-exact sequential sums (REQUIRED by any
+    # SQL-oracle-checked call site — pass it explicitly there, never rely
+    # on the size heuristic); "numpy" = Arrow matmul (fast for wide
+    # sketches; pairwise summation, not bit-guaranteed at sign
+    # boundaries); "auto" picks by n_planes*dim (interpreted HOF cost
+    # grows with it, the matmul doesn't).
+    if sketch_impl == "auto":
+        sketch_impl = "catalyst" if n_planes * dim <= 1024 else "numpy"
+    sk = (sketch_expr(vec_col, planes) if sketch_impl == "catalyst"
           else sketch_np(vec_col, planes))
     base = df.select(F.col(id_col), sk.alias("sketch"))
     bands = [

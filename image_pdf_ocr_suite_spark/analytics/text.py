@@ -132,15 +132,12 @@ def nfc_normalize(df: DataFrame, text_col: str = "text",
     Arrow-batched kernel over ``unicodedata``; NFC is standard-defined,
     so any correct implementation (e.g. DuckDB's nfc_normalize oracle)
     produces identical bytes."""
-    import unicodedata
-
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     def _nfc(texts):
-        return pd.Series([
-            unicodedata.normalize("NFC", t) if t is not None else None
-            for t in texts])
+        # pandas' vectorized normalizer (null-propagating)
+        return texts.str.normalize("NFC")
 
     _nfc.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     udf = pandas_udf(_nfc, "string")
