@@ -372,6 +372,23 @@ def q_corpus_clean(spark, sf_dir):
             .select("doc_id", "lang", toks.cast("bigint").alias("n_tokens")))
 
 
+def q_corpus_clean_verified(spark, sf_dir):
+    """The FULL corpus-preparation composition as one driver-checked
+    query: quality floor (>= 30 tokens) → language allowlist → exact-dedup
+    keeper (min doc_id per md5) → drop verified near-dups (LSH candidates
+    → pair Jaccard >= 0.2 → connected components → keep component min).
+    Returns the surviving doc_ids — the training corpus membership."""
+    d = _t(spark, sf_dir, "documents")
+    toks = textops.token_count_expr("text")
+    base = d.where(toks >= 30).where(F.col("lang").isin("en", "ja", "de"))
+    keepers = base.groupBy(F.md5(F.col("text")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id"))
+    uniq = base.join(keepers.select("doc_id"), "doc_id")
+    losers = dedup.verified_near_dup_losers(uniq, "text", "doc_id",
+                                            threshold=0.2)
+    return uniq.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
 def q_value_median(spark, sf_dir):
     """Exact interpolated median per group (sort + interpolate is
     deterministic in both engines)."""
@@ -548,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_counts": q_bigram_counts,
         "text_position_projection": q_text_position_projection,
         "corpus_clean": q_corpus_clean,
+        "corpus_clean_verified": q_corpus_clean_verified,
         "value_median": q_value_median,
         "windowed_event_counts": q_windowed_event_counts,
         "event_rollup_hourly": q_event_rollup_hourly,
@@ -975,6 +993,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.lang, CAST(t.n_tokens AS BIGINT) AS n_tokens
             FROM tok t JOIN keepers k ON t.doc_id = k.doc_id
             WHERE t.n_tokens >= 30 AND t.lang IN ('en', 'ja', 'de')""",
+        "corpus_clean_verified": """
+            WITH RECURSIVE
+            base AS (
+                SELECT doc_id, text FROM documents
+                WHERE (CASE WHEN length(text) > 0
+                            THEN length(text) - length(replace(text, ' ', '')) + 1
+                            ELSE 0 END) >= 30
+                  AND lang IN ('en', 'ja', 'de')),
+            keep AS (SELECT MIN(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+            uniq AS (SELECT b.doc_id, b.text
+                     FROM base b JOIN keep k ON b.doc_id = k.doc_id),
+            sh AS (
+                SELECT doc_id,
+                       list_transform(range(1, len(sp) - 1),
+                                      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) AS shingles
+                FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM uniq)),
+            bands AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS band),
+            sig AS (
+                SELECT doc_id, band,
+                       list_min(list_transform(shingles,
+                                s -> md5(s || '#' || CAST(band AS VARCHAR)))) AS minhash
+                FROM sh, bands),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+                WHERE a.minhash IS NOT NULL AND a.doc_id < b.doc_id),
+            tox AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+                    FROM uniq),
+            ver AS (
+                SELECT id_a, id_b
+                FROM cand
+                JOIN tox ta ON ta.doc_id = cand.id_a
+                JOIN tox tb ON tb.doc_id = cand.id_b
+                WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                      / len(list_distinct(list_concat(ta.tk, tb.tk))) >= 0.2),
+            edges AS (SELECT id_a AS a, id_b AS b FROM ver
+                      UNION ALL SELECT id_b, id_a FROM ver),
+            reach AS (
+                SELECT a AS id, a AS r FROM edges
+                UNION
+                SELECT e.b AS id, reach.r AS r
+                FROM edges e JOIN reach ON e.a = reach.id),
+            comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+            losers AS (SELECT id AS doc_id FROM comp WHERE id <> comp)
+            SELECT u.doc_id FROM uniq u
+            LEFT JOIN losers l ON u.doc_id = l.doc_id
+            WHERE l.doc_id IS NULL""",
         "value_median": """
             SELECT event_type, quantile_cont(value, 0.5) AS median_value
             FROM events GROUP BY event_type""",

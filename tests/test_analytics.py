@@ -398,3 +398,15 @@ def test_nfc_normalize_combining_chars(spark):
         assert got[did] == (unicodedata.normalize("NFC", t)
                             if t is not None else None)
     assert got[2] == "ガ" and got[0].startswith("é")
+
+
+def test_sketch_impl_paths_agree(spark, neardup_emb):
+    """Catalyst and numpy sketch paths produce the same near-dup pairs on
+    real data (bit divergence needs a dot product at an exact sign
+    boundary — astronomically unlikely; this pins it for the fixtures)."""
+    kwargs = dict(threshold=0.9, dim=32, n_planes=64, n_bands=8)
+    cat = {(r["id_a"], r["id_b"]) for r in similarity.embedding_near_dup_pairs(
+        neardup_emb, sketch_impl="catalyst", **kwargs).collect()}
+    npy = {(r["id_a"], r["id_b"]) for r in similarity.embedding_near_dup_pairs(
+        neardup_emb, sketch_impl="numpy", **kwargs).collect()}
+    assert cat == npy and len(cat) >= 10
