@@ -86,3 +86,48 @@ def test_mode_all_restart_same_run_id_is_idempotent(spark, tmp_path):
     assert sorted(r["url"] for r in text2) == sorted(r["url"] for r in text1)
     urls = [r["url"] for r in text2]
     assert len(urls) == len(set(urls))
+
+
+def test_mode_text_and_pdf_paths(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    spark.createDataFrame(fixtures.build_pages_pdf(DOC_ROWS)) \
+        .write.parquet(input_dir)
+
+    out_t = str(tmp_path / "out_text")
+    run_job(spark, input_dir, out_t, mode="text", run_id="t")
+    assert SnapshotTable(f"{out_t}/text").read(spark).count() > 0
+    assert SnapshotTable(f"{out_t}/quarantine").read(spark).count() > 0
+    assert SnapshotTable(f"{out_t}/metrics").read(spark).count() > 0
+
+    out_p = str(tmp_path / "out_pdf")
+    run_job(spark, input_dir, out_p, mode="pdf", run_id="p")
+    pdfs = SnapshotTable(f"{out_p}/pdf").read(spark)
+    assert pdfs.count() > 0
+    assert {f.name for f in pdfs.schema.fields} == {"url", "pdf", "n_pages"}
+
+
+def test_resume_skips_committed_urls(spark, tmp_path, counted_kernel):
+    """--resume: urls already committed to text or quarantine are not
+    re-extracted — the kernel sees only the NEW pages."""
+    input_half = str(tmp_path / "in_half")
+    input_full = str(tmp_path / "in_full")
+    out_root = str(tmp_path / "out")
+    pdf = fixtures.build_pages_pdf(DOC_ROWS)
+    spark.createDataFrame(pdf.iloc[:10]).write.parquet(input_half)
+    spark.createDataFrame(pdf).write.parquet(input_full)
+
+    run_job(spark, input_half, out_root, mode="all", run_id="r1")
+    first_kernel_rows = counted_kernel.value
+    n1 = SnapshotTable(f"{out_root}/text").read(spark).count()
+
+    run_job(spark, input_full, out_root, mode="all", resume=True, run_id="r2")
+    second_kernel_rows = counted_kernel.value - first_kernel_rows
+    # second run OCRs only the 10 new docs' pages, not all 20
+    assert 0 < second_kernel_rows < first_kernel_rows * 2
+    staged2 = SnapshotTable(f"{out_root}/_staged_pages/r2").read(spark)
+    assert second_kernel_rows == staged2.count()
+
+    text = SnapshotTable(f"{out_root}/text").read(spark)
+    urls = [r["url"] for r in text.select("url").collect()]
+    assert len(urls) == len(set(urls))          # no double extraction
+    assert text.count() > n1                    # new docs arrived
