@@ -100,8 +100,19 @@ def _decode_ppm(payload: bytes):
             j += 1
         fields.append(int(payload[i:j]))
         i = j
+    # The PNM spec mandates EXACTLY ONE whitespace byte after maxval; a
+    # CRLF-terminated header would silently shift the pixel data by one
+    # byte, so reject it instead of decoding garbage.
+    if not payload[i:i + 1].isspace():
+        raise ValueError("malformed PNM header: maxval not terminated")
+    if payload[i:i + 1] == b"\r":
+        raise ValueError(
+            "non-conformant PNM header: CRLF after maxval (spec requires a "
+            "single whitespace byte before pixel data)")
     i += 1                                             # single ws after maxval
     width, height, maxval = fields
+    if width <= 0 or height <= 0 or maxval <= 0:
+        raise ValueError(f"invalid PNM dimensions {width}x{height}/{maxval}")
     if maxval > 255:
         raise NotImplementedError("16-bit PNM not supported")
     nch = 3 if magic == b"P6" else 1

@@ -209,21 +209,22 @@ def embedding_near_dup_exact(df: DataFrame, threshold: float = 0.3,
             .where(F.col("cosine") >= F.lit(threshold)))
 
 
-def train_ivf_centroids(df: DataFrame, n_lists: int = 16,
-                        vec_col: str = "embedding", id_col: str = "vec_id",
-                        sample: int = 2048, iters: int = 10,
-                        seed: int = 42) -> np.ndarray:
-    """Spherical k-means coarse quantizer for the IVF index, trained on a
-    BOUNDED deterministic sample (lowest ``sample`` ids) collected to the
-    driver — the standard IVF recipe: the quantizer trains on a sample,
-    assignment runs distributed.  Deterministic: fixed seed init, fixed
-    Lloyd iteration count, unit-norm centroids (argmax dot == argmax
-    cosine); empty clusters keep their previous centroid."""
-    rows = (df.orderBy(id_col).limit(sample)
-            .select(F.col(vec_col).cast("array<double>")).collect())
-    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+def train_centroids_np(X: np.ndarray, n_lists: int = 16, iters: int = 10,
+                       seed: int = 42) -> np.ndarray:
+    """Driver-side spherical-k-means core shared by the Spark trainer and
+    the DuckDB oracle generator (identical float64 ops → identical
+    centroids bit-for-bit).  Deterministic: fixed seed init, fixed Lloyd
+    iteration count, unit-norm centroids; empty clusters keep their
+    previous centroid."""
+    X = np.asarray(X, dtype=np.float64)
+    if X.ndim != 2 or len(X) == 0:
+        raise ValueError(
+            f"IVF training needs a non-empty 2-D sample of vectors, got "
+            f"shape {X.shape} — is the embedding column empty or all-null?")
     norms = np.linalg.norm(X, axis=1)
     X = X[norms > 0] / norms[norms > 0, None]
+    if len(X) == 0:
+        raise ValueError("IVF training sample contains only zero vectors")
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
     for _ in range(iters):
@@ -236,6 +237,24 @@ def train_ivf_centroids(df: DataFrame, n_lists: int = 16,
                 if n > 0:
                     cent[c] = m / n
     return cent
+
+
+def train_ivf_centroids(df: DataFrame, n_lists: int = 16,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        sample: int = 2048, iters: int = 10,
+                        seed: int = 42) -> np.ndarray:
+    """Spherical k-means coarse quantizer for the IVF index, trained on a
+    BOUNDED deterministic sample (lowest ``sample`` ids, nulls excluded)
+    collected to the driver — the standard IVF recipe: the quantizer
+    trains on a sample, assignment runs distributed."""
+    rows = (df.where(F.col(vec_col).isNotNull())
+            .orderBy(id_col).limit(sample)
+            .select(F.col(vec_col).cast("array<double>")).collect())
+    if not rows:
+        raise ValueError(
+            f"IVF training found no non-null '{vec_col}' vectors")
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    return train_centroids_np(X, n_lists=n_lists, iters=iters, seed=seed)
 
 
 def ivf_list_expr(vec_col, centroids: np.ndarray):

@@ -410,3 +410,65 @@ def test_sketch_impl_paths_agree(spark, neardup_emb):
     npy = {(r["id_a"], r["id_b"]) for r in similarity.embedding_near_dup_pairs(
         neardup_emb, sketch_impl="numpy", **kwargs).collect()}
     assert cat == npy and len(cat) >= 10
+
+
+def test_connected_components_raises_on_exhaustion(spark):
+    """An unconverged label set must raise, not return silently (the
+    failure direction would otherwise be invisible: extra 'components'
+    that are really one)."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(63)],
+                                  "id_a long, id_b long")
+    with pytest.raises(dedup.ComponentsNotConverged):
+        dedup.connected_components_min(pairs, max_iters=1)
+    # the same 64-node chain converges well inside the default budget
+    comp = dedup.connected_components_min(pairs).collect()
+    assert len(comp) == 64 and all(r["comp"] == 0 for r in comp)
+
+
+def test_ivf_train_guards_empty_and_null(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no non-null"):
+        similarity.train_ivf_centroids(empty)
+    nulls = spark.createDataFrame([(0, None), (1, None)],
+                                  "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no non-null"):
+        similarity.train_ivf_centroids(nulls)
+    zeros = np.zeros((4, 8))
+    with pytest.raises(ValueError, match="zero vectors"):
+        similarity.train_centroids_np(zeros)
+
+
+def test_ppm_header_strictness():
+    good = b"P5 4 4 255\n" + bytes(range(16))
+    assert multimodal.decode_image(good).shape == (4, 4)
+    # CRLF after maxval would shift pixel data by one byte: reject loudly
+    with pytest.raises(ValueError, match="CRLF"):
+        multimodal.decode_image(b"P5 4 4 255\r\n" + bytes(range(16)))
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"P5 0 4 255\n")       # zero dimension
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"P5 4 4 255")          # unterminated maxval
+
+
+def test_simhash_batch_kernel_matches_reference_loop(spark):
+    """The factorized batch kernel must equal the definitional per-token
+    md5 loop bit-for-bit (incl. None/empty/whitespace rows)."""
+    import hashlib
+    rows = [(0, BASE), (1, ""), (2, None), (3, "one"), (4, "a a a b"),
+            (5, "日本　語 mixed\x0bws")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(df).collect()}
+
+    def ref(t):
+        if not t:
+            return 0
+        acc = [0] * 64
+        for tok in t.split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for k in range(64):
+                acc[k] += 1 if (h >> k) & 1 else -1
+        sig = sum((1 << k) for k in range(64) if acc[k] > 0)
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    for did, t in rows:
+        assert got[did] == ref(t), did
