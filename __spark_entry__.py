@@ -722,6 +722,31 @@ def _lang_id_script_oracle() -> str:
         FROM b"""
 
 
+def _golden_oracles() -> dict[str, str]:
+    """Golden-parquet oracles for the non-SQL flagship queries: DuckDB
+    reads the committed output of the single-process reference model
+    (goldens.py — refmodel.extract_text + independent span/html/quarantine
+    models), generated for the driver's sf0.01 gate.  This puts the
+    byte-identity invariant (BASELINE.json north_rule) into the driver's
+    hash-checked signal instead of a rows-only check.  The goldens are
+    pinned to the committed fixtures by tests/test_goldens.py."""
+    from image_pdf_ocr_suite_spark.goldens import GOLDEN_QUERIES, golden_path
+    cols = {
+        "ocr_extract_text": "url, extracted_text, n_pages, kind",
+        # "left" is a SQL keyword (LEFT JOIN) — quote the box columns
+        "ocr_spans": ('url, page, block, par, line, word, "left", "top", '
+                      'width, height, conf, text, start_off, end_off'),
+        "ocr_quarantine": "url, kind, error",
+        "html_main_text": "url, extracted_text",
+        "payload_metadata": ("url, kind, n_pages, max_width, max_height, "
+                             "n_words, payload_bytes"),
+    }
+    return {
+        name: f"SELECT {cols[name]} FROM read_parquet('{golden_path(name)}')"
+        for name in GOLDEN_QUERIES
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     from image_pdf_ocr_suite_spark.unicode_ws import RUNS_PATTERN, STRIP_PATTERN
     # the \x{...} class is valid in BOTH Java (Spark) and RE2 (DuckDB) —
@@ -731,6 +756,7 @@ def oracle_sql() -> dict[str, str]:
              + STRIP_PATTERN.replace("{", "{{").replace("}", "}}")
              + "', '', 'g')")
     return {
+        **_golden_oracles(),
         "conf_avg_valid": f"""
             SELECT event_type,
                    {R4.format(x="COALESCE(AVG(value) FILTER (WHERE value >= 0), 0.0)")} AS avg_conf
