@@ -307,8 +307,10 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN: spherical-k-means coarse lists (trained on a bounded
-    sample — data-dependent, so no static SQL oracle; recall vs the exact
-    scan is pytest-pinned), n_probe-list search, exact rerank."""
+    deterministic sample), n_probe-list search, exact rerank.  The oracle
+    (_ivf_topk_oracle) retrains the identical centroids driver-side and
+    pins them as SQL literals; recall vs the exact scan is pytest-pinned
+    separately."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     return similarity.ivf_cosine_topk(emb, [float(x) for x in qvec], k=10,
@@ -681,6 +683,65 @@ def _ann_lsh_topk_oracle(n_planes: int = 12, max_hamming: int = 3,
         LIMIT {k}"""
 
 
+_IVF_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _ivf_topk_oracle(n_lists: int = 16, n_probe: int = 4, k: int = 10,
+                     sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB replication of ivf_cosine_topk at the driver's sf0.01 gate.
+
+    The coarse quantizer is deterministic given the data (fixed seed/
+    sample/iterations), so the oracle TRAINS THE SAME CENTROIDS here —
+    same numpy code (train_centroids_np) on the same float64 sample read
+    straight from the parquet, bit-identical to what the Spark query
+    trains — and pins them as repr() literals.  Assignment is the same
+    left-associated dot chain + first-argmax (list_position/list_max ==
+    array_position/array_max), probing the same precomputed list ids,
+    with an exact-cosine rerank."""
+    import duckdb
+    import numpy as np
+
+    if sf_dir in _IVF_ORACLE_CACHE:
+        return _IVF_ORACLE_CACHE[sf_dir]
+    con = duckdb.connect()
+    # the exact sample train_ivf_centroids takes: non-null, lowest ids
+    rows = con.sql(
+        f"SELECT CAST(embedding AS DOUBLE[]) FROM "
+        f"'{sf_dir}/embeddings.parquet' WHERE embedding IS NOT NULL "
+        f"ORDER BY vec_id LIMIT 2048").fetchall()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    cent = similarity.train_centroids_np(X, n_lists=n_lists)
+    qv = np.asarray(con.sql(
+        f"SELECT CAST(embedding AS DOUBLE[]) FROM "
+        f"'{sf_dir}/embeddings.parquet' WHERE vec_id = 0").fetchone()[0],
+        dtype=np.float64)
+    # probe-list selection — the same driver-side arithmetic the query runs
+    qn = np.linalg.norm(qv)
+    qdots = cent @ (qv / qn if qn > 0 else qv)
+    order = np.lexsort((np.arange(len(cent)), -qdots))
+    probe = ", ".join(str(int(i)) for i in order[:n_probe])
+
+    chains = []
+    for row in cent:
+        terms = " + ".join(f"v[{i + 1}]*{float(x)!r}"
+                           for i, x in enumerate(row))
+        chains.append(f"({terms})")
+    ds = "[" + ",\n                 ".join(chains) + "]"
+    sql = f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+        d AS (SELECT vec_id, v, {ds} AS ds FROM v),
+        a AS (SELECT vec_id, v,
+                     CAST(list_position(ds, list_max(ds)) AS INTEGER) - 1 AS lst
+              FROM d)
+        SELECT vec_id FROM a, q
+        WHERE lst IN ({probe})
+        ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+        LIMIT {k}"""
+    _IVF_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
 def _lang_id_script_oracle() -> str:
     """DuckDB replication of analytics.text.lang_id_script: Unicode-range
     codepoint counts via RE2 \\x{...} classes; scores and thresholds in
@@ -935,6 +996,7 @@ def oracle_sql() -> dict[str, str]:
                        / len(list_distinct(list_concat(a.tk, b.tk))) AS jaccard
             FROM toks a, toks b WHERE a.doc_id < b.doc_id""",
         "ann_lsh_topk": _ann_lsh_topk_oracle(),
+        "ivf_topk": _ivf_topk_oracle(),
         "near_dup_components": """
             WITH RECURSIVE
             sh AS (
