@@ -509,6 +509,31 @@ def q_salted_user_stats(spark, sf_dir):
                       counts=["event_id"], maxs=["value"])
 
 
+def q_image_features(spark, sf_dir):
+    """Multimodal image column: decode + typed features via the Arrow
+    kernel (BMP/PGM real decoders, PNG codec seam -> err row).  The
+    fixture rasters are solid-color, so the oracle states mean luminance
+    in closed form; the accumulated mean is rounded at 1e-4 on both sides
+    (ULP-level pairwise-summation drift, never near a boundary: the exact
+    values are multiples of 1e-3)."""
+    from image_pdf_ocr_suite_spark.fixtures import build_media_df
+    feats = multimodal.image_features(build_media_df(spark, sf_dir, "image"))
+    return feats.select("id", "format", "width", "height", "channels",
+                        round4(F.col("mean_lum")).alias("mean_lum"), "err")
+
+
+def q_audio_features(spark, sf_dir):
+    """Multimodal audio column: RIFF/PCM parse + features.  Constant-
+    amplitude fixtures make peak an exact dyadic rational (k/2^15,
+    (v-128)/2^7 — identical float64 in both engines, no rounding); RMS
+    accumulates, so it is rounded at 1e-4 on both sides."""
+    from image_pdf_ocr_suite_spark.fixtures import build_media_df
+    feats = multimodal.audio_features(build_media_df(spark, sf_dir, "audio"))
+    return feats.select("id", "sample_rate", "channels", "n_frames",
+                        "duration_sec", round4(F.col("rms")).alias("rms"),
+                        "peak", "err")
+
+
 def q_join_agg_segment(spark, sf_dir):
     """Broadcast join orders ⋈ customer; exact aggregates per segment."""
     o = _t(spark, sf_dir, "orders")
@@ -578,6 +603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": q_orders_rollup,
         "event_counts_wide": q_event_counts_wide,
         "salted_user_stats": q_salted_user_stats,
+        "image_features": q_image_features,
+        "audio_features": q_audio_features,
     }
 
 
@@ -681,6 +708,70 @@ def _ann_lsh_topk_oracle(n_planes: int = 12, max_hamming: int = 3,
         WHERE bit_count(xor(sketch, qsketch)) <= {max_hamming}
         ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
         LIMIT {k}"""
+
+
+def _media_oracles() -> dict[str, str]:
+    """Closed-form oracles for the multimodal feature kernels: the fixture
+    media are solid-color rasters / constant-amplitude PCM generated from
+    doc_id (fixtures.image_payload_for / audio_payload_for), so every
+    feature value is a literal expression in doc_id — the oracle states
+    what the decoders MUST produce without running any decoder.  Exact
+    dyadic values (peak = k/2^15, (v-128)/2^7; duration = n/rate) compare
+    raw; accumulated means (mean_lum, rms) are rounded at 1e-4 on both
+    sides, and the exact values are multiples of 1e-3 so the rounding
+    boundary is never in play."""
+    from image_pdf_ocr_suite_spark.fixtures import (
+        MEDIA_DIM, WAV_FRAMES_MONO, WAV_FRAMES_STEREO, WAV_RATE_MONO,
+        WAV_RATE_STEREO)
+    dbl = "CAST({} AS DOUBLE)"
+    lum = ("CASE WHEN m <= 3 THEN r*{c299} + g*{c587} + b*{c114} "
+           "WHEN m <= 5 THEN gray ELSE {zero} END").format(
+        c299=dbl.format("0.299"), c587=dbl.format("0.587"),
+        c114=dbl.format("0.114"), zero=dbl.format("0"))
+    amp = ("CASE WHEN m <= 2 THEN k / 32768 "
+           "WHEN m = 3 THEN abs((v - 128) / 128) "
+           f"ELSE {dbl.format('0')} END")
+    return {
+        "image_features": f"""
+            WITH d AS (
+                SELECT doc_id, doc_id % 8 AS m,
+                       {dbl.format('doc_id % 256')} AS r,
+                       {dbl.format('(doc_id * 7) % 256')} AS g,
+                       {dbl.format('(doc_id * 13) % 256')} AS b,
+                       {dbl.format('(doc_id * 31) % 256')} AS gray
+                FROM documents WHERE doc_id < 200)
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   CASE WHEN m <= 3 THEN 'bmp' WHEN m <= 5 THEN 'pgm'
+                        WHEN m = 6 THEN 'unknown' ELSE 'none' END AS format,
+                   CASE WHEN m <= 5 THEN {MEDIA_DIM} ELSE 0 END AS width,
+                   CASE WHEN m <= 5 THEN {MEDIA_DIM} ELSE 0 END AS height,
+                   CASE WHEN m <= 3 THEN 3 WHEN m <= 5 THEN 1 ELSE 0 END AS channels,
+                   {R4.format(x=lum)} AS mean_lum,
+                   CASE WHEN m = 6 THEN 'NotImplementedError'
+                        WHEN m = 7 THEN 'null_payload' END AS err
+            FROM d""",
+        "audio_features": f"""
+            WITH d AS (
+                SELECT doc_id, doc_id % 6 AS m,
+                       {dbl.format('(doc_id % 1000) + 1')} AS k,
+                       {dbl.format('(doc_id % 200) + 10')} AS v
+                FROM documents WHERE doc_id < 200)
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   CASE WHEN m = 2 THEN {WAV_RATE_STEREO}
+                        WHEN m <= 3 THEN {WAV_RATE_MONO} ELSE 0 END AS sample_rate,
+                   CASE WHEN m = 2 THEN 2 WHEN m <= 3 THEN 1 ELSE 0 END AS channels,
+                   CAST(CASE WHEN m = 2 THEN {WAV_FRAMES_STEREO}
+                             WHEN m <= 3 THEN {WAV_FRAMES_MONO}
+                             ELSE 0 END AS BIGINT) AS n_frames,
+                   CASE WHEN m = 2 THEN {dbl.format(WAV_FRAMES_STEREO)} / {WAV_RATE_STEREO}
+                        WHEN m <= 3 THEN {dbl.format(WAV_FRAMES_MONO)} / {WAV_RATE_MONO}
+                        ELSE {dbl.format('0')} END AS duration_sec,
+                   {R4.format(x=amp)} AS rms,
+                   {amp} AS peak,
+                   CASE WHEN m = 4 THEN 'NotImplementedError'
+                        WHEN m = 5 THEN 'null_payload' END AS err
+            FROM d""",
+    }
 
 
 _IVF_ORACLE_CACHE: dict[str, str] = {}
@@ -818,6 +909,7 @@ def oracle_sql() -> dict[str, str]:
              + "', '', 'g')")
     return {
         **_golden_oracles(),
+        **_media_oracles(),
         "conf_avg_valid": f"""
             SELECT event_type,
                    {R4.format(x="COALESCE(AVG(value) FILTER (WHERE value >= 0), 0.0)")} AS avg_conf

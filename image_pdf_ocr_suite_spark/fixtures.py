@@ -218,6 +218,111 @@ def build_images_df(spark, sf_dir: str, limit: int | None = 80, n_groups: int = 
     return docs.mapInPandas(gen, schema=IMAGES_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Multimodal fixture columns — deterministic BMP/PGM/WAV payloads whose
+# feature values have CLOSED FORMS in doc_id, so the multimodal kernels
+# (analytics/multimodal.py) get real SQL oracles: solid-color rasters make
+# mean luminance a literal expression; constant-amplitude PCM makes
+# RMS/peak exact rationals (k/2^15 and (v-128)/2^7 are dyadic — exact in
+# float64 on both engines).
+# ---------------------------------------------------------------------------
+
+MEDIA_DIM = 16          # 16x16 rasters: 256 px (any count works — the
+                        # oracle rounds the accumulated mean at 1e-4)
+WAV_RATE_MONO, WAV_RATE_STEREO = 8000, 16000
+WAV_FRAMES_MONO, WAV_FRAMES_STEREO = 1024, 512
+
+
+def bmp_solid(width: int, height: int, r: int, g: int, b: int,
+              bpp: int = 24) -> bytes:
+    """Uncompressed BI_RGB BMP (bottom-up, BGR(A)) filled with one color."""
+    import struct
+    nch = bpp // 8
+    px = bytes([b, g, r]) if nch == 3 else bytes([b, g, r, 255])
+    stride = ((nch * width + 3) // 4) * 4
+    row = px * width + b"\x00" * (stride - nch * width)
+    data = row * height
+    off = 14 + 40
+    return (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp,
+                          0, len(data), 2835, 2835, 0, 0)
+            + data)
+
+
+def pgm_solid(width: int, height: int, gray: int) -> bytes:
+    return b"P5 %d %d 255\n" % (width, height) + bytes([gray]) * (width * height)
+
+
+def wav_const(rate: int, frames: int, channels: int, bits: int,
+              value: int, audio_fmt: int = 1) -> bytes:
+    """RIFF/WAVE with every sample equal to ``value`` (PCM16 int or PCM8
+    byte) — constant amplitude, so RMS == peak == |amplitude| exactly."""
+    import struct
+    if bits == 16:
+        data = struct.pack("<h", value) * (frames * channels)
+    else:
+        data = bytes([value]) * (frames * channels)
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", audio_fmt, channels, rate,
+                      rate * block, block, bits)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def image_payload_for(doc_id: int) -> bytes | None:
+    """doc_id % 8 → image payload kind (oracle mirrors this dispatch):
+    0-2 BMP24, 3 BMP32, 4-5 PGM, 6 undecodable PNG magic, 7 null."""
+    m = doc_id % 8
+    r, g, b = doc_id % 256, (doc_id * 7) % 256, (doc_id * 13) % 256
+    if m <= 2:
+        return bmp_solid(MEDIA_DIM, MEDIA_DIM, r, g, b, bpp=24)
+    if m == 3:
+        return bmp_solid(MEDIA_DIM, MEDIA_DIM, r, g, b, bpp=32)
+    if m <= 5:
+        return pgm_solid(MEDIA_DIM, MEDIA_DIM, (doc_id * 31) % 256)
+    if m == 6:
+        return b"\x89PNG\r\n\x1a\n" + bytes(32)   # codec seam -> err row
+    return None
+
+
+def audio_payload_for(doc_id: int) -> bytes | None:
+    """doc_id % 6 → audio payload kind: 0-1 PCM16 mono, 2 PCM16 stereo,
+    3 PCM8 mono, 4 float WAV (codec seam), 5 null."""
+    m = doc_id % 6
+    k = (doc_id % 1000) + 1
+    v = (doc_id % 200) + 10
+    if m <= 1:
+        return wav_const(WAV_RATE_MONO, WAV_FRAMES_MONO, 1, 16, k)
+    if m == 2:
+        return wav_const(WAV_RATE_STEREO, WAV_FRAMES_STEREO, 2, 16, k)
+    if m == 3:
+        return wav_const(WAV_RATE_MONO, WAV_FRAMES_MONO, 1, 8, v)
+    if m == 4:
+        return wav_const(WAV_RATE_MONO, 64, 1, 32, 0, audio_fmt=3)
+    return None
+
+
+def build_media_df(spark, sf_dir: str, media: str, limit: int = 200):
+    """Distributed media-column synthesis from the documents table:
+    (id, image|audio binary) rows for the multimodal feature kernels."""
+    assert media in ("image", "audio")
+    fn = image_payload_for if media == "image" else audio_payload_for
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    if limit is not None:
+        docs = docs.where(f"doc_id < {int(limit)}")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                ids = [int(d) for d in pdf["doc_id"]]
+                yield pd.DataFrame({"id": [str(d) for d in ids],
+                                    media: [fn(d) for d in ids]})
+
+    return docs.mapInPandas(gen, schema=f"id string, {media} binary")
+
+
 def build_pages_pdf(doc_rows: list[tuple[int, str, str]]) -> pd.DataFrame:
     """Driver-side variant for small unit-test corpora:
     rows of (doc_id, text, lang)."""

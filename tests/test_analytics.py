@@ -472,3 +472,24 @@ def test_simhash_batch_kernel_matches_reference_loop(spark):
 
     for did, t in rows:
         assert got[did] == ref(t), did
+
+
+def test_media_fixture_closed_forms():
+    """The multimodal fixture payloads must keep their closed-form feature
+    values (the SQL oracles state them as literals in doc_id)."""
+    import numpy as np
+    arr = multimodal.decode_image(fixtures.bmp_solid(16, 16, 10, 20, 30))
+    assert arr.shape == (16, 16, 3)
+    assert (arr == [10, 20, 30]).all()                    # BGR -> RGB
+    arr32 = multimodal.decode_image(fixtures.bmp_solid(16, 16, 10, 20, 30, bpp=32))
+    assert (arr32 == arr).all()
+    g = multimodal.decode_image(fixtures.pgm_solid(16, 16, 77))
+    assert g.shape == (16, 16) and (g == 77).all()
+    rate, ch, samples = multimodal.decode_wav(
+        fixtures.wav_const(8000, 1024, 1, 16, 123))
+    assert (rate, ch, samples.shape) == (8000, 1, (1024, 1))
+    assert float(np.abs(samples).max()) == 123 / 32768    # exact dyadic
+    rate8, _, s8 = multimodal.decode_wav(fixtures.wav_const(8000, 64, 1, 8, 10))
+    assert float(s8[0, 0]) == (10 - 128) / 128
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_wav(fixtures.wav_const(8000, 64, 1, 32, 0, audio_fmt=3))
