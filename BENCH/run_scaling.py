@@ -14,15 +14,18 @@ Methodology notes:
   BOTH levels leaves the JVM side uncontended at both levels — the same
   isolation a real cluster gets from executor sizing that reserves cores
   for the JVM.  The scaled variable is purely the worker count.
-- best-of-2 wall per level: the sandbox shows 1.5-2x run-to-run noise from
-  outside interference; minimum wall is the least-interfered measurement.
-- REPLICATE=64 (~320k docs): per-job fixed costs (stage scheduling, plan
-  compilation, worker spin-up) are ~4-5 s regardless of input size; a
-  measurement meant to evidence 100 TB behavior must amortize them the way
-  real volume does, otherwise it measures the scheduler, not the engine.
+- best-of-RUNS wall per level: the sandbox shows 1.5-2x run-to-run noise
+  from outside interference; minimum wall is the least-interfered
+  measurement.
+- Corpus sizes come from SCALING_REPLICATES (default "64", ~320k docs at
+  sf0.1; pass "64,200" to add the ~1M-doc point): per-job fixed costs
+  (stage scheduling, plan compilation, worker spin-up) are ~4-5 s
+  regardless of input size; a measurement meant to evidence 100 TB
+  behavior must amortize them the way real volume does, otherwise it
+  measures the scheduler, not the engine.
 
 Usage: python BENCH/run_scaling.py [sf_dir]
-Writes results to BENCH/BASELINE.md and prints one JSON line.
+Writes results to BENCH/BASELINE.md and prints one JSON line per corpus.
 """
 
 from __future__ import annotations
@@ -38,28 +41,27 @@ sys.path.insert(0, REPO)
 
 N_CPUS, N4_CPUS = 2, 8
 RUNS_PER_LEVEL = int(os.environ.get("SCALING_RUNS", "2"))
+REPLICATES = [int(x) for x in
+              os.environ.get("SCALING_REPLICATES", "64").split(",")]
 
 
-REPLICATE = int(os.environ.get("SCALING_REPLICATE", "64"))
-
-
-def _materialize_pages(sf_dir: str) -> str:
-    """Pages table replicated REPLICATE× with distinct urls: the scaling
-    measurement needs enough work that per-stage fixed costs don't dominate
-    (a 5-second job measures scheduler overhead, not scaling)."""
+def _materialize_pages(sf_dir: str, replicate: int) -> str:
+    """Pages table replicated ``replicate``× with distinct urls: the
+    scaling measurement needs enough work that per-stage fixed costs don't
+    dominate (a 5-second job measures scheduler overhead, not scaling)."""
     from pyspark.sql import functions as F
 
     from image_pdf_ocr_suite_spark.fixtures import build_pages_df
     from image_pdf_ocr_suite_spark.session import build_session
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = f"/tmp/scaling_pages_{tag}_x{REPLICATE}"
+    path = f"/tmp/scaling_pages_{tag}_x{replicate}"
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path  # deterministic synthesis — safe to reuse
     spark = build_session(app="scaling-prep", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
     base = build_pages_df(spark, sf_dir)
     out = base.withColumn("url", F.concat("url", F.lit("#r0")))
-    for r in range(1, REPLICATE):
+    for r in range(1, replicate):
         out = out.unionByName(
             base.withColumn("url", F.concat("url", F.lit(f"#r{r}"))))
     out.write.mode("overwrite").parquet(path)
@@ -67,13 +69,13 @@ def _materialize_pages(sf_dir: str) -> str:
     return path
 
 
-def _run_level(cpus: int, pages_path: str) -> dict:
+def _run_level(cpus: int, pages_path: str, runs: int = RUNS_PER_LEVEL) -> dict:
     best = None
-    for _ in range(RUNS_PER_LEVEL):
+    for _ in range(runs):
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "BENCH", "extract_once.py"),
              str(cpus), pages_path],
-            capture_output=True, text=True, cwd=REPO, timeout=1200)
+            capture_output=True, text=True, cwd=REPO, timeout=3600)
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         r = json.loads(line)
         if best is None or r["sec"] < best["sec"]:
@@ -81,26 +83,41 @@ def _run_level(cpus: int, pages_path: str) -> dict:
     return best
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
-        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    pages_path = _materialize_pages(sf_dir)
-
+def measure_corpus(sf_dir: str, replicate: int) -> dict:
+    pages_path = _materialize_pages(sf_dir, replicate)
     r_n = _run_level(N_CPUS, pages_path)
     r_4n = _run_level(N4_CPUS, pages_path)
     efficiency = round(r_4n["docs_per_sec"] / (4.0 * r_n["docs_per_sec"]), 3)
-
     result = {
         "metric": "scaling_efficiency_N_to_4N",
         "value": efficiency,
         "unit": "ratio",
+        "replicate": replicate,
         "n": r_n, "n4": r_4n,
         "sf_dir": sf_dir,
         "pass_0_8_gate": efficiency >= 0.8,
         "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+    return result
 
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    results = [measure_corpus(sf_dir, rep) for rep in REPLICATES]
+
+    rows = []
+    for res in results:
+        for lvl, r in (("N", res["n"]), ("4N", res["n4"])):
+            rows.append(f"| {res['replicate']}x ({r['n_docs']} docs) | {lvl} "
+                        f"| {r['cpus']} | {r['sec']} | {r['docs_per_sec']} |")
+    eff_lines = "\n".join(
+        f"- corpus {res['replicate']}x ({res['n']['n_docs']} docs): "
+        f"**{res['value']}** (gate >= 0.8 → "
+        f"{'PASS' if res['pass_0_8_gate'] else 'FAIL'})"
+        for res in results)
+    table = "\n".join(rows)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(md, "w") as fh:
         fh.write(f"""# BENCH/BASELINE.md — measured engine numbers
@@ -110,13 +127,13 @@ as the same extraction job (pre-materialized pages parquet at
 `{sf_dir}`, fixed 64-way task graph, fresh JVM per level) at two
 parallelism levels — the sandbox stand-in for N vs 4N executors.
 
-| level | cores | docs | wall sec | docs/sec |
+| corpus | level | cores | wall sec | docs/sec |
 |---|---|---|---|---|
-| N  | {r_n['cpus']} | {r_n['n_docs']} | {r_n['sec']} | {r_n['docs_per_sec']} |
-| 4N | {r_4n['cpus']} | {r_4n['n_docs']} | {r_4n['sec']} | {r_4n['docs_per_sec']} |
+{table}
 
-**Scaling efficiency** = throughput(4N) / (4 × throughput(N)) =
-**{efficiency}** (gate: >= 0.8 → {"PASS" if efficiency >= 0.8 else "FAIL"}).
+**Scaling efficiency** = throughput(4N) / (4 × throughput(N)):
+
+{eff_lines}
 
 Methodology: task slots are kept <= cores/2 at BOTH levels because local
 mode co-locates the JVM (shuffle + Arrow serialization) with the Python
@@ -127,8 +144,11 @@ count.  Best-of-{RUNS_PER_LEVEL} walls per level (the sandbox host shows
 up to 3x outside interference); fresh JVM per level; identical 128-task
 graph and pre-materialized input for both levels.
 
-Measured {result['measured_at']}. Reproduce: `python BENCH/run_scaling.py`.
-See repo-root `bench.py` for the full per-query suite.
+Measured {results[-1]['measured_at']}. Reproduce: `python
+BENCH/run_scaling.py` (SCALING_REPLICATES=64,200 for the 1M-doc point).
+See repo-root `bench.py` for the full per-query suite and
+`BENCH/run_skew.py` for the giant-document skew evidence (appended below
+when run).
 """)
 
 

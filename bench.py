@@ -71,26 +71,45 @@ def main() -> None:
     _force(warm.text)
     warm.unpersist()
 
-    # headline: full extraction pipeline in the production job shape
-    # (extract_job --mode all): ONE OCR pass stages the kernel rows to a
-    # table, text assembly reads the staged rows.  Spans then derive from
-    # the same staged table (pure Catalyst) — the OCR kernel never
-    # re-executes per output.
+    # headline: the production SINGLE-OUTPUT job shape (extract_job
+    # --mode text): scan -> decode/explode -> adaptive OCR -> assembly ->
+    # sink, no staging write (a one-output job has nothing to stage).
     from image_pdf_ocr_suite_spark.relational.assemble import (
         assemble_documents, emit_spans)
     staged_path = f"/tmp/bench_staged_{sf_tag}"
 
     def run_extract():
         res = extract_pages(pages_table, cfg, run_id="bench")
+        _force(res.text)
+        res.unpersist()
+    queries["ocr_extract"] = time_query(run_extract)
+
+    # the production MULTI-OUTPUT shape (extract_job --mode all): ONE OCR
+    # pass stages the kernel rows, text + spans both derive from the
+    # staged table (pure Catalyst) — the kernel never re-executes per
+    # output.  Timed as its own leg so the staging write is visible where
+    # it is actually paid, not inside the single-output headline.
+    def stage_pages():
+        res = extract_pages(pages_table, cfg, run_id="bench-staged")
         # coalesce to TWO tasks per slot (not one: a narrow coalesce merges
         # the kernel stage itself, and 2 tasks/core keeps dynamic load
         # balancing) — halves the small-file tax with zero shuffle
         res.pages.coalesce(2 * CPUS).write.mode("overwrite").parquet(staged_path)
-        _force(assemble_documents(spark.read.parquet(staged_path)))
         res.unpersist()
-    queries["ocr_extract"] = time_query(run_extract)
+
+    def run_all_staged():
+        stage_pages()
+        staged = spark.read.parquet(staged_path)
+        _force(assemble_documents(staged))
+        _force(emit_spans(
+            staged.where((F.col("kind") == "spdf") & (F.col("page") > 0)), cfg))
+    queries["ocr_all_staged"] = time_query(run_all_staged)
 
     def run_spans():
+        # incremental spans over an already-staged table (no OCR re-run);
+        # restage if a filtered/reordered run left no staged table behind
+        if not os.path.isdir(staged_path):
+            stage_pages()
         staged = spark.read.parquet(staged_path)
         _force(emit_spans(
             staged.where((F.col("kind") == "spdf") & (F.col("page") > 0)), cfg))

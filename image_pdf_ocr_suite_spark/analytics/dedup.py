@@ -230,12 +230,13 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     equal simhash (or small Hamming distance downstream).
 
     The kernel hashes each DISTINCT token of the batch exactly once
-    (factorize → md5 per unique → gather), then accumulates all bit votes
-    in two C-side passes (np.add.at over a flat token×bit matrix).  The
-    md5-hex definition is pinned by the DuckDB oracle, so the hash itself
-    can't be swapped for a numpy-implementable one — but real corpora
-    follow Zipf, so unique-per-batch hashing removes ~90% of the
-    interpreted md5 calls that dominated this stage."""
+    (factorize → md5 per unique → gather): the md5-hex definition is
+    pinned by the DuckDB oracle, so the hash can't be swapped for a
+    numpy-implementable one — but corpora follow Zipf, so unique-per-
+    batch hashing removes most of the interpreted md5 calls that
+    dominated this stage (measured ~3× on a Zipf batch; np.add.at and
+    reduceat variants over a token×bit votes matrix were REJECTED — the
+    wide-matrix memory traffic made them slower than the original)."""
     import hashlib
 
     import numpy as np
@@ -244,6 +245,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
     bit_weights = np.array([(1 << k) if k < 63 else -(1 << 63)
                             for k in range(64)], dtype=np.int64)
+    bit_idx = np.arange(64, dtype=np.uint64)
 
     def _simhash_fn(texts):
         n = len(texts)
@@ -264,13 +266,15 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             (int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big")
              for u in uniques),
             dtype=np.uint64, count=len(uniques))
-        hs = uhash[codes]
-        # per-token ±1 votes per bit, accumulated per document in C
-        votes = (((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
-                 .astype(np.int64) * 2 - 1)
-        acc = np.zeros((n, 64), dtype=np.int64)
-        np.add.at(acc, np.repeat(np.arange(n), lens), votes)
-        out = ((acc > 0) * bit_weights).sum(axis=1)
+        hs_all = uhash[codes]
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        for row in range(n):
+            s, e = offs[row], offs[row + 1]
+            if s == e:
+                continue
+            acc = (((hs_all[s:e, None] >> bit_idx) & 1)
+                   .astype(np.int64) * 2 - 1).sum(axis=0)
+            out[row] = ((acc > 0) * bit_weights).sum()
         return pd.Series(out)
 
     # real annotation objects (module uses `from __future__ import
