@@ -39,7 +39,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_CPUS, N4_CPUS = 2, 8
+# N is env-tunable so the large-corpus point can run at 4->16 cores
+# (still <= cores/2 at both levels, see methodology below) without the
+# 1M-doc leg taking 10+ minutes per run at N=2.
+N_CPUS = int(os.environ.get("SCALING_N", "2"))
+N4_CPUS = 4 * N_CPUS
 RUNS_PER_LEVEL = int(os.environ.get("SCALING_RUNS", "2"))
 REPLICATES = [int(x) for x in
               os.environ.get("SCALING_REPLICATES", "64").split(",")]
