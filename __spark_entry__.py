@@ -509,6 +509,26 @@ def q_salted_user_stats(spark, sf_dir):
                       counts=["event_id"], maxs=["value"])
 
 
+def q_asof_join_views(spark, sf_dir):
+    """As-of (backward) join: each purchase event picks up the value of
+    the most recent prior view by the same user — the union + ordered
+    last-non-null window composition (relational/asof.py), ONE shuffle on
+    the key, no range-join blow-up.  Right side pre-aggregated per
+    (user, ts) so 'latest' is well-defined; oracle = DuckDB ASOF LEFT
+    JOIN (inclusive >= semantics on equal timestamps matched by sorting
+    right rows before left at the same instant)."""
+    from image_pdf_ocr_suite_spark.relational.asof import asof_join_backward
+    e = _t(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view") \
+        .groupBy("user_id", "ts").agg(F.max("value").alias("last_view_value"))
+    buys = e.where(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    out = asof_join_backward(buys, views, keys=["user_id"],
+                             left_time="ts", right_time="ts",
+                             value_cols=["last_view_value"])
+    return out.select("event_id", "user_id", "last_view_value")
+
+
 def q_image_features(spark, sf_dir):
     """Multimodal image column: decode + typed features via the Arrow
     kernel (BMP/PGM real decoders, PNG codec seam -> err row).  The
@@ -605,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_user_stats": q_salted_user_stats,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
+        "asof_join_views": q_asof_join_views,
     }
 
 
@@ -1267,4 +1288,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_event_id,
                    MAX(value) AS max_value
             FROM events GROUP BY user_id""",
+        "asof_join_views": """
+            WITH v AS (
+                SELECT user_id, ts, MAX(value) AS last_view_value
+                FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+            b AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase')
+            SELECT b.event_id, b.user_id, v.last_view_value
+            FROM b ASOF LEFT JOIN v
+              ON b.user_id = v.user_id AND b.ts >= v.ts""",
     }

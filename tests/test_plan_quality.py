@@ -74,7 +74,9 @@ def test_ocr_stage_partitioning_is_explicit(spark, pages_parquet):
     assert re.search(r"hashpartitioning\(xxhash64\(url#\d+, page#\d+", plan), plan
 
 
-NO_ROW_LOOPS_EXEMPT = {"refmodel.py"}  # mirrors the reference's loops by design
+# refmodel/goldens mirror the reference's row-at-a-time loops by design:
+# they are the single-process oracle side, never engine code
+NO_ROW_LOOPS_EXEMPT = {"refmodel.py", "goldens.py"}
 
 
 def test_no_per_row_python_in_engine():
@@ -121,3 +123,18 @@ def test_near_dup_lsh_id_only_candidate_shuffle(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     m = re.search(r"Exchange hashpartitioning\(id_a#\d+L, id_b#\d+L", plan)
     assert m, plan
+
+
+def test_asof_join_single_exchange_no_range_join(spark):
+    """The as-of join must be union + window (one exchange on the key,
+    one sort), never a range/theta join (no BroadcastNestedLoop or
+    CartesianProduct) — the range form explodes on hot keys."""
+    plan = _plan(entrymod.q_asof_join_views(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan          # not even an equi-join
+    assert plan.count("Window") >= 1
+    # exactly one single-key exchange on user_id feeds the window (the
+    # two union legs share it); the (user_id, ts) composite exchange is
+    # the right-side dedup aggregate, not a second timeline shuffle
+    assert len(re.findall(r"hashpartitioning\(user_id#\d+L?, \d+\)", plan)) == 1
