@@ -509,6 +509,28 @@ def q_salted_user_stats(spark, sf_dir):
                       counts=["event_id"], maxs=["value"])
 
 
+def q_chunk_documents(spark, sf_dir):
+    """LM-training chunking: overlapping 50-token windows, step 40 —
+    map-only flatMap on the scan (plan-asserted), no shuffle."""
+    return textops.chunk_documents(_t(spark, sf_dir, "documents"),
+                                   chunk_tokens=50, overlap=10)
+
+
+def q_repetition_stats(spark, sf_dir):
+    """C4-style repetition quality signal: top-token share per document
+    (exact int/int ratio)."""
+    return textops.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic md5-bucket stratified sampling: corpus rebalancing
+    (keep 10% of en, 50% of ja, all else) — reproducible across runs,
+    engines, partitionings; a scan-side predicate at scale."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.stratified_sample(d, {"en": 10, "ja": 50}) \
+        .select("doc_id", "lang")
+
+
 def q_asof_join_views(spark, sf_dir):
     """As-of (backward) join: each purchase event picks up the value of
     the most recent prior view by the same user — the union + ordered
@@ -626,6 +648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "asof_join_views": q_asof_join_views,
+        "chunk_documents": q_chunk_documents,
+        "repetition_stats": q_repetition_stats,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1288,6 +1313,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_event_id,
                    MAX(value) AS max_value
             FROM events GROUP BY user_id""",
+        "chunk_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents),
+            s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+            c AS (SELECT doc_id, toks, n,
+                         unnest(CASE WHEN n >= 1 THEN range(1, n + 1, 40)
+                                     ELSE [] END) AS strt
+                  FROM s)
+            SELECT doc_id,
+                   CAST((strt - 1) // 40 AS INTEGER) AS chunk_idx,
+                   array_to_string(toks[strt:strt + 49], ' ') AS chunk_text,
+                   CAST(least(50, n - strt + 1) AS BIGINT) AS chunk_tokens
+            FROM c""",
+        "repetition_stats": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+                FROM documents),
+            per AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+            agg AS (SELECT doc_id, MAX(c) AS top_token_n, SUM(c) AS n_tokens
+                    FROM per GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(a.top_token_n, 0) AS BIGINT) AS top_token_n,
+                   COALESCE(CAST(a.top_token_n AS DOUBLE) / a.n_tokens,
+                            CAST(0 AS DOUBLE)) AS rep_ratio
+            FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                       AS INTEGER) % 100
+                  < (CASE WHEN lang = 'en' THEN 10
+                          WHEN lang = 'ja' THEN 50 ELSE 100 END)""",
         "asof_join_views": """
             WITH v AS (
                 SELECT user_id, ts, MAX(value) AS last_view_value

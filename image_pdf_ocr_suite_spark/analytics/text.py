@@ -144,6 +144,79 @@ def nfc_normalize(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), udf(F.col(text_col)).alias("nfc_text"))
 
 
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 50,
+                    overlap: int = 10) -> DataFrame:
+    """Split documents into overlapping token windows — the LM-training
+    chunking step (context-window packing happens downstream).  Pure
+    Catalyst, map-only: tokenize once into an attribute (HOF-re-eval
+    trap), generate window starts with ``sequence``, slice + join per
+    start.  (id, chunk_idx, chunk_text, chunk_tokens); empty docs emit no
+    chunks.  At scale this is a flatMap on the scan — no shuffle."""
+    assert 0 < overlap < chunk_tokens
+    step = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = df.select(F.col(id_col), toks.alias("__toks")) \
+             .select(F.col(id_col), F.col("__toks"),
+                     F.size("__toks").alias("__n"))
+    starts = F.when(
+        F.col("__n") >= 1,
+        F.sequence(F.lit(1), F.col("__n"), F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    ex = base.select(F.col(id_col), F.col("__toks"), F.col("__n"),
+                     F.explode(starts).alias("__start"))
+    return ex.select(
+        F.col(id_col),
+        ((F.col("__start") - 1) / F.lit(step)).cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__start"),
+                                 chunk_tokens)).alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - F.col("__start") + 1)
+        .cast("bigint").alias("chunk_tokens"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Repetition-ratio quality signal (C4-style): share of the document
+    occupied by its single most frequent token.  Boilerplate, navigation
+    spam, and degenerate generations score high; clean prose scores low.
+    (id, n_tokens, top_token_n, rep_ratio) — ratio is exact int/int
+    division; token-less docs report 0/0/0.0.  Two hash aggregates on
+    (id, token) then (id): partial combine keeps the shuffle at
+    distinct-token cardinality."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    tok = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+    per = tok.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    agg = per.groupBy(id_col).agg(
+        F.max("__c").alias("top_token_n"),
+        F.sum("__c").alias("n_tokens"))
+    # left join back so token-less documents keep a row
+    ids = df.select(F.col(id_col))
+    out = ids.join(agg, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("top_token_n"), F.lit(0)).cast("bigint").alias("top_token_n"),
+        F.coalesce(F.col("top_token_n").cast("double")
+                   / F.col("n_tokens"), F.lit(0.0)).alias("rep_ratio"))
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, int],
+                      strata_col: str = "lang", id_col: str = "doc_id",
+                      default_pct: int = 100) -> DataFrame:
+    """Deterministic hash-based stratified sampling — corpus rebalancing
+    (e.g. downsample dominant languages).  Keep a row iff
+    md5(id) mod 100 < pct(stratum): reproducible across runs, engines,
+    and partitionings (no RNG state), and expressible in the SQL oracle
+    (the same md5-prefix arithmetic).  ``rates`` maps stratum -> percent
+    kept.  Map-only: the decision is a scan-side predicate."""
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4),
+                    16, 10).cast("long") % 100
+    pct = F.lit(default_pct)
+    for val, p in sorted(rates.items()):
+        pct = F.when(F.col(strata_col) == val, F.lit(p)).otherwise(pct)
+    return df.where(bucket < pct)
+
+
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 8,
                         w: int = 4) -> DataFrame:

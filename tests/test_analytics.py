@@ -493,3 +493,50 @@ def test_media_fixture_closed_forms():
     assert float(s8[0, 0]) == (10 - 128) / 128
     with pytest.raises(NotImplementedError):
         multimodal.decode_wav(fixtures.wav_const(8000, 64, 1, 32, 0, audio_fmt=3))
+
+
+def test_chunk_documents_reconstructs_token_stream(spark):
+    from image_pdf_ocr_suite_spark.analytics import text as textops
+    rows = [(0, " ".join(f"t{i}" for i in range(95))),   # 2 windows + tail
+            (1, "short doc"), (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = textops.chunk_documents(df, chunk_tokens=50, overlap=10).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sorted(by_doc) == [0, 1]                      # empty/null: no chunks
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in c0] == [0, 1, 2]
+    assert c0[0]["chunk_tokens"] == 50 and c0[2]["chunk_tokens"] == 95 - 80
+    # overlap contract: chunk i starts at token i*40
+    toks = rows[0][1].split()
+    for r in c0:
+        start = r["chunk_idx"] * 40
+        assert r["chunk_text"] == " ".join(toks[start:start + 50])
+    assert by_doc[1][0]["chunk_text"] == "short doc"
+
+
+def test_repetition_stats_flags_degenerate_text(spark):
+    from image_pdf_ocr_suite_spark.analytics import text as textops
+    rows = [(0, "spam spam spam spam ham"), (1, "all tokens here differ"),
+            (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.repetition_stats(df).collect()}
+    assert got[0]["rep_ratio"] == 4 / 5 and got[0]["top_token_n"] == 4
+    assert got[1]["rep_ratio"] == 1 / 4
+    assert got[2]["n_tokens"] == 0 and got[2]["rep_ratio"] == 0.0
+    assert got[3]["n_tokens"] == 0
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    from image_pdf_ocr_suite_spark.analytics import text as textops
+    rows = [(i, "x", "en" if i % 2 == 0 else "ja") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept1 = {r["doc_id"] for r in
+             textops.stratified_sample(df, {"en": 10, "ja": 50}).collect()}
+    kept2 = {r["doc_id"] for r in textops.stratified_sample(
+        df.repartition(13), {"en": 10, "ja": 50}).collect()}
+    assert kept1 == kept2                                 # partition-invariant
+    en = sum(1 for d in kept1 if d % 2 == 0) / 1000
+    ja = sum(1 for d in kept1 if d % 2 == 1) / 1000
+    assert 0.05 < en < 0.16 and 0.42 < ja < 0.58

@@ -138,3 +138,14 @@ def test_asof_join_single_exchange_no_range_join(spark):
     # two union legs share it); the (user_id, ts) composite exchange is
     # the right-side dedup aggregate, not a second timeline shuffle
     assert len(re.findall(r"hashpartitioning\(user_id#\d+L?, \d+\)", plan)) == 1
+
+
+def test_chunk_documents_is_map_only(spark):
+    """Chunking must be a flatMap on the scan — zero exchanges."""
+    plan = _plan(entrymod.q_chunk_documents(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_is_scan_side_predicate(spark):
+    plan = _plan(entrymod.q_stratified_sample(spark, SF_DIR))
+    assert "Exchange" not in plan
