@@ -91,6 +91,22 @@ def q_searchable_pdf(spark, sf_dir):
     return out.select("url", "n_pages", F.length("pdf").alias("pdf_bytes"))
 
 
+def q_searchable_pdf_stats(spark, sf_dir):
+    """P2 sink made hash-checkable: emit real searchable PDFs, then parse
+    them back with the INDEPENDENT structural reader (kernels/pdfverify.py
+    — trailer → xref → objects → streams, per the PDF 1.4 spec, no writer
+    internals) and return (url, n_pages, n_text_ops).  Oracle = golden
+    facts from the payload page count + the span-model word list filtered
+    to WinAnsi-encodable text.  A wrong page tree, a lost word, or a
+    visible (non-``3 Tr``) text layer all hash-mismatch."""
+    from image_pdf_ocr_suite_spark.goldens import SEARCHABLE_LIMIT
+    from image_pdf_ocr_suite_spark.kernels.pdfsink import emit_searchable_pdfs
+    from image_pdf_ocr_suite_spark.kernels.pdfverify import searchable_pdf_stats
+    pdfs = emit_searchable_pdfs(
+        build_pages_df(spark, sf_dir, limit=SEARCHABLE_LIMIT), CFG)
+    return searchable_pdf_stats(pdfs)
+
+
 def q_images_to_pdf(spark, sf_dir):
     """P3 parity (create_searchable_pdf_from_images, ocr.py:596-716):
     max-extent canvas -> E5 normalize -> OCR -> one PDF per group."""
@@ -596,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_text": q_html_main_text,
         "payload_metadata": q_payload_metadata,
         "searchable_pdf": q_searchable_pdf,
+        "searchable_pdf_stats": q_searchable_pdf_stats,
         "images_to_pdf": q_images_to_pdf,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -938,6 +955,7 @@ def _golden_oracles() -> dict[str, str]:
         "html_main_text": "url, extracted_text",
         "payload_metadata": ("url, kind, n_pages, max_width, max_height, "
                              "n_words, payload_bytes"),
+        "searchable_pdf_stats": "url, n_pages, n_text_ops",
     }
     return {
         name: f"SELECT {cols[name]} FROM read_parquet('{golden_path(name)}')"

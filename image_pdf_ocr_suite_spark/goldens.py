@@ -52,7 +52,21 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file
                           "golden")
 
 GOLDEN_QUERIES = ("ocr_extract_text", "ocr_spans", "ocr_quarantine",
-                  "html_main_text", "payload_metadata")
+                  "html_main_text", "payload_metadata",
+                  "searchable_pdf_stats")
+
+# q_searchable_pdf_stats builds its input with build_pages_df(limit=...)
+SEARCHABLE_LIMIT = 100
+
+
+def _cp1252_ok(s: str) -> bool:
+    """The PDF sink's documented per-word encode-skip (WinAnsi font;
+    ≈ the reference's per-word RuntimeError swallow, ocr.py:509-511)."""
+    try:
+        s.encode("cp1252")
+        return True
+    except UnicodeEncodeError:
+        return False
 
 
 def golden_html_main_text(doc_id: int, text: str) -> str:
@@ -151,6 +165,7 @@ def build_golden_frames(sf_dir: str, cfg: ExtractConfig | None = None
     quar_rows: list[tuple] = []
     html_rows: list[tuple] = []
     meta_rows: list[tuple] = []
+    pdf_rows: list[tuple] = []
 
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
         doc_id = int(doc_id)
@@ -195,10 +210,18 @@ def build_golden_frames(sf_dir: str, cfg: ExtractConfig | None = None
             continue
         if not doc.pages:
             text_rows.append((url, EMPTY_DOC_TEXT, 0, "spdf"))
+            if doc_id < SEARCHABLE_LIMIT:
+                pdf_rows.append((url, 0, 0))
             continue
         text_rows.append((url, refmodel.extract_text(payload, cfg),
                           len(doc.pages), "spdf"))
-        span_rows.extend(golden_doc_spans(url, payload, cfg))
+        doc_spans = golden_doc_spans(url, payload, cfg)
+        span_rows.extend(doc_spans)
+        if doc_id < SEARCHABLE_LIMIT:
+            # what the P2 sink must render: the span word list minus
+            # WinAnsi-unencodable text (the documented encode-skip)
+            pdf_rows.append((url, len(doc.pages),
+                             sum(1 for sp in doc_spans if _cp1252_ok(sp[11]))))
 
     return {
         "ocr_extract_text": pd.DataFrame(
@@ -214,6 +237,8 @@ def build_golden_frames(sf_dir: str, cfg: ExtractConfig | None = None
         "payload_metadata": pd.DataFrame(
             meta_rows, columns=["url", "kind", "n_pages", "max_width",
                                 "max_height", "n_words", "payload_bytes"]),
+        "searchable_pdf_stats": pd.DataFrame(
+            pdf_rows, columns=["url", "n_pages", "n_text_ops"]),
     }
 
 
@@ -234,6 +259,8 @@ def _arrow_schemas():
         "payload_metadata": pa.schema([
             ("url", s), ("kind", s), ("n_pages", i32), ("max_width", i32),
             ("max_height", i32), ("n_words", i64), ("payload_bytes", i64)]),
+        "searchable_pdf_stats": pa.schema([
+            ("url", s), ("n_pages", i32), ("n_text_ops", i64)]),
     }
 
 
