@@ -116,6 +116,21 @@ def q_images_to_pdf(spark, sf_dir):
     return out.select("group", "n_images", F.length("pdf").alias("pdf_bytes"))
 
 
+def q_images_to_pdf_stats(spark, sf_dir):
+    """P3 sink made hash-checkable, same pattern as searchable_pdf_stats:
+    parse the per-group PDFs back with the independent structural reader;
+    golden recomputes canvas/normalize/adaptive/render-filter facts
+    single-process without the PDF writer."""
+    from image_pdf_ocr_suite_spark.fixtures import build_images_df
+    from image_pdf_ocr_suite_spark.goldens import IMAGES_GROUPS, IMAGES_LIMIT
+    from image_pdf_ocr_suite_spark.kernels.images import images_to_searchable_pdf
+    from image_pdf_ocr_suite_spark.kernels.pdfverify import searchable_pdf_stats
+    pdfs = images_to_searchable_pdf(
+        build_images_df(spark, sf_dir, limit=IMAGES_LIMIT,
+                        n_groups=IMAGES_GROUPS), CFG)
+    return searchable_pdf_stats(pdfs, url_col="group")
+
+
 def q_conf_avg_valid(spark, sf_dir):
     """§2.2 average-confidence aggregate (ocr.py:90-102) over events.value."""
     e = _t(spark, sf_dir, "events")
@@ -614,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "searchable_pdf": q_searchable_pdf,
         "searchable_pdf_stats": q_searchable_pdf_stats,
         "images_to_pdf": q_images_to_pdf,
+        "images_to_pdf_stats": q_images_to_pdf_stats,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -956,6 +972,7 @@ def _golden_oracles() -> dict[str, str]:
         "payload_metadata": ("url, kind, n_pages, max_width, max_height, "
                              "n_words, payload_bytes"),
         "searchable_pdf_stats": "url, n_pages, n_text_ops",
+        "images_to_pdf_stats": '"group", n_pages, n_text_ops',
     }
     return {
         name: f"SELECT {cols[name]} FROM read_parquet('{golden_path(name)}')"

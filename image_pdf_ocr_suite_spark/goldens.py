@@ -53,7 +53,7 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file
 
 GOLDEN_QUERIES = ("ocr_extract_text", "ocr_spans", "ocr_quarantine",
                   "html_main_text", "payload_metadata",
-                  "searchable_pdf_stats")
+                  "searchable_pdf_stats", "images_to_pdf_stats")
 
 # q_searchable_pdf_stats builds its input with build_pages_df(limit=...)
 SEARCHABLE_LIMIT = 100
@@ -152,6 +152,62 @@ def golden_doc_spans(url: str, payload_bytes: bytes,
     return spans
 
 
+# q_images_to_pdf* build their input with build_images_df(limit=..., 8 groups)
+IMAGES_LIMIT, IMAGES_GROUPS = 80, 8
+
+
+def _rendered_word_count(frame: pd.DataFrame, cfg: ExtractConfig) -> int:
+    """Words the P2/P3 invisible text layer must contain, per the
+    reference semantics (conf>=50 filter, strip-empty skip, NaN
+    coordinate guard, ocr.py:487-511) plus the WinAnsi encode-skip."""
+    filtered = refmodel.filter_frame_by_confidence(
+        frame, cfg.render_conf_threshold)
+    filtered = filtered[filtered["level"] == 5]
+    n = 0
+    for _, row in filtered.iterrows():
+        text = str(row.get("text", "")).strip()
+        if not text or not _cp1252_ok(text):
+            continue
+        try:
+            vals = (float(row["left"]), float(row["top"]), float(row["height"]))
+        except (TypeError, ValueError):
+            continue
+        if any(math.isnan(v) for v in vals):
+            continue
+        n += 1
+    return n
+
+
+def golden_images_stats(sf_dir: str, cfg: ExtractConfig | None = None
+                        ) -> pd.DataFrame:
+    """Independent single-process model of the P3 flow's observable PDF
+    facts: per group, the max-extent canvas, E5 normalization, adaptive
+    OCR and render filters — everything EXCEPT the PDF writer, whose
+    output the Spark query parses back structurally."""
+    cfg = cfg or ExtractConfig()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    docs = docs[docs["doc_id"] < IMAGES_LIMIT]
+    groups: dict[str, list] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        doc_id = int(doc_id)
+        page = fixtures.build_document(doc_id, text or "").pages[0]
+        groups.setdefault(f"grp{doc_id % IMAGES_GROUPS}", []).append(page)
+    rows = []
+    for g in sorted(groups):
+        pages = groups[g]
+        cw = max(p.width_px for p in pages)
+        ch = max(p.height_px for p in pages)
+        ops = 0
+        for page in pages:
+            norm = backends.normalize_for_canvas(
+                backends.rasterize(page), cw, ch)
+            result = refmodel.perform_adaptive_ocr(norm, cfg)
+            ops += _rendered_word_count(result.frame, cfg)
+        rows.append((g, len(pages), ops))
+    return pd.DataFrame(rows, columns=["group", "n_pages", "n_text_ops"])
+
+
 def build_golden_frames(sf_dir: str, cfg: ExtractConfig | None = None
                         ) -> dict[str, pd.DataFrame]:
     """Single-process golden outputs for every flagship query over the
@@ -239,6 +295,7 @@ def build_golden_frames(sf_dir: str, cfg: ExtractConfig | None = None
                                 "max_height", "n_words", "payload_bytes"]),
         "searchable_pdf_stats": pd.DataFrame(
             pdf_rows, columns=["url", "n_pages", "n_text_ops"]),
+        "images_to_pdf_stats": golden_images_stats(sf_dir, cfg),
     }
 
 
@@ -261,6 +318,8 @@ def _arrow_schemas():
             ("max_height", i32), ("n_words", i64), ("payload_bytes", i64)]),
         "searchable_pdf_stats": pa.schema([
             ("url", s), ("n_pages", i32), ("n_text_ops", i64)]),
+        "images_to_pdf_stats": pa.schema([
+            ("group", s), ("n_pages", i32), ("n_text_ops", i64)]),
     }
 
 

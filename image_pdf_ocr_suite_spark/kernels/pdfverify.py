@@ -111,7 +111,7 @@ def searchable_pdf_stats(pdf_df, pdf_col: str = "pdf", url_col: str = "url"):
                 except PdfStructureError:
                     rows.append((url, -1, -1))
             if rows:
-                yield pd.DataFrame(rows, columns=["url", "n_pages", "n_text_ops"])
+                yield pd.DataFrame(rows, columns=[url_col, "n_pages", "n_text_ops"])
 
     return pdf_df.select(url_col, pdf_col).mapInPandas(
-        kernel, schema="url string, n_pages int, n_text_ops bigint")
+        kernel, schema=f"{url_col} string, n_pages int, n_text_ops bigint")
