@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from image_pdf_ocr_suite_spark import ExtractConfig, extract_pages
-from image_pdf_ocr_suite_spark.analytics import dedup, multimodal, similarity, text as textops
+from image_pdf_ocr_suite_spark.analytics import corpusprep, dedup, multimodal, similarity, text as textops
 from image_pdf_ocr_suite_spark.fixtures import build_pages_df
 
 CFG = ExtractConfig()
@@ -618,6 +618,86 @@ def q_join_agg_segment(spark, sf_dir):
         F.min("o_totalprice").alias("min_price"))
 
 
+def _synth_url_expr():
+    """Deterministic messy-URL column derived from doc_id (the driver
+    tables carry no URL column): mixed-case scheme/host, www. prefix, and
+    a query string / fragment / trailing slash depending on doc_id mod —
+    spelled identically in the DuckDB oracle."""
+    i = F.col("doc_id")
+    s = i.cast("string")
+    return F.concat(
+        F.lit("HTTPS://WWW.Site"), (i % 37).cast("string"),
+        F.lit(".Example.com/Docs/"), s,
+        F.when(i % 3 == 0, F.concat(F.lit("/?utm_source=x&id="), s))
+         .when(i % 5 == 0, F.lit("#top"))
+         .otherwise(F.lit("/")))
+
+
+def _synth_pii_expr():
+    """Deterministic PII-bearing text: append an email / phone / IPv4
+    clause for doc_id mod 7 / 11 / 13 — same spelling in the oracle."""
+    i = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(i % 7 == 0, F.concat(F.lit(" Contact user"), i.cast("string"),
+                                    F.lit("@mail.example.com now.")))
+         .otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.concat(
+            F.lit(" Call +1-415-555-"),
+            F.lpad((i % 10000).cast("string"), 4, "0"), F.lit(" today.")))
+         .otherwise(F.lit("")),
+        F.when(i % 13 == 0, F.concat(
+            F.lit(" Origin 10.0."), (i % 256).cast("string"), F.lit("."),
+            (i % 250).cast("string"), F.lit(" logged.")))
+         .otherwise(F.lit("")))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination: corpus docs sharing any word 5-gram with
+    the held-out slice (doc_id % 97 == 0).  Production default is the
+    GPT-3 13-gram rule; n=5 here because the synthetic corpus has no
+    13-gram collisions beyond self-hits.  md5-keyed broadcast probe —
+    the shuffle never carries text (analytics/corpusprep.py)."""
+    d = _t(spark, sf_dir, "documents")
+    test = d.where(F.col("doc_id") % 97 == 0)
+    return corpusprep.decontaminate_ngrams(d, test, n=5)
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (lowercase scheme+host, strip www./query/
+    fragment/trailing slash) over a deterministic synthesized URL column.
+    Map-only projection."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_expr().alias("url"))
+    return corpusprep.canonicalize_urls(d)
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain crawl stats (doc count, distinct canonical URLs) over
+    the canonicalized synthetic URLs — crawl-budget accounting."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_expr().alias("url"))
+    return corpusprep.domain_stats(corpusprep.canonicalize_urls(d))
+
+
+def q_pii_redaction(spark, sf_dir):
+    """C4-style PII redaction (email/phone/IPv4 → typed placeholders +
+    per-category counts) over text with deterministically injected PII.
+    Map-only; identical RE2-safe regexes in the oracle."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_pii_expr().alias("text"))
+    return corpusprep.redact_pii(d)
+
+
+def q_line_dedup(spark, sf_dir):
+    """Cross-corpus exact line dedup stats: first occurrence of each
+    distinct 8-token pseudo-line wins; per-doc (n_lines, n_kept).  The
+    window shuffle carries (id, line_no, md5) only."""
+    lines = corpusprep.split_token_lines(
+        _t(spark, sf_dir, "documents"), tokens_per_line=8)
+    return corpusprep.line_dedup_stats(lines)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship extraction (non-SQL kernels → rows-only checks)
@@ -684,6 +764,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
+        "decontaminate": q_decontaminate,
+        "url_canonicalize": q_url_canonicalize,
+        "domain_stats": q_domain_stats,
+        "pii_redaction": q_pii_redaction,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -978,6 +1063,40 @@ def _golden_oracles() -> dict[str, str]:
         name: f"SELECT {cols[name]} FROM read_parquet('{golden_path(name)}')"
         for name in GOLDEN_QUERIES
     }
+
+
+# Synthesized-input CTEs shared by the corpus-prep oracles: must spell the
+# exact expressions of _synth_url_expr / _synth_pii_expr.
+_URL_ORACLE_CTE = """
+    WITH u AS (
+        SELECT doc_id,
+               'HTTPS://WWW.Site' || CAST(doc_id % 37 AS VARCHAR)
+                 || '.Example.com/Docs/' || CAST(doc_id AS VARCHAR)
+                 || (CASE WHEN doc_id % 3 = 0
+                          THEN '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 5 = 0 THEN '#top'
+                          ELSE '/' END) AS url
+        FROM documents)"""
+
+_PII_ORACLE_CTE = """
+    WITH p AS (
+        SELECT doc_id,
+               text
+                 || (CASE WHEN doc_id % 7 = 0
+                          THEN ' Contact user' || CAST(doc_id AS VARCHAR)
+                               || '@mail.example.com now.'
+                          ELSE '' END)
+                 || (CASE WHEN doc_id % 11 = 0
+                          THEN ' Call +1-415-555-'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                               || ' today.'
+                          ELSE '' END)
+                 || (CASE WHEN doc_id % 13 = 0
+                          THEN ' Origin 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                               || '.' || CAST(doc_id % 250 AS VARCHAR)
+                               || ' logged.'
+                          ELSE '' END) AS text
+        FROM documents)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1393,4 +1512,102 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.event_id, b.user_id, v.last_view_value
             FROM b ASOF LEFT JOIN v
               ON b.user_id = v.user_id AND b.ts >= v.ts""",
+        # -- corpus-prep operators (analytics/corpusprep.py) ---------------
+        "decontaminate": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x != '') AS toks
+                FROM documents),
+            g0 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(toks) - 4, 0) + 1),
+                           i -> md5(array_to_string(toks[i:i+4], ' ')))) AS h
+                FROM tok),
+            g AS (SELECT DISTINCT doc_id, h FROM g0),
+            t AS (SELECT DISTINCT h FROM g0 WHERE doc_id % 97 = 0)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM g JOIN t USING (h) GROUP BY doc_id""",
+        "url_canonicalize": _URL_ORACLE_CTE + """
+            SELECT doc_id,
+                   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                     || '://'
+                     || regexp_replace(lower(regexp_extract(url,
+                            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                            '^www\\.', '')
+                     || regexp_replace(regexp_extract(url,
+                            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                            '/+$', '') AS url_canon,
+                   regexp_replace(lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                       '^www\\.', '') AS domain
+            FROM u""",
+        "domain_stats": _URL_ORACLE_CTE + """,
+            canon AS (
+                SELECT doc_id,
+                       lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                         || '://'
+                         || regexp_replace(lower(regexp_extract(url,
+                                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                                '^www\\.', '')
+                         || regexp_replace(regexp_extract(url,
+                                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                                '/+$', '') AS url_canon,
+                       regexp_replace(lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                           '^www\\.', '') AS domain
+                FROM u)
+            SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT url_canon) AS BIGINT) AS n_urls
+            FROM canon GROUP BY domain""",
+        "pii_redaction": _PII_ORACLE_CTE + """,
+            p1 AS (
+                SELECT doc_id, text,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                FROM p),
+            p2 AS (
+                SELECT doc_id, text, t1,
+                       regexp_replace(t1,
+                           '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b',
+                           '<IP>', 'g') AS t2
+                FROM p1)
+            SELECT doc_id,
+                   regexp_replace(t2,
+                       '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}',
+                       '<PHONE>', 'g') AS redacted_text,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(t2,
+                       '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+                       AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(t1,
+                       '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b'))
+                       AS BIGINT) AS n_ip
+            FROM p2""",
+        "line_dedup": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x != '') AS toks
+                FROM documents),
+            l0 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(toks), 0) + 1, 8),
+                           i -> CAST((i - 1) // 8 AS INTEGER))) AS line_no,
+                       unnest(list_transform(
+                           range(1, greatest(len(toks), 0) + 1, 8),
+                           i -> md5(array_to_string(toks[i:i+7], ' ')))) AS h
+                FROM tok),
+            r AS (
+                SELECT doc_id, line_no, h,
+                       row_number() OVER (PARTITION BY h
+                                          ORDER BY doc_id, line_no) AS rn
+                FROM l0)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept
+            FROM r GROUP BY doc_id""",
     }

@@ -1,0 +1,177 @@
+"""Corpus-preparation operators for web-scale training-data pipelines.
+
+The pre-training hygiene steps that sit between raw extracted text and
+tokenization: held-out test-set decontamination (GPT-3/PaLM-style n-gram
+overlap), URL canonicalization + per-domain statistics, C4-style PII
+redaction, and cross-corpus line-level deduplication (the CCNet/RefinedWeb
+boilerplate-line killer).
+
+All pure Catalyst (whole-stage codegen, no Python), each replicable in
+ANSI SQL for the DuckDB oracle.  Scale notes per operator below — the
+common theme is that every shuffle key is a fixed-width digest, never the
+document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Java-regex / RE2 compatible PII patterns (no backreferences, no \d
+# shorthand — explicit classes behave identically in both engines).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+IPV4_RE = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+
+def _token_array(text_col: str):
+    return F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+
+
+def _ngram_hashes(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, __h) rows: md5 of every word ``n``-gram.  The token array is
+    materialized as an attribute first so the higher-order lambda reads it
+    instead of re-splitting per position (HOF re-eval trap)."""
+    base = (df.select(F.col(id_col), _token_array(text_col).alias("__toks"))
+              .select(F.col(id_col), F.col("__toks"),
+                      F.size("__toks").alias("__n")))
+    grams = F.when(
+        F.col("__n") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.col("__n") - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, n)))),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(F.col(id_col), F.explode(grams).alias("__h"))
+
+
+def decontaminate_ngrams(corpus: DataFrame, test: DataFrame, n: int = 13,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         broadcast_test: bool = True) -> DataFrame:
+    """Test-set decontamination: flag every corpus document sharing at
+    least one word ``n``-gram with a held-out evaluation set (the GPT-3
+    13-gram rule).  Returns ``(id, n_shared)`` where ``n_shared`` counts
+    the DISTINCT contaminating n-grams.
+
+    Scale shape: both sides hash n-grams to md5 (fixed 32-char key — the
+    shuffle never carries document text); the test-set gram list is tiny
+    relative to the corpus, so it broadcasts and the corpus side is a
+    map-only probe followed by one count aggregate on ``id``.  Set
+    ``broadcast_test=False`` to fall back to a shuffle hash join when the
+    held-out set is itself large."""
+    cg = _ngram_hashes(corpus, n, text_col, id_col).distinct()
+    tg = _ngram_hashes(test, n, text_col, id_col).select("__h").distinct()
+    if broadcast_test:
+        tg = F.broadcast(tg)
+    return (cg.join(tg, "__h")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared")))
+
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url",
+                      id_col: str = "doc_id") -> DataFrame:
+    """URL canonicalization for crawl dedup/grouping: lowercase the scheme
+    and host, strip a leading ``www.``, drop query string and fragment,
+    strip trailing slashes from the path.  Returns
+    ``(id, url_canon, domain)``.  Map-only — a projection on the scan; at
+    100 TB this runs at scan parallelism with zero data movement."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, _HOST_RE, 1)), "^www\\.", "")
+    path = F.regexp_replace(F.regexp_extract(u, _PATH_RE, 1), "/+$", "")
+    return df.select(
+        F.col(id_col),
+        F.concat(scheme, F.lit("://"), host, path).alias("url_canon"),
+        host.alias("domain"))
+
+
+def domain_stats(canon: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-domain crawl statistics over canonicalized URLs: document count
+    and distinct canonical URLs.  One hash aggregate on ``domain`` with
+    map-side partial combine; the countDistinct expands to a two-phase
+    aggregate on (domain, url_canon) — both keyed on short strings."""
+    return canon.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("url_canon").cast("bigint").alias("n_urls"))
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """C4-style PII redaction: replace emails, IPv4 addresses, and
+    international-format phone numbers with typed placeholder tokens, and
+    count each category (the counts feed corpus quality dashboards).
+    Replacement order matters — emails first (their local parts can
+    contain digit runs), then IPs, then phones.  Returns
+    ``(id, redacted_text, n_email, n_phone, n_ip)``.  Map-only projection;
+    all three patterns are RE2-safe so the oracle uses the identical
+    regex strings."""
+    t = F.col(text_col)
+    # counts run against the PREVIOUS redaction stage so a digits-and-dots
+    # email local part is counted once as email, never again as an IP
+    red1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    red2 = F.regexp_replace(red1, IPV4_RE, "<IP>")
+    staged = df.select(F.col(id_col), t.alias("__t0"),
+                       red1.alias("__t1"), red2.alias("__t2"))
+    return staged.select(
+        F.col(id_col),
+        F.regexp_replace(F.col("__t2"), PHONE_RE, "<PHONE>")
+         .alias("redacted_text"),
+        F.regexp_count(F.col("__t0"), F.lit(EMAIL_RE))
+         .cast("bigint").alias("n_email"),
+        F.regexp_count(F.col("__t2"), F.lit(PHONE_RE))
+         .cast("bigint").alias("n_phone"),
+        F.regexp_count(F.col("__t1"), F.lit(IPV4_RE))
+         .cast("bigint").alias("n_ip"))
+
+
+def split_token_lines(df: DataFrame, tokens_per_line: int = 8,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Segment documents into fixed-width pseudo-lines of
+    ``tokens_per_line`` tokens — the line source for corpora whose
+    extraction collapsed newlines (this repo's OCR text assembly joins
+    lines with spaces).  Real newline-delimited corpora can feed
+    ``line_dedup_stats`` directly via ``posexplode(split(text, '\\n'))``.
+    Map-only flatMap on the scan."""
+    base = (df.select(F.col(id_col), _token_array(text_col).alias("__toks"))
+              .select(F.col(id_col), F.col("__toks"),
+                      F.size("__toks").alias("__n")))
+    starts = F.when(
+        F.col("__n") >= 1,
+        F.sequence(F.lit(1), F.col("__n"), F.lit(tokens_per_line)),
+    ).otherwise(F.array().cast("array<int>"))
+    ex = base.select(F.col(id_col), F.col("__toks"),
+                     F.explode(starts).alias("__start"))
+    return ex.select(
+        F.col(id_col),
+        ((F.col("__start") - 1) / F.lit(tokens_per_line))
+        .cast("int").alias("line_no"),
+        F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__start"),
+                                 tokens_per_line)).alias("line"))
+
+
+def line_dedup_stats(lines: DataFrame, id_col: str = "doc_id",
+                     line_no_col: str = "line_no",
+                     line_col: str = "line") -> DataFrame:
+    """Cross-corpus exact line-level dedup (CCNet/RefinedWeb): every
+    distinct line keeps exactly its FIRST occurrence — minimal
+    ``(id, line_no)`` — and every other occurrence is a drop.  Returns
+    per-document ``(id, n_lines, n_kept)``; heavily boilerplate documents
+    show ``n_kept << n_lines``.
+
+    Scale shape: the line text is digested to md5 BEFORE the shuffle, so
+    the exchange carries ``(id, line_no, 16-byte hash)`` rows only — never
+    line bodies.  One window shuffle on the hash (rank-1 = keeper), then a
+    per-document hash aggregate."""
+    slim = lines.select(F.col(id_col), F.col(line_no_col),
+                        F.md5(F.col(line_col)).alias("__h"))
+    w = Window.partitionBy("__h").orderBy(id_col, line_no_col)
+    ranked = slim.withColumn("__r", F.row_number().over(w))
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("__r") == 1, 1).otherwise(0))
+         .cast("bigint").alias("n_kept"))
