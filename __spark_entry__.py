@@ -689,6 +689,15 @@ def q_pii_redaction(spark, sf_dir):
     return corpusprep.redact_pii(d)
 
 
+def q_pack_chunks(spark, sf_dir):
+    """Context-window packing over the 50/10 chunk stream: 256-token bins
+    in 8 md5 shards — per-shard running-sum window (never a global
+    single-partition window), one shuffle + one aggregate."""
+    chunks = textops.chunk_documents(_t(spark, sf_dir, "documents"),
+                                     chunk_tokens=50, overlap=10)
+    return corpusprep.pack_chunks(chunks, capacity=256, n_shards=8)
+
+
 def q_line_dedup(spark, sf_dir):
     """Cross-corpus exact line dedup stats: first occurrence of each
     distinct 8-token pseudo-line wins; per-doc (n_lines, n_kept).  The
@@ -769,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "pii_redaction": q_pii_redaction,
         "line_dedup": q_line_dedup,
+        "pack_chunks": q_pack_chunks,
     }
 
 
@@ -1587,6 +1597,35 @@ def oracle_sql() -> dict[str, str]:
                        '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b'))
                        AS BIGINT) AS n_ip
             FROM p2""",
+        "pack_chunks": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents),
+            s AS (SELECT doc_id, len(toks) AS n FROM t),
+            c AS (SELECT doc_id, n,
+                         unnest(CASE WHEN n >= 1 THEN range(1, n + 1, 40)
+                                     ELSE [] END) AS strt
+                  FROM s),
+            ch AS (SELECT doc_id,
+                          CAST((strt - 1) // 40 AS INTEGER) AS chunk_idx,
+                          CAST(least(50, n - strt + 1) AS BIGINT) AS chunk_tokens
+                   FROM c),
+            sh AS (SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 4) AS INTEGER) % 8 AS BIGINT) AS shard,
+                          doc_id, chunk_idx, chunk_tokens
+                   FROM ch),
+            b AS (SELECT shard, chunk_tokens,
+                         SUM(chunk_tokens) OVER (
+                             PARTITION BY shard ORDER BY doc_id, chunk_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - chunk_tokens AS tokens_before
+                  FROM sh)
+            SELECT shard, CAST(tokens_before // 256 AS BIGINT) AS bin_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(chunk_tokens) AS BIGINT) AS n_tokens,
+                   CAST(SUM(chunk_tokens) AS DOUBLE) / 256.0 AS fill_ratio
+            FROM b GROUP BY shard, bin_id""",
         "line_dedup": """
             WITH tok AS (
                 SELECT doc_id,

@@ -154,6 +154,41 @@ def split_token_lines(df: DataFrame, tokens_per_line: int = 8,
                                  tokens_per_line)).alias("line"))
 
 
+def pack_chunks(chunks: DataFrame, capacity: int = 256, n_shards: int = 32,
+                id_col: str = "doc_id", idx_col: str = "chunk_idx",
+                tok_col: str = "chunk_tokens") -> DataFrame:
+    """Context-window packing (concat-and-split): lay chunks end to end in
+    the deterministic ``(id, chunk_idx)`` order and cut fixed-capacity
+    training bins — each chunk lands in the bin where its starting offset
+    falls (``floor(tokens_before / capacity)``); the downstream tokenizer
+    splits exactly at bin boundaries.  Returns per-bin
+    ``(shard, bin_id, n_chunks, n_tokens, fill_ratio)``.
+
+    Packing is per-shard (``md5(id) % n_shards``) rather than global: a
+    global running sum is a single-partition window — a non-starter at
+    100 TB — while shards pack independently at cluster parallelism and
+    the assignment stays deterministic across runs/engines/partitionings.
+    One shuffle on ``shard`` (window), then a hash aggregate."""
+    ids = F.col(id_col).cast("string")
+    shard = (F.conv(F.substring(F.md5(ids), 1, 4), 16, 10).cast("long")
+             % n_shards).alias("shard")
+    base = chunks.select(shard, F.col(id_col), F.col(idx_col),
+                         F.col(tok_col))
+    w = (Window.partitionBy("shard").orderBy(id_col, idx_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(tok_col).over(w)
+    binned = base.select(
+        F.col("shard"),
+        ((cum - F.col(tok_col)) / F.lit(capacity)).cast("long")
+        .alias("bin_id"),
+        F.col(tok_col))
+    return binned.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(tok_col).cast("bigint").alias("n_tokens"),
+        (F.sum(tok_col).cast("double") / F.lit(float(capacity)))
+        .alias("fill_ratio"))
+
+
 def line_dedup_stats(lines: DataFrame, id_col: str = "doc_id",
                      line_no_col: str = "line_no",
                      line_col: str = "line") -> DataFrame:

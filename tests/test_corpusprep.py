@@ -111,6 +111,41 @@ def test_redact_pii_is_map_only(spark):
     assert "Exchange" not in plan
 
 
+# -- context-window packing -------------------------------------------------
+
+def test_pack_chunks_bin_assignment(spark):
+    # single shard (n_shards=1): pure sequential packing semantics
+    rows = [(0, 0, 100), (0, 1, 100), (0, 2, 100),  # bins 0,0,0 (starts 0,100,200)
+            (1, 0, 100), (1, 1, 50)]                # starts 300,400 -> bins 1,1
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx int, chunk_tokens long")
+    out = {(r["shard"], r["bin_id"]): (r["n_chunks"], r["n_tokens"], r["fill_ratio"])
+           for r in corpusprep.pack_chunks(chunks, capacity=256,
+                                           n_shards=1).collect()}
+    assert out == {(0, 0): (3, 300, 300 / 256.0), (0, 1): (2, 150, 150 / 256.0)}
+
+
+def test_pack_chunks_deterministic_across_partitionings(spark):
+    rows = [(i, j, 30 + (i * 7 + j) % 40) for i in range(20) for j in range(3)]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx int, chunk_tokens long")
+    a = sorted(map(tuple, corpusprep.pack_chunks(chunks, 128, 4).collect()))
+    b = sorted(map(tuple, corpusprep.pack_chunks(
+        chunks.repartition(13), 128, 4).collect()))
+    assert a == b and len(a) > 4
+
+
+def test_pack_chunks_no_global_window(spark):
+    chunks = spark.createDataFrame(
+        [(0, 0, 10)], "doc_id long, chunk_idx int, chunk_tokens long")
+    plan = corpusprep.pack_chunks(chunks, 256, 8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # window partitions on shard — never SinglePartition (the global-cumsum
+    # trap that serializes at scale)
+    assert "Exchange hashpartitioning(shard" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
 # -- line-level dedup -------------------------------------------------------
 
 def test_split_token_lines_shape(spark):
