@@ -57,11 +57,14 @@ def decontaminate_ngrams(corpus: DataFrame, test: DataFrame, n: int = 13,
     map-only probe followed by one count aggregate on ``id``.  Set
     ``broadcast_test=False`` to fall back to a shuffle hash join when the
     held-out set is itself large."""
-    cg = _ngram_hashes(corpus, n, text_col, id_col).distinct()
+    cg = _ngram_hashes(corpus, n, text_col, id_col)
     tg = _ngram_hashes(test, n, text_col, id_col).select("__h").distinct()
     if broadcast_test:
         tg = F.broadcast(tg)
+    # distinct AFTER the probe: the only exchange on the corpus side then
+    # carries the matching (id, gram) sliver, never the full gram stream
     return (cg.join(tg, "__h")
+              .select(F.col(id_col), F.col("__h")).distinct()
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared")))
 
