@@ -689,6 +689,22 @@ def q_pii_redaction(spark, sf_dir):
     return corpusprep.redact_pii(d)
 
 
+def q_rare_token_ratio(spark, sf_dir):
+    """OOV/garbage quality filter: share of tokens with corpus frequency
+    < 3 — exact int/int, broadcast vocab probe."""
+    return corpusprep.rare_token_ratio(_t(spark, sf_dir, "documents"),
+                                       min_count=3)
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Data mixing by token quota: keep documents in deterministic
+    md5(id) order until each (lang, shard) quota fills — 2400 tokens per
+    lang over 16 shards; all-integer windows, never a per-stratum global
+    cumsum."""
+    return corpusprep.token_budget_sample(_t(spark, sf_dir, "documents"),
+                                          budget_tokens=2400, n_shards=16)
+
+
 def q_pack_chunks(spark, sf_dir):
     """Context-window packing over the 50/10 chunk stream: 256-token bins
     in 8 md5 shards — per-shard running-sum window (never a global
@@ -779,6 +795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "line_dedup": q_line_dedup,
         "pack_chunks": q_pack_chunks,
+        "rare_token_ratio": q_rare_token_ratio,
+        "token_budget_sample": q_token_budget_sample,
     }
 
 
@@ -1597,6 +1615,43 @@ def oracle_sql() -> dict[str, str]:
                        '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b'))
                        AS BIGINT) AS n_ip
             FROM p2""",
+        "rare_token_ratio": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS tok
+                FROM documents),
+            v AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+            fl AS (SELECT t.doc_id,
+                          CASE WHEN v.c < 3 THEN 1 ELSE 0 END AS r
+                   FROM tok t JOIN v USING (tok)),
+            a AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(r) AS n_rare
+                  FROM fl GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(a.n_rare, 0) AS BIGINT) AS n_rare,
+                   COALESCE(CAST(a.n_rare AS DOUBLE) / a.n_tokens,
+                            CAST(0 AS DOUBLE)) AS rare_ratio
+            FROM documents d LEFT JOIN a USING (doc_id)""",
+        "token_budget_sample": """
+            WITH b AS (
+                SELECT doc_id, lang,
+                       CAST(CASE WHEN length(text) > 0
+                                 THEN length(text)
+                                      - length(replace(text, ' ', '')) + 1
+                                 ELSE 0 END AS BIGINT) AS n_tokens,
+                       md5(CAST(doc_id AS VARCHAR)) AS ord_key,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                            AS INTEGER) % 16 AS shard
+                FROM documents),
+            c AS (SELECT doc_id, lang, n_tokens,
+                         SUM(n_tokens) OVER (
+                             PARTITION BY lang, shard ORDER BY ord_key, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tokens AS tokens_before
+                  FROM b)
+            SELECT doc_id, lang, n_tokens FROM c
+            WHERE tokens_before < 150""",
         "pack_chunks": """
             WITH t AS (
                 SELECT doc_id,

@@ -157,6 +157,76 @@ def split_token_lines(df: DataFrame, tokens_per_line: int = 8,
                                  tokens_per_line)).alias("line"))
 
 
+def rare_token_ratio(df: DataFrame, min_count: int = 3,
+                     text_col: str = "text",
+                     id_col: str = "doc_id",
+                     broadcast_vocab: bool = True) -> DataFrame:
+    """OOV/garbage quality signal: the fraction of a document's tokens
+    whose CORPUS-WIDE frequency is below ``min_count`` — high ratios mark
+    mojibake, hash soup, and boilerplate IDs.  Exact int/int ratio (no
+    float accumulation → bitwise cross-engine).  Returns
+    ``(id, n_tokens, n_rare, rare_ratio)``; token-less docs report 0/0/0.0.
+
+    Two aggregates: corpus token frequencies (map-side partial combine,
+    vocab-cardinality shuffle), then the per-doc rare count.  The vocab
+    table broadcasts by default (natural-language vocabularies are tiny
+    next to the corpus); set ``broadcast_vocab=False`` for adversarial
+    vocabularies and the probe becomes a shuffle hash join on the token."""
+    tok = df.select(F.col(id_col),
+                    F.explode(_token_array(text_col)).alias("__tok"))
+    vocab = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    rare = vocab.where(F.col("__c") < min_count).select("__tok")
+    if broadcast_vocab:
+        rare = F.broadcast(rare)
+    flagged = tok.join(rare.withColumn("__rare", F.lit(1)), "__tok", "left")
+    agg = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.coalesce(F.col("__rare"), F.lit(0))).alias("n_rare"))
+    ids = df.select(F.col(id_col))
+    out = ids.join(agg, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint")
+         .alias("n_tokens"),
+        F.coalesce(F.col("n_rare"), F.lit(0)).cast("bigint").alias("n_rare"),
+        F.coalesce(F.col("n_rare").cast("double") / F.col("n_tokens"),
+                   F.lit(0.0)).alias("rare_ratio"))
+
+
+def token_budget_sample(df: DataFrame, budget_tokens: int,
+                        strata_col: str = "lang", n_shards: int = 16,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Deterministic token-budget sampling: per stratum, walk documents in
+    md5(id) order (a reproducible pseudo-random permutation) and keep each
+    document whose running token total STARTS under the stratum's budget —
+    the data-mixing step that caps every language/source at a token quota.
+
+    The budget splits evenly across ``n_shards`` md5 shards and the
+    running sum windows on ``(stratum, shard)`` — per-stratum global
+    cumsums would serialize a 100 TB stratum through one partition, while
+    shard quotas keep determinism and cluster parallelism (quota error is
+    at most one straddling document per shard).  All-integer arithmetic →
+    bitwise cross-engine.  Returns ``(id, stratum, n_tokens)`` of the
+    kept documents."""
+    from image_pdf_ocr_suite_spark.analytics.text import token_count_expr
+    ids = F.col(id_col).cast("string")
+    shard_budget = budget_tokens // n_shards
+    base = df.select(
+        F.col(id_col), F.col(strata_col),
+        token_count_expr(text_col).cast("bigint").alias("n_tokens"),
+        F.md5(ids).alias("__ord"),
+        (F.conv(F.substring(F.md5(ids), 1, 4), 16, 10).cast("long")
+         % n_shards).alias("__shard"))
+    w = (Window.partitionBy(strata_col, "__shard")
+         .orderBy("__ord", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tokens").over(w)
+    return (base.withColumn("__before", cum - F.col("n_tokens"))
+                .where(F.col("__before") < shard_budget)
+                .select(F.col(id_col), F.col(strata_col), F.col("n_tokens")))
+
+
 def pack_chunks(chunks: DataFrame, capacity: int = 256, n_shards: int = 32,
                 id_col: str = "doc_id", idx_col: str = "chunk_idx",
                 tok_col: str = "chunk_tokens") -> DataFrame:

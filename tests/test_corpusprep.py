@@ -111,6 +111,53 @@ def test_redact_pii_is_map_only(spark):
     assert "Exchange" not in plan
 
 
+# -- rare-token ratio -------------------------------------------------------
+
+def test_rare_token_ratio_exact(spark):
+    df = _docs(spark, [
+        (0, "common common common weird1"),   # weird1 appears once
+        (1, "common weird2"),
+        (2, ""),                              # token-less
+    ])
+    out = {r["doc_id"]: (r["n_tokens"], r["n_rare"], r["rare_ratio"])
+           for r in corpusprep.rare_token_ratio(df, min_count=2).collect()}
+    assert out[0] == (4, 1, 0.25)
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (0, 0, 0.0)
+
+
+def test_rare_token_ratio_broadcasts_vocab(spark):
+    df = _docs(spark, [(0, "a b c")])
+    plan = corpusprep.rare_token_ratio(df) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# -- token-budget sampling --------------------------------------------------
+
+def test_token_budget_sample_quota_and_straddler(spark):
+    # single shard: pure md5-order walk; budget 5 tokens
+    rows = [(i, " ".join(["w"] * 3), "en") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = corpusprep.token_budget_sample(df, budget_tokens=5, n_shards=1)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # 3-token docs: first doc starts at 0 (<5, kept), second at 3 (<5,
+    # kept — straddles), third at 6 (>=5, dropped): exactly 2 kept
+    assert len(ids) == 2
+    # deterministic: same answer on a different partitioning
+    ids2 = sorted(r["doc_id"] for r in corpusprep.token_budget_sample(
+        df.repartition(7), budget_tokens=5, n_shards=1).collect())
+    assert ids == ids2
+
+
+def test_token_budget_sample_per_stratum(spark):
+    rows = [(0, "a b", "en"), (1, "c d", "ja")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = corpusprep.token_budget_sample(df, budget_tokens=100, n_shards=1)
+    assert {(r["doc_id"], r["lang"], r["n_tokens"]) for r in out.collect()} \
+        == {(0, "en", 2), (1, "ja", 2)}
+
+
 # -- context-window packing -------------------------------------------------
 
 def test_pack_chunks_bin_assignment(spark):
