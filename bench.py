@@ -137,6 +137,15 @@ def main() -> None:
     queries["doc_assembly"] = time_query(
         lambda: _force(entrymod.q_doc_assembly(spark, SF_DIR)))
 
+    # corpus-prep family (round 3): decontamination probe, cross-corpus
+    # line dedup, context-window packing — the LM-pipeline hygiene legs
+    queries["decontaminate"] = time_query(
+        lambda: _force(entrymod.q_decontaminate(spark, SF_DIR)))
+    queries["line_dedup"] = time_query(
+        lambda: _force(entrymod.q_line_dedup(spark, SF_DIR)))
+    queries["pack_chunks"] = time_query(
+        lambda: _force(entrymod.q_pack_chunks(spark, SF_DIR)))
+
     docs_per_sec = round(n_docs / queries["ocr_extract"], 2)
     print(json.dumps({
         "metric": "extract_docs_per_sec",
