@@ -10,6 +10,8 @@
          drop; each verified component keeps its
          smallest url (connected components, not
          greedy pair-drop)
+      -> test-set decontamination (optional)             analytics.corpusprep
+      -> PII redaction (optional)                        analytics.corpusprep
       -> snapshot-committed clean corpus + reject log
 
 This is the end-to-end shape a 100 TB training-data pipeline runs daily;
@@ -29,7 +31,7 @@ import uuid
 from pyspark.sql import DataFrame, functions as F
 
 from image_pdf_ocr_suite_spark import ExtractConfig, extract_pages
-from image_pdf_ocr_suite_spark.analytics import dedup
+from image_pdf_ocr_suite_spark.analytics import corpusprep, dedup
 from image_pdf_ocr_suite_spark.analytics import text as textops
 from image_pdf_ocr_suite_spark.session import build_session
 from image_pdf_ocr_suite_spark.tableio.snapshot import SnapshotTable
@@ -38,9 +40,19 @@ from image_pdf_ocr_suite_spark.tableio.snapshot import SnapshotTable
 def clean_corpus(pages: DataFrame, cfg: ExtractConfig | None = None,
                  min_tokens: int = 10, langs: tuple[str, ...] = ("en", "ja"),
                  jaccard: float = 0.5,
+                 decontam_test: DataFrame | None = None,
+                 decontam_n: int = 13,
+                 redact_pii: bool = False,
                  run_id: str | None = None) -> tuple[DataFrame, DataFrame]:
     """pages -> (clean_docs, rejects).  clean_docs: (url, text, script_lang,
-    n_tokens); rejects: (url, reason)."""
+    n_tokens); rejects: (url, reason).
+
+    ``decontam_test``: optional held-out evaluation set ``(url, text)`` —
+    surviving documents sharing any ``decontam_n``-gram with it are
+    rejected as ``contaminated`` (runs AFTER dedup so the n-gram probe
+    sees the smallest candidate set).  ``redact_pii=True`` rewrites the
+    final text through the email/IP/phone redactor — last, so dedup
+    digests are computed on the original bytes."""
     cfg = cfg or ExtractConfig()
     run_id = run_id or uuid.uuid4().hex[:12]
     res = extract_pages(pages, cfg, run_id=run_id)
@@ -81,6 +93,21 @@ def clean_corpus(pages: DataFrame, cfg: ExtractConfig | None = None,
         .unionByName(exact_unique.join(losers, "url", "left_semi")
                      .select("url", F.lit("near_dup").alias("reason")))
     )
+
+    if decontam_test is not None:
+        hits = corpusprep.decontaminate_ngrams(
+            clean, decontam_test, n=decontam_n,
+            text_col="text", id_col="url").select("url")
+        rejects = rejects.unionByName(
+            clean.join(hits, "url", "left_semi")
+                 .select("url", F.lit("contaminated").alias("reason")))
+        clean = clean.join(hits, "url", "left_anti")
+
+    if redact_pii:
+        red = corpusprep.redact_pii(clean, text_col="text", id_col="url") \
+            .select("url", F.col("redacted_text").alias("text"))
+        clean = clean.drop("text").join(red, "url")
+
     return clean.select("url", "text", "script_lang", "n_tokens"), rejects
 
 
@@ -93,16 +120,26 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--jaccard", type=float, default=0.5,
                     help="token-set Jaccard a LSH candidate pair must reach "
                          "before either side may be dropped as a near-dup")
+    ap.add_argument("--decontaminate-table", default=None,
+                    help="parquet of the held-out eval set (url, text); "
+                         "surviving docs sharing any n-gram are rejected")
+    ap.add_argument("--decontam-n", type=int, default=13)
+    ap.add_argument("--redact-pii", action="store_true")
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args(argv)
 
     spark = build_session(app="corpus-job")
     run_id = args.run_id or uuid.uuid4().hex[:12]
+    decontam = (spark.read.parquet(args.decontaminate_table)
+                if args.decontaminate_table else None)
     clean, rejects = clean_corpus(
         spark.read.parquet(args.input_table),
         min_tokens=args.min_tokens,
         langs=tuple(args.langs.split(",")),
         jaccard=args.jaccard,
+        decontam_test=decontam,
+        decontam_n=args.decontam_n,
+        redact_pii=args.redact_pii,
         run_id=run_id)
     SnapshotTable(f"{args.output_root}/clean").append(clean, run_id=run_id)
     SnapshotTable(f"{args.output_root}/rejects").append(rejects, run_id=run_id)

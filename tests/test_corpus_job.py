@@ -82,6 +82,37 @@ def neardup_pages(spark):
     return spark.createDataFrame(pdf)
 
 
+def test_decontamination_and_pii_stages(spark):
+    """Optional hygiene tail of the composition: a surviving doc whose
+    5-grams appear in the held-out set is rejected `contaminated`; with
+    --redact-pii the final text has placeholders, and dedup still ran on
+    the ORIGINAL bytes (redaction is the last stage)."""
+    rows = [(i, " ".join(f"d{i}_{j}" for j in range(30)), "ja")
+            for i in (64, 65, 66)]
+    rows.append((67, "reach me at bob@mail.example.com soon "
+                 + " ".join(f"d67_{j}" for j in range(25)), "ja"))
+    pages = spark.createDataFrame(fixtures.build_pages_pdf(rows))
+    u = fixtures.url_for
+
+    base, _ = clean_corpus(pages, ExtractConfig(), min_tokens=5,
+                           langs=("en", "ja", "unknown"), run_id="t3")
+    victim_row = base.where(base.url == u(64)).select("url", "text")
+    assert victim_row.count() == 1
+
+    clean, rejects = clean_corpus(pages, ExtractConfig(), min_tokens=5,
+                                  langs=("en", "ja", "unknown"),
+                                  decontam_test=victim_row, decontam_n=5,
+                                  redact_pii=True, run_id="t4")
+    kept = {r["url"]: r["text"] for r in clean.collect()}
+    rej = {r["url"]: r["reason"] for r in rejects.collect()}
+    assert u(64) not in kept and rej[u(64)] == "contaminated"
+    assert u(65) in kept and u(66) in kept
+    assert "<EMAIL>" in kept[u(67)] and "bob@mail.example.com" not in kept[u(67)]
+    # exactly-once accounting still holds with the new stages
+    assert not (set(kept) & set(rej))
+    assert set(kept) | set(rej) == {u(i) for i in (64, 65, 66, 67)}
+
+
 def test_near_dup_verification_and_components(spark, neardup_pages):
     clean, rejects = clean_corpus(neardup_pages, ExtractConfig(), min_tokens=5,
                                   langs=("en", "ja", "unknown"),
