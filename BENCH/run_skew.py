@@ -40,7 +40,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # skewed input: doc 0 carries GIANT_PAGES pages, everyone else 1-3
-    path = f"/tmp/skew_pages_{GIANT_PAGES}"
+    # (cache key includes the corpus tag so switching sf_dir never reuses
+    # the previous corpus' materialized pages)
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/skew_pages_{sf_tag}_{GIANT_PAGES}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build_pages_df(spark, sf_dir, giant_doc_id=0,
                        giant_pages=GIANT_PAGES) \

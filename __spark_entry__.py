@@ -1502,7 +1502,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents),
             s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
             c AS (SELECT doc_id, toks, n,
-                         unnest(CASE WHEN n >= 1 THEN range(1, n + 1, 40)
+                         unnest(CASE WHEN n >= 1
+                                     THEN range(1, greatest(n - 10, 1) + 1, 40)
                                      ELSE [] END) AS strt
                   FROM s)
             SELECT doc_id,
@@ -1558,32 +1559,40 @@ def oracle_sql() -> dict[str, str]:
             FROM g JOIN t USING (h) GROUP BY doc_id""",
         "url_canonicalize": _URL_ORACLE_CTE + """
             SELECT doc_id,
-                   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                   CASE WHEN regexp_extract(url,
+                            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) <> ''
+                   THEN lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
                      || '://'
                      || regexp_replace(lower(regexp_extract(url,
                             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
                             '^www\\.', '')
                      || regexp_replace(regexp_extract(url,
                             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
-                            '/+$', '') AS url_canon,
-                   regexp_replace(lower(regexp_extract(url,
+                            '/+$', '') END AS url_canon,
+                   CASE WHEN regexp_extract(url,
+                            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) <> ''
+                   THEN regexp_replace(lower(regexp_extract(url,
                        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-                       '^www\\.', '') AS domain
+                       '^www\\.', '') END AS domain
             FROM u""",
         "domain_stats": _URL_ORACLE_CTE + """,
             canon AS (
                 SELECT doc_id,
-                       lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                       CASE WHEN regexp_extract(url,
+                                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) <> ''
+                       THEN lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
                          || '://'
                          || regexp_replace(lower(regexp_extract(url,
                                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
                                 '^www\\.', '')
                          || regexp_replace(regexp_extract(url,
                                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
-                                '/+$', '') AS url_canon,
-                       regexp_replace(lower(regexp_extract(url,
+                                '/+$', '') END AS url_canon,
+                       CASE WHEN regexp_extract(url,
+                                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) <> ''
+                       THEN regexp_replace(lower(regexp_extract(url,
                            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-                           '^www\\.', '') AS domain
+                           '^www\\.', '') END AS domain
                 FROM u)
             SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(COUNT(DISTINCT url_canon) AS BIGINT) AS n_urls
@@ -1659,7 +1668,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents),
             s AS (SELECT doc_id, len(toks) AS n FROM t),
             c AS (SELECT doc_id, n,
-                         unnest(CASE WHEN n >= 1 THEN range(1, n + 1, 40)
+                         unnest(CASE WHEN n >= 1
+                                     THEN range(1, greatest(n - 10, 1) + 1, 40)
                                      ELSE [] END) AS strt
                   FROM s),
             ch AS (SELECT doc_id,
@@ -1679,7 +1689,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard, CAST(tokens_before // 256 AS BIGINT) AS bin_id,
                    CAST(COUNT(*) AS BIGINT) AS n_chunks,
                    CAST(SUM(chunk_tokens) AS BIGINT) AS n_tokens,
-                   CAST(SUM(chunk_tokens) AS DOUBLE) / 256.0 AS fill_ratio
+                   CAST(SUM(chunk_tokens) AS DOUBLE) / CAST(256 AS DOUBLE) AS fill_ratio
             FROM b GROUP BY shard, bin_id""",
         "line_dedup": """
             WITH tok AS (

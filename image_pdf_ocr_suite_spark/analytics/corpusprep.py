@@ -16,6 +16,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from image_pdf_ocr_suite_spark.analytics.text import (
+    md5_bucket_expr, token_array_expr)
+
 # Java-regex / RE2 compatible PII patterns (no backreferences, no \d
 # shorthand — explicit classes behave identically in both engines).
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -23,15 +26,11 @@ PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
 IPV4_RE = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
 
-def _token_array(text_col: str):
-    return F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-
-
 def _ngram_hashes(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     """(id, __h) rows: md5 of every word ``n``-gram.  The token array is
     materialized as an attribute first so the higher-order lambda reads it
     instead of re-splitting per position (HOF re-eval trap)."""
-    base = (df.select(F.col(id_col), _token_array(text_col).alias("__toks"))
+    base = (df.select(F.col(id_col), token_array_expr(text_col).alias("__toks"))
               .select(F.col(id_col), F.col("__toks"),
                       F.size("__toks").alias("__n")))
     grams = F.when(
@@ -79,17 +78,22 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url",
     """URL canonicalization for crawl dedup/grouping: lowercase the scheme
     and host, strip a leading ``www.``, drop query string and fragment,
     strip trailing slashes from the path.  Returns
-    ``(id, url_canon, domain)``.  Map-only — a projection on the scan; at
-    100 TB this runs at scan parallelism with zero data movement."""
+    ``(id, url_canon, domain)`` — NULLs for unparseable rows (no
+    ``scheme://host``), so malformed crawl URLs surface as a NULL-domain
+    bucket instead of silently merging into a ghost ``''`` domain.
+    Map-only — a projection on the scan; at 100 TB this runs at scan
+    parallelism with zero data movement."""
     u = F.col(url_col)
+    valid = F.regexp_extract(u, _HOST_RE, 1) != ""
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
     host = F.regexp_replace(
         F.lower(F.regexp_extract(u, _HOST_RE, 1)), "^www\\.", "")
     path = F.regexp_replace(F.regexp_extract(u, _PATH_RE, 1), "/+$", "")
     return df.select(
         F.col(id_col),
-        F.concat(scheme, F.lit("://"), host, path).alias("url_canon"),
-        host.alias("domain"))
+        F.when(valid, F.concat(scheme, F.lit("://"), host, path))
+         .alias("url_canon"),
+        F.when(valid, host).alias("domain"))
 
 
 def domain_stats(canon: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -140,7 +144,7 @@ def split_token_lines(df: DataFrame, tokens_per_line: int = 8,
     lines with spaces).  Real newline-delimited corpora can feed
     ``line_dedup_stats`` directly via ``posexplode(split(text, '\\n'))``.
     Map-only flatMap on the scan."""
-    base = (df.select(F.col(id_col), _token_array(text_col).alias("__toks"))
+    base = (df.select(F.col(id_col), token_array_expr(text_col).alias("__toks"))
               .select(F.col(id_col), F.col("__toks"),
                       F.size("__toks").alias("__n")))
     starts = F.when(
@@ -173,7 +177,7 @@ def rare_token_ratio(df: DataFrame, min_count: int = 3,
     next to the corpus); set ``broadcast_vocab=False`` for adversarial
     vocabularies and the probe becomes a shuffle hash join on the token."""
     tok = df.select(F.col(id_col),
-                    F.explode(_token_array(text_col)).alias("__tok"))
+                    F.explode(token_array_expr(text_col)).alias("__tok"))
     vocab = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
     rare = vocab.where(F.col("__c") < min_count).select("__tok")
     if broadcast_vocab:
@@ -210,14 +214,12 @@ def token_budget_sample(df: DataFrame, budget_tokens: int,
     bitwise cross-engine.  Returns ``(id, stratum, n_tokens)`` of the
     kept documents."""
     from image_pdf_ocr_suite_spark.analytics.text import token_count_expr
-    ids = F.col(id_col).cast("string")
     shard_budget = budget_tokens // n_shards
     base = df.select(
         F.col(id_col), F.col(strata_col),
         token_count_expr(text_col).cast("bigint").alias("n_tokens"),
-        F.md5(ids).alias("__ord"),
-        (F.conv(F.substring(F.md5(ids), 1, 4), 16, 10).cast("long")
-         % n_shards).alias("__shard"))
+        F.md5(F.col(id_col).cast("string")).alias("__ord"),
+        md5_bucket_expr(id_col, n_shards).alias("__shard"))
     w = (Window.partitionBy(strata_col, "__shard")
          .orderBy("__ord", id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -242,10 +244,8 @@ def pack_chunks(chunks: DataFrame, capacity: int = 256, n_shards: int = 32,
     100 TB — while shards pack independently at cluster parallelism and
     the assignment stays deterministic across runs/engines/partitionings.
     One shuffle on ``shard`` (window), then a hash aggregate."""
-    ids = F.col(id_col).cast("string")
-    shard = (F.conv(F.substring(F.md5(ids), 1, 4), 16, 10).cast("long")
-             % n_shards).alias("shard")
-    base = chunks.select(shard, F.col(id_col), F.col(idx_col),
+    base = chunks.select(md5_bucket_expr(id_col, n_shards).alias("shard"),
+                         F.col(id_col), F.col(idx_col),
                          F.col(tok_col))
     w = (Window.partitionBy("shard").orderBy(id_col, idx_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -14,6 +14,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def token_array_expr(text_col: str = "text"):
+    """Whitespace-split token array (empty strings dropped) — THE shared
+    tokenization every corpus operator and its SQL oracle mirror
+    (``list_filter(string_split(text, ' '), x -> x <> '')``)."""
+    return F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+
+
+def md5_bucket_expr(id_col: str, n_buckets: int):
+    """Deterministic cross-engine bucket of an id column: first 4 md5-hex
+    chars as an integer, mod ``n_buckets`` — reproducible across runs,
+    engines, and partitionings.  SQL twin:
+    ``CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 4) AS INTEGER)
+    % n`` — changing either side's arithmetic requires changing BOTH."""
+    ids = F.col(id_col).cast("string")
+    return (F.conv(F.substring(F.md5(ids), 1, 4), 16, 10).cast("long")
+            % n_buckets)
+
+
 def token_count_expr(text_col: str = "text"):
     """Whitespace-separated token count via length arithmetic (portable:
     LENGTH(t) - LENGTH(REPLACE(t, ' ', '')) + 1 for non-empty text)."""
@@ -155,13 +173,19 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
     chunks.  At scale this is a flatMap on the scan — no shuffle."""
     assert 0 < overlap < chunk_tokens
     step = chunk_tokens - overlap
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = token_array_expr(text_col)
     base = df.select(F.col(id_col), toks.alias("__toks")) \
              .select(F.col(id_col), F.col("__toks"),
                      F.size("__toks").alias("__n"))
+    # last start capped at n - overlap: a start beyond that yields a chunk
+    # whose tokens are ALL inside the previous chunk (pure duplicate
+    # training data, hit whenever n mod step lands in [1, overlap]);
+    # coverage stays total (last chunk reaches >= n by construction)
     starts = F.when(
         F.col("__n") >= 1,
-        F.sequence(F.lit(1), F.col("__n"), F.lit(step))
+        F.sequence(F.lit(1),
+                   F.greatest(F.col("__n") - overlap, F.lit(1)),
+                   F.lit(step))
     ).otherwise(F.array().cast("array<int>"))
     ex = base.select(F.col(id_col), F.col("__toks"), F.col("__n"),
                      F.explode(starts).alias("__start"))
@@ -183,7 +207,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     division; token-less docs report 0/0/0.0.  Two hash aggregates on
     (id, token) then (id): partial combine keeps the shuffle at
     distinct-token cardinality."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = token_array_expr(text_col)
     tok = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
     per = tok.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__c"))
     agg = per.groupBy(id_col).agg(
@@ -209,8 +233,7 @@ def stratified_sample(df: DataFrame, rates: dict[str, int],
     and partitionings (no RNG state), and expressible in the SQL oracle
     (the same md5-prefix arithmetic).  ``rates`` maps stratum -> percent
     kept.  Map-only: the decision is a scan-side predicate."""
-    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4),
-                    16, 10).cast("long") % 100
+    bucket = md5_bucket_expr(id_col, 100)
     pct = F.lit(default_pct)
     for val, p in sorted(rates.items()):
         pct = F.when(F.col(strata_col) == val, F.lit(p)).otherwise(pct)

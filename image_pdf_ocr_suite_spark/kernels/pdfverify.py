@@ -34,10 +34,12 @@ class PdfStructureError(ValueError):
 def _object_spans(pdf: bytes) -> list[tuple[int, int]]:
     """(start, end) byte ranges of every indirect object, via the xref
     table (trailer ``startxref`` → offsets), end = next ``endobj``."""
-    m = re.search(rb"startxref\s+(\d+)\s+%%EOF", pdf)
-    if not m:
+    # the LAST startxref governs (incremental updates append a new xref;
+    # the spec says a consumer starts from the end of the file)
+    matches = list(re.finditer(rb"startxref\s+(\d+)\s+%%EOF", pdf))
+    if not matches:
         raise PdfStructureError("no startxref")
-    xref_at = int(m.group(1))
+    xref_at = int(matches[-1].group(1))
     header = re.match(rb"xref\s+(\d+) (\d+)\s*\n", pdf[xref_at:])
     if not header:
         raise PdfStructureError("no xref table at startxref")
@@ -48,7 +50,11 @@ def _object_spans(pdf: bytes) -> list[tuple[int, int]]:
         row = pdf[rows_at + i * 20: rows_at + (i + 1) * 20]
         if len(row) < 18:
             raise PdfStructureError("truncated xref row")
-        off, _gen, kind = int(row[:10]), int(row[11:16]), row[17:18]
+        try:
+            off, _gen = int(row[:10]), int(row[11:16])
+        except ValueError as exc:  # non-digit bytes in a declared row
+            raise PdfStructureError(f"malformed xref row {i}") from exc
+        kind = row[17:18]
         if kind != b"n" or (first + i) == 0:
             continue
         end = pdf.find(b"endobj", off)
@@ -77,15 +83,20 @@ def pdf_stats(pdf: bytes) -> dict:
         lm = re.search(rb"/Length\s+(\d+)", head)
         if not lm:
             raise PdfStructureError("stream without /Length")
-        data_at = body.find(b"\n", stream_at) + 1
-        data = body[data_at: data_at + int(lm.group(1))]
+        nl_at = body.find(b"\n", stream_at)
+        if nl_at < 0:  # without this guard, find()+1 == 0 would silently
+            raise PdfStructureError("no EOL after stream keyword")
+        data = body[nl_at + 1: nl_at + 1 + int(lm.group(1))]
         if b"/Filter" in head:
             continue  # image XObject (Flate) — not a content stream
         ops = data.count(b") Tj")
         if ops:
             any_text = True
             n_text_ops += ops
-            if not re.search(rb"\b3 Tr\b", data):
+            # render mode 3 must be set BEFORE the first text-show op —
+            # '3 Tr' after a Tj means that word already rendered visibly
+            tr = re.search(rb"\b3 Tr\b", data)
+            if not tr or tr.start() > data.find(b") Tj"):
                 invisible = False
     return {"n_pages": n_pages, "n_text_ops": n_text_ops,
             "invisible": invisible if any_text else True}

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_SIDE, _TIME = "__asof_side", "__asof_t"
+_SIDE, _TIME, _VALS = "__asof_side", "__asof_t", "__asof_vals"
 
 
 def asof_join_backward(left: DataFrame, right: DataFrame, keys: list[str],
@@ -36,23 +36,29 @@ def asof_join_backward(left: DataFrame, right: DataFrame, keys: list[str],
     """Left rows + the most recent right ``value_cols`` at or before each
     left row's time (null when no prior right row exists)."""
     lcols = [c for c in left.columns if c not in (left_time,)]
+    # the right-side values travel inside ONE struct that is non-null
+    # exactly for right rows: last(ignorenulls) then matches the latest
+    # right ROW, even when the value inside it is NULL (matching ASOF /
+    # merge_asof semantics — a matched NULL stays NULL, it is not skipped
+    # in favor of an older non-null value)
+    vals_t = right.select(F.struct(*value_cols).alias("v")) \
+        .schema["v"].dataType
     l = left.select(
         *keys, F.col(left_time).alias(_TIME), F.lit(1).alias(_SIDE),
         *[F.col(c) for c in lcols if c not in keys],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
-          for c in value_cols])
+        F.lit(None).cast(vals_t).alias(_VALS))
     r = right.select(
         *keys, F.col(right_time).alias(_TIME), F.lit(0).alias(_SIDE),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in keys],
-        *[F.col(c) for c in value_cols])
+        F.struct(*value_cols).alias(_VALS))
     u = l.unionByName(r)
     w = Window.partitionBy(*keys).orderBy(_TIME, _SIDE) \
         .rowsBetween(Window.unboundedPreceding, 0)
-    carried = [F.last(c, ignorenulls=True).over(w).alias(c)
-               for c in value_cols]
+    carried = F.last(_VALS, ignorenulls=True).over(w).alias(_VALS)
     out_left = [c for c in lcols if c not in keys]
-    return (u.select(*keys, _TIME, _SIDE, *out_left, *carried)
+    return (u.select(*keys, _TIME, _SIDE, *out_left, carried)
             .where(F.col(_SIDE) == 1)
             .select(*keys, F.col(_TIME).alias(left_time), *out_left,
-                    *value_cols))
+                    *[F.col(_VALS).getField(c).alias(c)
+                      for c in value_cols]))

@@ -95,12 +95,16 @@ def clean_corpus(pages: DataFrame, cfg: ExtractConfig | None = None,
     )
 
     if decontam_test is not None:
+        # hits is tiny (contaminated ids) but its lineage is the corpus-
+        # wide n-gram probe — persist so it runs once, not once per
+        # consumer; it is already a subset of clean, so the rejects leg
+        # needs no re-join
         hits = corpusprep.decontaminate_ngrams(
             clean, decontam_test, n=decontam_n,
-            text_col="text", id_col="url").select("url")
+            text_col="text", id_col="url").select("url") \
+            .persist(StorageLevel.MEMORY_AND_DISK)
         rejects = rejects.unionByName(
-            clean.join(hits, "url", "left_semi")
-                 .select("url", F.lit("contaminated").alias("reason")))
+            hits.select("url", F.lit("contaminated").alias("reason")))
         clean = clean.join(hits, "url", "left_anti")
 
     if redact_pii:

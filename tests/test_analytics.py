@@ -516,6 +516,28 @@ def test_chunk_documents_reconstructs_token_stream(spark):
     assert by_doc[1][0]["chunk_text"] == "short doc"
 
 
+def test_chunk_documents_no_duplicate_only_tail(spark):
+    """81 tokens, 50/10 windows: starts [1, 41] — a third chunk at 81
+    would contain ONLY token 81, already inside chunk 41..90's range
+    (pure duplicate training data).  Coverage must stay total."""
+    from image_pdf_ocr_suite_spark.analytics import text as textops
+    toks = [f"t{i}" for i in range(81)]
+    df = spark.createDataFrame([(0, " ".join(toks))], "doc_id long, text string")
+    chunks = sorted(textops.chunk_documents(df, chunk_tokens=50, overlap=10)
+                    .collect(), key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in chunks] == [0, 1]
+    # every token appears in some chunk (coverage), none beyond n
+    covered = set()
+    for r in chunks:
+        covered.update(r["chunk_text"].split())
+    assert covered == set(toks)
+    # a 10-token doc still yields its single (short) chunk
+    df2 = spark.createDataFrame([(0, " ".join(toks[:10]))],
+                                "doc_id long, text string")
+    one = textops.chunk_documents(df2, chunk_tokens=50, overlap=10).collect()
+    assert len(one) == 1 and one[0]["chunk_tokens"] == 10
+
+
 def test_repetition_stats_flags_degenerate_text(spark):
     from image_pdf_ocr_suite_spark.analytics import text as textops
     rows = [(0, "spam spam spam spam ham"), (1, "all tokens here differ"),

@@ -52,10 +52,13 @@ def test_canonicalize_urls_cases(spark):
             (1, "http://example.com/a/b#frag"),
             (2, "https://sub.Example.com/"),
             (3, "https://example.com"),
-            (4, "ftp://Files.example.com/pub//")]
+            (4, "ftp://Files.example.com/pub//"),
+            (5, "example.com/no-scheme"),      # malformed: NULLs, not ''
+            (6, "file:///local/path")]         # empty host: also malformed
     df = spark.createDataFrame(rows, "doc_id long, url string")
     out = {r["doc_id"]: (r["url_canon"], r["domain"])
            for r in corpusprep.canonicalize_urls(df).collect()}
+    assert out[5] == (None, None) and out[6] == (None, None)
     assert out[0] == ("https://example.com/A/B", "example.com")
     assert out[1] == ("http://example.com/a/b", "example.com")
     assert out[2] == ("https://sub.example.com", "sub.example.com")
