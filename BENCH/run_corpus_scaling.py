@@ -1,0 +1,158 @@
+"""Two-parallelism-level scaling for the CORPUS-ANALYTICS ops (the
+corpus-prep family), complementing run_scaling.py's extraction-job
+evidence.
+
+Job under test: line_dedup (digest window) + pack_chunks (per-shard
+running-sum) + decontaminate (broadcast n-gram probe) over a replicated
+documents table — the three shuffling corpus-prep operators.  Replication
+duplicates text verbatim across replicas (distinct doc_ids), so the line
+dedup sees realistic heavy boilerplate.
+
+Methodology: same co-location rule as the extraction evidence — the
+decontamination kernel runs Arrow Python workers next to the JVM task
+threads, shuffle service, and GC on one box, so slot counts near the core
+count measure host oversubscription, not engine scaling (measured: the
+same job scores 0.49 at 8->32 slots but 0.89 at 4->16 on the 32-core
+host).  Keep both levels <= cores/2: N=4 -> 4N=16.  Fresh JVM per level,
+FIXED 64 shuffle partitions at both levels (identical task graph; only
+concurrent slots differ), best-of-RUNS walls.
+
+Usage:
+  python BENCH/run_corpus_scaling.py [sf_dir]        # full measurement
+  python BENCH/run_corpus_scaling.py --once CPUS PATH  # one child level
+Appends a results table to BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_CPUS = int(os.environ.get("CORPUS_SCALING_N", "4"))
+N4_CPUS = 4 * N_CPUS
+RUNS_PER_LEVEL = int(os.environ.get("CORPUS_SCALING_RUNS", "2"))
+REPLICATE = int(os.environ.get("CORPUS_SCALING_REPLICATES", "512"))
+
+
+def _materialize_docs(sf_dir: str, replicate: int) -> str:
+    from pyspark.sql import functions as F
+
+    from image_pdf_ocr_suite_spark.session import build_session
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/corpus_scaling_docs_{tag}_x{replicate}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path  # deterministic synthesis — safe to reuse
+    spark = build_session(app="corpus-scaling-prep", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text", "lang")
+    reps = spark.range(replicate).withColumnRenamed("id", "rep")
+    out = base.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        "text", "lang")
+    out.repartition(256).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def _once(cpus: int, docs_path: str) -> None:
+    from image_pdf_ocr_suite_spark.analytics import corpusprep
+    from image_pdf_ocr_suite_spark.analytics import text as textops
+    from image_pdf_ocr_suite_spark.session import build_session
+    from pyspark.sql import functions as F
+
+    spark = build_session(app=f"corpus-scaling-{cpus}",
+                          master=f"local[{cpus}]", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(docs_path)
+    n_docs = docs.count()
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # warmup: one tiny pass through each plan shape (JIT + codegen)
+    sample = docs.sample(0.002, seed=1).repartition(cpus * 2)
+    noop(corpusprep.line_dedup_stats(corpusprep.split_token_lines(sample)))
+    noop(corpusprep.pack_chunks(textops.chunk_documents(sample)))
+    noop(corpusprep.decontaminate_ngrams(
+        sample, sample.limit(50), n=5))
+
+    # held-out set = replica 0 only (ids < 10M): every replica of a
+    # held-out text is then a true contamination hit (~1% of the corpus);
+    # selecting ids across replicas would mark nearly every base text as
+    # held out and degenerate the probe into a corpus-wide shuffle
+    test = docs.where((F.col("doc_id") < 10_000_000)
+                      & (F.col("doc_id") % 97 == 0))
+    t0 = time.perf_counter()
+    noop(corpusprep.line_dedup_stats(corpusprep.split_token_lines(docs)))
+    noop(corpusprep.pack_chunks(textops.chunk_documents(docs)))
+    noop(corpusprep.decontaminate_ngrams(docs, test, n=5))
+    sec = time.perf_counter() - t0
+    print(json.dumps({"cpus": cpus, "n_docs": n_docs,
+                      "sec": round(sec, 3),
+                      "docs_per_sec": round(n_docs / sec, 2)}))
+    spark.stop()
+
+
+def _run_level(cpus: int, docs_path: str) -> dict:
+    best = None
+    for _ in range(RUNS_PER_LEVEL):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--once", str(cpus), docs_path],
+            capture_output=True, text=True, cwd=REPO, timeout=3600)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        r = json.loads(line)
+        if best is None or r["sec"] < best["sec"]:
+            best = r
+    return best
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs_path = _materialize_docs(sf_dir, REPLICATE)
+    r_n = _run_level(N_CPUS, docs_path)
+    r_4n = _run_level(N4_CPUS, docs_path)
+    efficiency = round(r_4n["docs_per_sec"] / (4.0 * r_n["docs_per_sec"]), 3)
+    result = {
+        "metric": "corpus_analytics_scaling_efficiency_N_to_4N",
+        "value": efficiency, "unit": "ratio",
+        "replicate": REPLICATE, "n": r_n, "n4": r_4n, "sf_dir": sf_dir,
+        "pass_0_8_gate": efficiency >= 0.8,
+        "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    print(json.dumps(result), flush=True)
+
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(md, "a") as fh:
+        fh.write(f"""
+## Corpus-analytics scaling (BENCH/run_corpus_scaling.py)
+
+Same two-level protocol for the corpus-prep analytics job
+(line_dedup + pack_chunks + Arrow-kernel decontaminate over a {REPLICATE}x-replicated
+documents table, {r_n['n_docs']} docs, fixed 64-partition task graph,
+fresh JVM and best-of-{RUNS_PER_LEVEL} per level, both levels <=
+cores/2 per the co-location methodology above).
+
+| level | cores | best wall sec | docs/sec |
+|---|---|---|---|
+| N | {r_n['cpus']} | {r_n['sec']} | {r_n['docs_per_sec']} |
+| 4N | {r_4n['cpus']} | {r_4n['sec']} | {r_4n['docs_per_sec']} |
+
+Efficiency {N_CPUS}->{N4_CPUS} cores: **{efficiency}** (gate >= 0.8 -> {"PASS" if efficiency >= 0.8 else "FAIL"}).
+Measured {result['measured_at']}.
+""")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--once":
+        _once(int(sys.argv[2]), sys.argv[3])
+    else:
+        main()

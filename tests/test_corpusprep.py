@@ -37,6 +37,25 @@ def test_decontaminate_counts_distinct_grams_once(spark):
     assert out[0]["n_shared"] == 2
 
 
+def test_decontaminate_arrow_matches_catalyst(spark):
+    """The Arrow unique-gram kernel and the pure-Catalyst HOF spelling
+    emit identical results — incl. multi-space runs, unicode whitespace
+    inside tokens (split contract is single-space), and short docs."""
+    corpus = _docs(spark, [
+        (0, "a  b c d e f"),            # double space -> empty dropped
+        (1, "x a b c d e y"),
+        (2, "tab\tinside token a b c d"),  # \t is NOT a separator
+        (3, "a b c d"),                 # shorter than n
+        (4, None), (5, ""),
+    ])
+    test = corpus.where(F.col("doc_id") < 2)
+    a = sorted(map(tuple, corpusprep.decontaminate_ngrams(
+        corpus, test, n=5, impl="arrow").collect()))
+    c = sorted(map(tuple, corpusprep.decontaminate_ngrams(
+        corpus, test, n=5, impl="catalyst").collect()))
+    assert a == c and len(a) >= 2
+
+
 def test_decontaminate_broadcasts_test_side(spark):
     corpus = _docs(spark, [(0, "a b c d e")])
     plan = corpusprep.decontaminate_ngrams(corpus, corpus, n=3) \
