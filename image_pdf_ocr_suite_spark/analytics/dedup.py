@@ -49,10 +49,77 @@ def shingles_expr(text_col: str, k: int = 3):
     return shingles_from_tokens(F.split(F.col(text_col), " "), k)
 
 
+def _minhash_signature_arrow(df: DataFrame, text_col: str, id_col: str,
+                             n_hashes: int, shingle_k: int) -> DataFrame:
+    """Arrow kernel twin of the Catalyst signature: hashes each DISTINCT
+    shingle of the batch once per band (factorize → md5 → per-doc min) —
+    the interpreted-HOF ``aggregate`` spelling evaluates ~4 md5+concat
+    allocations per shingle inside the JVM interpreter and hits the
+    shared-JVM GC wall at corpus scale (same finding as the
+    decontamination gram stage, corpusprep._ngram_hashes)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    suffixes = [f"#{i}".encode() for i in range(n_hashes)]
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, sh_lists = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(t, str):
+                    continue
+                toks = t.split(" ")  # raw split, empties KEPT (contract
+                # of shingles_expr: F.split with no filter)
+                if len(toks) < shingle_k:
+                    continue
+                sh_lists.append([" ".join(toks[j:j + shingle_k])
+                                 for j in range(len(toks) - shingle_k + 1)])
+                ids.append(i)
+            if not sh_lists:
+                continue
+            lens = np.fromiter((len(s) for s in sh_lists), dtype=np.int64,
+                               count=len(sh_lists))
+            flat = np.empty(int(lens.sum()), dtype=object)
+            pos = 0
+            for s in sh_lists:
+                flat[pos:pos + len(s)] = s
+                pos += len(s)
+            codes, uniques = pd.factorize(flat)
+            uhash = np.empty((len(uniques), n_hashes), dtype=object)
+            for u_i, u in enumerate(uniques):
+                ub = u.encode()
+                for b in range(n_hashes):
+                    uhash[u_i, b] = hashlib.md5(ub + suffixes[b]).hexdigest()
+            offs = np.concatenate([[0], np.cumsum(lens)])
+            out_id, out_band, out_mh = [], [], []
+            for row in range(len(ids)):
+                row_codes = codes[offs[row]:offs[row + 1]]
+                for b in range(n_hashes):
+                    out_id.append(ids[row])
+                    out_band.append(b)
+                    out_mh.append(min(uhash[c, b] for c in row_codes))
+            yield pd.DataFrame({id_col: out_id, "band": out_band,
+                                "minhash": out_mh})
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, band int, minhash string")
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      n_hashes: int = 4, shingle_k: int = 3) -> DataFrame:
+                      n_hashes: int = 4, shingle_k: int = 3,
+                      impl: str = "arrow") -> DataFrame:
     """(id, band, minhash) — minhash_i = MIN(md5(shingle || '#' || i)).
-    Lexicographic min over fixed-width hex == numeric min over the hash."""
+    Lexicographic min over fixed-width hex == numeric min over the hash.
+    Default impl is the Arrow unique-shingle kernel (identical output;
+    see _minhash_signature_arrow); ``impl="catalyst"`` keeps the pure
+    Catalyst single-traversal ``aggregate`` spelling that mirrors the
+    SQL oracle."""
+    if impl == "arrow":
+        return _minhash_signature_arrow(df, text_col, id_col,
+                                        n_hashes, shingle_k)
     # materialize the token array as a projection attribute so the shingle
     # lambda reads it instead of re-splitting the text per element
     # (CollapseProject keeps the projections separate: split() is non-cheap

@@ -33,6 +33,22 @@ def test_exact_dedup(spark, docs):
     assert len(keep) == 4
 
 
+def test_minhash_arrow_matches_catalyst(spark, docs):
+    """The Arrow unique-shingle kernel and the Catalyst aggregate
+    spelling emit identical (id, band, minhash) rows — incl. raw-split
+    empty tokens (double spaces), short docs, empty and null text."""
+    from pyspark.sql import functions as F
+    extra = spark.createDataFrame(
+        [(100, "a  b c d"), (101, "x y"), (102, ""), (103, None)],
+        "doc_id long, text string")
+    d = docs.select("doc_id", "text").unionByName(extra)
+    a = sorted(map(tuple, dedup.minhash_signature(d, impl="arrow").collect()))
+    c = sorted(map(tuple, dedup.minhash_signature(d, impl="catalyst").collect()))
+    assert a == c and len(a) > 0
+    # the double-space doc shingles over the EMPTY token ("a  b" contract)
+    assert any(r[0] == 100 for r in a)
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     pairs = {(r["id_a"], r["id_b"])
              for r in dedup.lsh_candidate_pairs(docs).collect()}
