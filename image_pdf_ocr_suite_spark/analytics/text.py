@@ -240,9 +240,82 @@ def stratified_sample(df: DataFrame, rates: dict[str, int],
     return df.where(bucket < pct)
 
 
+def _winnow_fingerprints_arrow(df: DataFrame, text_col: str, id_col: str,
+                               k: int, w: int) -> DataFrame:
+    """Arrow twin of the Catalyst winnowing: the whitespace normalization
+    stays a JVM codegen ``regexp_replace`` (the cross-engine ``\\x{..}``
+    class is Java/RE2 syntax, not Python), then the kernel hashes each
+    DISTINCT k-gram of the batch once and takes sliding-window minima
+    with vectorized byte-string ``np.minimum`` — one md5 per character
+    position is the heaviest interpreted-HOF stage in the family and
+    hits the shared-JVM GC wall at scale (see PLANS.md, minhash)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from image_pdf_ocr_suite_spark.unicode_ws import RUNS_PATTERN
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    norm = F.lower(F.regexp_replace(F.col(text_col), RUNS_PATTERN, " "))
+    pre = df.select(F.col(id_col), norm.alias("__t"))
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, gram_lists = [], []
+            for i, t in zip(pdf[id_col], pdf["__t"]):
+                if not isinstance(t, str) or len(t) < k:
+                    continue
+                gram_lists.append([t[j:j + k] for j in range(len(t) - k + 1)])
+                ids.append(i)
+            if not gram_lists:
+                continue
+            lens = np.fromiter((len(g) for g in gram_lists), dtype=np.int64,
+                               count=len(gram_lists))
+            flat = np.empty(int(lens.sum()), dtype=object)
+            pos = 0
+            for g in gram_lists:
+                flat[pos:pos + len(g)] = g
+                pos += len(g)
+            codes, uniques = pd.factorize(flat)
+            digests = [hashlib.md5(u.encode()).digest() for u in uniques]
+            uhex = np.array([d.hex() for d in digests], dtype=object)
+            # hex-lexicographic order == big-endian 128-bit numeric order:
+            # compare as (hi, lo) uint64 pairs (numpy has no byte-string
+            # minimum ufunc)
+            packed = np.frombuffer(b"".join(digests),
+                                   dtype=">u8").reshape(-1, 2)
+            hi_u, lo_u = (packed[:, 0].astype(np.uint64),
+                          packed[:, 1].astype(np.uint64))
+            hi, lo = hi_u[codes], lo_u[codes]
+            offs = np.concatenate([[0], np.cumsum(lens)])
+            out_id, out_fp = [], []
+            for row in range(len(ids)):
+                s0, e0 = int(offs[row]), int(offs[row + 1])
+                n = e0 - s0
+                if n >= w:
+                    base = s0 + np.arange(n - w + 1)
+                    best = base.copy()
+                    for s in range(1, w):
+                        cand = base + s  # window j's s-th member
+                        better = ((hi[cand] < hi[best])
+                                  | ((hi[cand] == hi[best])
+                                     & (lo[cand] < lo[best])))
+                        best = np.where(better, cand, best)
+                    sel = codes[best]
+                else:
+                    sel = codes[s0:e0]  # fewer than w k-grams: keep all
+                for fp in set(uhex[sel]):
+                    out_id.append(ids[row])
+                    out_fp.append(fp)
+            yield pd.DataFrame({id_col: out_id, "fp": out_fp})
+
+    return pre.mapInPandas(kernel, schema=f"{id_col} {id_type}, fp string")
+
+
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 8,
-                        w: int = 4) -> DataFrame:
+                        w: int = 4, impl: str = "arrow") -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
     rolling-hash scheme MOSS uses): hash every k-gram of the
     whitespace-normalized lowercased text, slide a window of ``w`` hashes,
@@ -253,7 +326,13 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     hex compares like the 128-bit integer, the same portability trick as
     the MinHash), window minima via ``transform`` over a position sequence
     + ``array_min(slice(...))``, dedup via explode+distinct.  Output
-    (id, fp) — the distinct selected fingerprints per document."""
+    (id, fp) — the distinct selected fingerprints per document.
+
+    Default impl is the Arrow unique-gram kernel (identical rows;
+    ``impl="catalyst"`` keeps the pure-Catalyst SQL-mirroring spelling —
+    whose per-position interpreted md5 does not scale in a shared JVM)."""
+    if impl == "arrow":
+        return _winnow_fingerprints_arrow(df, text_col, id_col, k, w)
     from image_pdf_ocr_suite_spark.unicode_ws import RUNS_PATTERN
     norm = F.lower(F.regexp_replace(F.col(text_col), RUNS_PATTERN, " "))
     base = df.select(F.col(id_col), norm.alias("__t"))

@@ -324,6 +324,20 @@ def test_winnow_fingerprints_matches_reference(spark):
     assert len(inter) / len(got[0] | got[1]) > 0.5
 
 
+def test_winnow_arrow_matches_catalyst(spark):
+    """Arrow unique-gram winnowing == the Catalyst HOF spelling, incl.
+    unicode whitespace normalization (both run the SAME JVM
+    regexp_replace), short docs, and the fewer-than-w-grams branch."""
+    from image_pdf_ocr_suite_spark.analytics import text as textops
+    rows = [(0, "The quick　brown fox jumps over the lazy dog"),
+            (1, "exactly9ch"), (2, "tiny"), (3, ""), (4, None),
+            (5, "repeat repeat repeat repeat repeat")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, textops.winnow_fingerprints(df, impl="arrow").collect()))
+    c = sorted(map(tuple, textops.winnow_fingerprints(df, impl="catalyst").collect()))
+    assert a == c and len(a) > 0
+
+
 def _wav_bytes(rate=8000, n=800, channels=1, amp=0.5):
     import struct
     t = np.arange(n)
