@@ -100,8 +100,17 @@ def test_token_count_bpe_is_map_only(spark):
 
 
 def test_winnow_single_shuffle(spark):
+    # arrow default: the per-doc fp dedup happens INSIDE the kernel, so
+    # the whole plan is map-only — zero shuffles, one Python stage
     plan = _plan(entrymod.q_winnow_fingerprints(spark, SF_DIR))
-    assert plan.count("Exchange") == 1, plan   # only the distinct agg
+    assert plan.count("Exchange") == 0, plan
+    assert plan.count("MapInPandas") == 1, plan
+    # the SQL-mirroring catalyst spelling keeps its single-shuffle,
+    # zero-Python plan
+    from image_pdf_ocr_suite_spark.analytics import text as textops
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cplan = _plan(textops.winnow_fingerprints(docs, impl="catalyst"))
+    assert cplan.count("Exchange") == 1 and "MapInPandas" not in cplan, cplan
 
 
 def test_salted_agg_two_phase_shuffles(spark):
