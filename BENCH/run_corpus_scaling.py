@@ -107,8 +107,12 @@ def _run_level(cpus: int, docs_path: str) -> dict:
             [sys.executable, os.path.abspath(__file__),
              "--once", str(cpus), docs_path],
             capture_output=True, text=True, cwd=REPO, timeout=3600)
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        r = json.loads(line)
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if out.returncode != 0 or not lines:
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(
+                f"--once {cpus} failed (rc={out.returncode}); stderr above")
+        r = json.loads(lines[-1])
         if best is None or r["sec"] < best["sec"]:
             best = r
     return best
@@ -152,7 +156,9 @@ Measured {result['measured_at']}.
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 4 and sys.argv[1] == "--once":
+    if "--once" in sys.argv:
+        if len(sys.argv) != 4 or sys.argv[1] != "--once":
+            sys.exit("usage: run_corpus_scaling.py --once CPUS DOCS_PATH")
         _once(int(sys.argv[2]), sys.argv[3])
     else:
         main()

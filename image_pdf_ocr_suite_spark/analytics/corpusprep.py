@@ -6,10 +6,13 @@ overlap), URL canonicalization + per-domain statistics, C4-style PII
 redaction, and cross-corpus line-level deduplication (the CCNet/RefinedWeb
 boilerplate-line killer).
 
-All pure Catalyst (whole-stage codegen, no Python), each replicable in
+Catalyst expressions throughout, except the decontamination gram stage,
+which defaults to an Arrow unique-gram kernel (interpreted-HOF md5 is
+GC-bound in a shared JVM — see hashkernels.py; the pure-Catalyst
+spelling remains as impl="catalyst").  Every operator is replicable in
 ANSI SQL for the DuckDB oracle.  Scale notes per operator below — the
-common theme is that every shuffle key is a fixed-width digest, never the
-document text.
+common theme is that every shuffle key is a fixed-width digest, never
+the document text.
 """
 
 from __future__ import annotations
@@ -60,10 +63,11 @@ def _ngram_hashes(df: DataFrame, n: int, text_col: str, id_col: str,
     if impl == "catalyst":
         return _ngram_hashes_catalyst(df, n, text_col, id_col)
 
-    import hashlib
-
     import numpy as np
     import pandas as pd
+
+    from image_pdf_ocr_suite_spark.analytics.hashkernels import (
+        factorize_md5_hex, iter_flat_chunks)
 
     id_type = df.schema[id_col].dataType.simpleString()
 
@@ -81,20 +85,10 @@ def _ngram_hashes(df: DataFrame, n: int, text_col: str, id_col: str,
                 gram_lists.append([" ".join(toks[j:j + n])
                                    for j in range(len(toks) - n + 1)])
                 ids.append(i)
-            if not gram_lists:
-                continue
-            lens = np.fromiter((len(g) for g in gram_lists), dtype=np.int64,
-                               count=len(gram_lists))
-            flat = np.empty(int(lens.sum()), dtype=object)
-            pos = 0
-            for g in gram_lists:
-                flat[pos:pos + len(g)] = g
-                pos += len(g)
-            codes, uniques = pd.factorize(flat)
-            uhash = np.array([hashlib.md5(u.encode()).hexdigest()
-                              for u in uniques], dtype=object)
-            yield pd.DataFrame({id_col: np.repeat(np.array(ids), lens),
-                                "__h": uhash[codes]})
+            for cids, lens, flat in iter_flat_chunks(ids, gram_lists):
+                codes, uhex = factorize_md5_hex(flat)
+                yield pd.DataFrame({id_col: np.repeat(np.array(cids), lens),
+                                    "__h": uhex[codes]})
 
     return df.select(id_col, text_col).mapInPandas(
         kernel, schema=f"{id_col} {id_type}, __h string")

@@ -1,11 +1,13 @@
 """Deduplication operators for web-scale training-data pipelines.
 
 Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket-join),
-SimHash, and n-gram Jaccard.  All but SimHash are pure Catalyst expressions
-(portable enough that the DuckDB oracle can replicate them — the MinHash
-uses lexicographic MIN over fixed-width md5 hex digests, which is
-order-isomorphic to numeric min over the 128-bit hash, so both engines
-agree bit-for-bit).
+SimHash, and n-gram Jaccard.  Every operator has a DuckDB-replicable
+definition — the MinHash uses lexicographic MIN over fixed-width md5 hex
+digests, which is order-isomorphic to numeric min over the 128-bit hash,
+so both engines agree bit-for-bit.  The SimHash and MinHash signature
+stages default to Arrow unique-token/shingle kernels (interpreted-HOF
+md5 is GC-bound in a shared JVM — see hashkernels.py); the MinHash keeps
+its pure-Catalyst spelling as ``impl="catalyst"``.
 
 Scale notes (100 TB design point):
 - exact dedup is a single hash-aggregate shuffle on the digest — the digest
@@ -62,6 +64,9 @@ def _minhash_signature_arrow(df: DataFrame, text_col: str, id_col: str,
     import numpy as np
     import pandas as pd
 
+    from image_pdf_ocr_suite_spark.analytics.hashkernels import (
+        iter_flat_chunks)
+
     id_type = df.schema[id_col].dataType.simpleString()
     suffixes = [f"#{i}".encode() for i in range(n_hashes)]
 
@@ -78,31 +83,24 @@ def _minhash_signature_arrow(df: DataFrame, text_col: str, id_col: str,
                 sh_lists.append([" ".join(toks[j:j + shingle_k])
                                  for j in range(len(toks) - shingle_k + 1)])
                 ids.append(i)
-            if not sh_lists:
-                continue
-            lens = np.fromiter((len(s) for s in sh_lists), dtype=np.int64,
-                               count=len(sh_lists))
-            flat = np.empty(int(lens.sum()), dtype=object)
-            pos = 0
-            for s in sh_lists:
-                flat[pos:pos + len(s)] = s
-                pos += len(s)
-            codes, uniques = pd.factorize(flat)
-            uhash = np.empty((len(uniques), n_hashes), dtype=object)
-            for u_i, u in enumerate(uniques):
-                ub = u.encode()
-                for b in range(n_hashes):
-                    uhash[u_i, b] = hashlib.md5(ub + suffixes[b]).hexdigest()
-            offs = np.concatenate([[0], np.cumsum(lens)])
-            out_id, out_band, out_mh = [], [], []
-            for row in range(len(ids)):
-                row_codes = codes[offs[row]:offs[row + 1]]
-                for b in range(n_hashes):
-                    out_id.append(ids[row])
-                    out_band.append(b)
-                    out_mh.append(min(uhash[c, b] for c in row_codes))
-            yield pd.DataFrame({id_col: out_id, "band": out_band,
-                                "minhash": out_mh})
+            for cids, lens, flat in iter_flat_chunks(ids, sh_lists):
+                codes, uniques = pd.factorize(flat)
+                uhash = np.empty((len(uniques), n_hashes), dtype=object)
+                for u_i, u in enumerate(uniques):
+                    ub = u.encode()
+                    for b in range(n_hashes):
+                        uhash[u_i, b] = hashlib.md5(
+                            ub + suffixes[b]).hexdigest()
+                offs = np.concatenate([[0], np.cumsum(lens)])
+                out_id, out_band, out_mh = [], [], []
+                for row in range(len(cids)):
+                    row_codes = codes[offs[row]:offs[row + 1]]
+                    for b in range(n_hashes):
+                        out_id.append(cids[row])
+                        out_band.append(b)
+                        out_mh.append(min(uhash[c, b] for c in row_codes))
+                yield pd.DataFrame({id_col: out_id, "band": out_band,
+                                    "minhash": out_mh})
 
     return df.select(id_col, text_col).mapInPandas(
         kernel, schema=f"{id_col} {id_type}, band int, minhash string")

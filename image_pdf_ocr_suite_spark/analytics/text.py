@@ -261,6 +261,8 @@ def _winnow_fingerprints_arrow(df: DataFrame, text_col: str, id_col: str,
     pre = df.select(F.col(id_col), norm.alias("__t"))
 
     def kernel(batches):
+        from image_pdf_ocr_suite_spark.analytics.hashkernels import (
+            iter_flat_chunks)
         for pdf in batches:
             ids, gram_lists = [], []
             for i, t in zip(pdf[id_col], pdf["__t"]):
@@ -268,49 +270,45 @@ def _winnow_fingerprints_arrow(df: DataFrame, text_col: str, id_col: str,
                     continue
                 gram_lists.append([t[j:j + k] for j in range(len(t) - k + 1)])
                 ids.append(i)
-            if not gram_lists:
-                continue
-            lens = np.fromiter((len(g) for g in gram_lists), dtype=np.int64,
-                               count=len(gram_lists))
-            flat = np.empty(int(lens.sum()), dtype=object)
-            pos = 0
-            for g in gram_lists:
-                flat[pos:pos + len(g)] = g
-                pos += len(g)
-            codes, uniques = pd.factorize(flat)
-            digests = [hashlib.md5(u.encode()).digest() for u in uniques]
-            uhex = np.array([d.hex() for d in digests], dtype=object)
-            # hex-lexicographic order == big-endian 128-bit numeric order:
-            # compare as (hi, lo) uint64 pairs (numpy has no byte-string
-            # minimum ufunc)
-            packed = np.frombuffer(b"".join(digests),
-                                   dtype=">u8").reshape(-1, 2)
-            hi_u, lo_u = (packed[:, 0].astype(np.uint64),
-                          packed[:, 1].astype(np.uint64))
-            hi, lo = hi_u[codes], lo_u[codes]
-            offs = np.concatenate([[0], np.cumsum(lens)])
-            out_id, out_fp = [], []
-            for row in range(len(ids)):
-                s0, e0 = int(offs[row]), int(offs[row + 1])
-                n = e0 - s0
-                if n >= w:
-                    base = s0 + np.arange(n - w + 1)
-                    best = base.copy()
-                    for s in range(1, w):
-                        cand = base + s  # window j's s-th member
-                        better = ((hi[cand] < hi[best])
-                                  | ((hi[cand] == hi[best])
-                                     & (lo[cand] < lo[best])))
-                        best = np.where(better, cand, best)
-                    sel = codes[best]
-                else:
-                    sel = codes[s0:e0]  # fewer than w k-grams: keep all
-                for fp in set(uhex[sel]):
-                    out_id.append(ids[row])
-                    out_fp.append(fp)
-            yield pd.DataFrame({id_col: out_id, "fp": out_fp})
+            for cids, lens, flat in iter_flat_chunks(ids, gram_lists):
+                codes, uniques = pd.factorize(flat)
+                digests = [hashlib.md5(u.encode()).digest() for u in uniques]
+                uhex = np.array([d.hex() for d in digests], dtype=object)
+                # hex-lexicographic order == big-endian 128-bit numeric
+                # order: compare as (hi, lo) uint64 pairs (numpy has no
+                # byte-string minimum ufunc)
+                packed = np.frombuffer(b"".join(digests),
+                                       dtype=">u8").reshape(-1, 2)
+                hi_u, lo_u = (packed[:, 0].astype(np.uint64),
+                              packed[:, 1].astype(np.uint64))
+                hi, lo = hi_u[codes], lo_u[codes]
+                offs = np.concatenate([[0], np.cumsum(lens)])
+                out_id, out_fp = [], []
+                for row in range(len(cids)):
+                    s0, e0 = int(offs[row]), int(offs[row + 1])
+                    n = e0 - s0
+                    if n >= w:
+                        base = s0 + np.arange(n - w + 1)
+                        best = base.copy()
+                        for s in range(1, w):
+                            cand = base + s  # window j's s-th member
+                            better = ((hi[cand] < hi[best])
+                                      | ((hi[cand] == hi[best])
+                                         & (lo[cand] < lo[best])))
+                            best = np.where(better, cand, best)
+                        sel = codes[best]
+                    else:
+                        sel = codes[s0:e0]  # fewer than w k-grams: keep all
+                    for fp in set(uhex[sel]):
+                        out_id.append(cids[row])
+                        out_fp.append(fp)
+                yield pd.DataFrame({id_col: out_id, "fp": out_fp})
 
-    return pre.mapInPandas(kernel, schema=f"{id_col} {id_type}, fp string")
+    # the in-kernel set() dedups within one input row; the distinct
+    # matches the Catalyst/oracle contract GLOBALLY (duplicate id rows,
+    # chunk boundaries) — it shuffles already per-row-deduped slivers
+    return pre.mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, fp string").distinct()
 
 
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",

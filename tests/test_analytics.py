@@ -39,7 +39,8 @@ def test_minhash_arrow_matches_catalyst(spark, docs):
     empty tokens (double spaces), short docs, empty and null text."""
     from pyspark.sql import functions as F
     extra = spark.createDataFrame(
-        [(100, "a  b c d"), (101, "x y"), (102, ""), (103, None)],
+        [(100, "a  b c d"), (101, "x y"), (102, ""), (103, None),
+         (100, "a  b c d")],   # duplicate id row: both impls keep both
         "doc_id long, text string")
     d = docs.select("doc_id", "text").unionByName(extra)
     a = sorted(map(tuple, dedup.minhash_signature(d, impl="arrow").collect()))

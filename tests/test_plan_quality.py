@@ -100,10 +100,10 @@ def test_token_count_bpe_is_map_only(spark):
 
 
 def test_winnow_single_shuffle(spark):
-    # arrow default: the per-doc fp dedup happens INSIDE the kernel, so
-    # the whole plan is map-only — zero shuffles, one Python stage
+    # arrow default: per-row dedup inside the kernel + ONE global
+    # distinct exchange over the pre-deduped slivers
     plan = _plan(entrymod.q_winnow_fingerprints(spark, SF_DIR))
-    assert plan.count("Exchange") == 0, plan
+    assert plan.count("Exchange") == 1, plan
     assert plan.count("MapInPandas") == 1, plan
     # the SQL-mirroring catalyst spelling keeps its single-shuffle,
     # zero-Python plan
