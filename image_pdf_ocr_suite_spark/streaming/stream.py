@@ -103,3 +103,42 @@ def start_extraction_stream(spark: SparkSession, input_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_decontamination_stream(spark: SparkSession, input_dir: str,
+                                 schema, test_docs: DataFrame,
+                                 output_root: str, checkpoint_dir: str,
+                                 n: int = 13, text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 available_now: bool = True):
+    """Streaming test-set decontamination: flag contaminated documents AS
+    THEY ARRIVE, before they ever land in the training corpus.
+
+    Each micro-batch runs the exact batch operator
+    (``corpusprep.decontaminate_ngrams`` — the held-out grams broadcast,
+    stream side is a map-only probe) against the STATIC ``test_docs``
+    table, so streaming and batch decisions agree row-for-row; a
+    document's grams are complete within its one arriving row, so the
+    per-document aggregate needs no cross-batch state (same argument as
+    the extraction stream's per-url assembly).  Flagged ``(id, n_shared)``
+    rows append to a snapshot table with the replay guard → exactly-once.
+    Returns the StreamingQuery."""
+    from image_pdf_ocr_suite_spark.analytics.corpusprep import (
+        decontaminate_ngrams)
+    flagged_table = SnapshotTable(f"{output_root}/contaminated")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        run_id = f"decontam-batch-{batch_id}"
+        if _batch_committed(flagged_table, run_id):
+            return
+        hits = decontaminate_ngrams(batch_df, test_docs, n=n,
+                                    text_col=text_col, id_col=id_col)
+        flagged_table.append(hits, run_id=run_id)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "8").parquet(input_dir))
+    writer = (stream.writeStream.foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

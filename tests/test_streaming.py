@@ -130,3 +130,41 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
 
     urls = [r["url"] for r in spark.sql("select url from dedup_pages").collect()]
     assert sorted(urls) == ["u1", "u2", "u3"]
+
+
+def test_stream_decontamination_matches_batch(spark, tmp_path):
+    """Stream-static decontamination: flagged ids over micro-batches ==
+    the batch operator over the whole corpus; replayed batches commit
+    exactly once."""
+    from pyspark.sql import functions as F
+
+    from image_pdf_ocr_suite_spark.analytics.corpusprep import (
+        decontaminate_ngrams)
+    from image_pdf_ocr_suite_spark.streaming.stream import (
+        start_decontamination_stream)
+
+    rows = [(i, "alpha beta gamma delta epsilon " +
+             " ".join(f"u{i}_{j}" for j in range(6))) for i in range(10)]
+    rows += [(100 + i, f"only unrelated words here {i} nothing shared x y")
+             for i in range(4)]
+    docs_schema = "doc_id long, text string"
+    docs = spark.createDataFrame(rows, docs_schema)
+    test_docs = docs.where(F.col("doc_id") == 0)
+
+    input_dir = str(tmp_path / "docs_in")
+    docs.where("doc_id < 7").coalesce(1).write.mode("append").parquet(input_dir)
+    docs.where("doc_id >= 7").coalesce(1).write.mode("append").parquet(input_dir)
+
+    out_root = str(tmp_path / "decontam_out")
+    q = start_decontamination_stream(
+        spark, input_dir, docs_schema, test_docs, out_root,
+        str(tmp_path / "decontam_ckpt"), n=5)
+    q.awaitTermination(120)
+
+    got = {(r["doc_id"], r["n_shared"])
+           for r in SnapshotTable(f"{out_root}/contaminated").read(spark).collect()}
+    want = {(r["doc_id"], r["n_shared"])
+            for r in decontaminate_ngrams(docs, test_docs, n=5).collect()}
+    assert got == want
+    # the shared 5-gram prefix flags all ten alpha... docs, none of the others
+    assert {d for d, _ in got} == set(range(10))
