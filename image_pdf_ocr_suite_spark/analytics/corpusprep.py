@@ -94,10 +94,22 @@ def _ngram_hashes(df: DataFrame, n: int, text_col: str, id_col: str,
         kernel, schema=f"{id_col} {id_type}, __h string")
 
 
-def decontaminate_ngrams(corpus: DataFrame, test: DataFrame, n: int = 13,
+def test_gram_table(test: DataFrame, n: int = 13, text_col: str = "text",
+                    id_col: str = "doc_id", impl: str = "arrow") -> DataFrame:
+    """The distinct held-out gram-hash table (one ``__h`` column) —
+    precompute + persist/materialize it once when probing repeatedly
+    (e.g. every streaming micro-batch) instead of re-hashing the test
+    set per call; feed it to ``decontaminate_ngrams(test_grams=...)``."""
+    return _ngram_hashes(test, n, text_col, id_col, impl=impl) \
+        .select("__h").distinct()
+
+
+def decontaminate_ngrams(corpus: DataFrame, test: DataFrame | None = None,
+                         n: int = 13,
                          text_col: str = "text", id_col: str = "doc_id",
                          broadcast_test: bool = True,
-                         impl: str = "arrow") -> DataFrame:
+                         impl: str = "arrow", *,
+                         test_grams: DataFrame | None = None) -> DataFrame:
     """Test-set decontamination: flag every corpus document sharing at
     least one word ``n``-gram with a held-out evaluation set (the GPT-3
     13-gram rule).  Returns ``(id, n_shared)`` where ``n_shared`` counts
@@ -108,10 +120,13 @@ def decontaminate_ngrams(corpus: DataFrame, test: DataFrame, n: int = 13,
     relative to the corpus, so it broadcasts and the corpus side is a
     map-only probe followed by one count aggregate on ``id``.  Set
     ``broadcast_test=False`` to fall back to a shuffle hash join when the
-    held-out set is itself large."""
+    held-out set is itself large.  Pass a precomputed (ideally persisted)
+    ``test_grams`` table instead of ``test`` when probing repeatedly."""
+    if (test is None) == (test_grams is None):
+        raise ValueError("pass exactly one of test / test_grams")
     cg = _ngram_hashes(corpus, n, text_col, id_col, impl=impl)
-    tg = _ngram_hashes(test, n, text_col, id_col, impl=impl) \
-        .select("__h").distinct()
+    tg = (test_grams if test_grams is not None
+          else test_gram_table(test, n, text_col, id_col, impl=impl))
     if broadcast_test:
         tg = F.broadcast(tg)
     # distinct AFTER the probe: the only exchange on the corpus side then

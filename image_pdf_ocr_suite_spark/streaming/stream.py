@@ -123,16 +123,21 @@ def start_decontamination_stream(spark: SparkSession, input_dir: str,
     the extraction stream's per-url assembly).  Flagged ``(id, n_shared)``
     rows append to a snapshot table with the replay guard → exactly-once.
     Returns the StreamingQuery."""
+    from pyspark import StorageLevel
+
     from image_pdf_ocr_suite_spark.analytics.corpusprep import (
-        decontaminate_ngrams)
+        decontaminate_ngrams, test_gram_table)
     flagged_table = SnapshotTable(f"{output_root}/contaminated")
+    # hash the static held-out set ONCE, not once per micro-batch
+    grams = test_gram_table(test_docs, n=n, text_col=text_col,
+                            id_col=id_col).persist(StorageLevel.MEMORY_AND_DISK)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         run_id = f"decontam-batch-{batch_id}"
         if _batch_committed(flagged_table, run_id):
             return
-        hits = decontaminate_ngrams(batch_df, test_docs, n=n,
-                                    text_col=text_col, id_col=id_col)
+        hits = decontaminate_ngrams(batch_df, n=n, text_col=text_col,
+                                    id_col=id_col, test_grams=grams)
         flagged_table.append(hits, run_id=run_id)
 
     stream = (spark.readStream.schema(schema)

@@ -56,6 +56,23 @@ def test_decontaminate_arrow_matches_catalyst(spark):
     assert a == c and len(a) >= 2
 
 
+def test_decontaminate_precomputed_grams_and_arg_guard(spark):
+    import pytest as _pytest
+    corpus = _docs(spark, [(0, "a b c d e f"), (1, "x a b c d e y"),
+                           (2, "unrelated words entirely here now")])
+    test = corpus.where(F.col("doc_id") == 0)
+    direct = sorted(map(tuple, corpusprep.decontaminate_ngrams(
+        corpus, test, n=5).collect()))
+    grams = corpusprep.test_gram_table(test, n=5)
+    pre = sorted(map(tuple, corpusprep.decontaminate_ngrams(
+        corpus, n=5, test_grams=grams).collect()))
+    assert direct == pre and len(pre) == 2
+    with _pytest.raises(ValueError):
+        corpusprep.decontaminate_ngrams(corpus, test, test_grams=grams)
+    with _pytest.raises(ValueError):
+        corpusprep.decontaminate_ngrams(corpus)
+
+
 def test_decontaminate_broadcasts_test_side(spark):
     corpus = _docs(spark, [(0, "a b c d e")])
     plan = corpusprep.decontaminate_ngrams(corpus, corpus, n=3) \
