@@ -724,59 +724,25 @@ def q_line_dedup(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registration order matters: the driver's CORRECTNESS gate records
+    exactly the first 50 entries.  Window layout (round 4): the 5
+    golden-parquet flagships and both ``*_stats`` binary-sink twins stay
+    pinned, then the 20 queries that had never had a driver row through
+    round 3 (corpus-prep family, as-of join, media features, relational
+    extras, the two rotated-out TPC-H queries), then operators reworked
+    this round.  Long-stable §2.2 rows (green in r1-r3) rotate past 50;
+    they remain covered by tests/test_oracle_parity.py, which replicates
+    the gate over the FULL registry."""
     return {
-        # flagship extraction (non-SQL kernels → rows-only checks)
+        # -- pinned: golden-parquet flagships + binary-sink stats twins --
         "ocr_extract_text": q_ocr_extract_text,
         "ocr_spans": q_ocr_spans,
         "ocr_quarantine": q_ocr_quarantine,
         "html_main_text": q_html_main_text,
         "payload_metadata": q_payload_metadata,
-        "searchable_pdf": q_searchable_pdf,
         "searchable_pdf_stats": q_searchable_pdf_stats,
-        "images_to_pdf": q_images_to_pdf,
         "images_to_pdf_stats": q_images_to_pdf_stats,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "simhash_groups": q_simhash_groups,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        # SQL-checkable operators
-        "conf_avg_valid": q_conf_avg_valid,
-        "conf_threshold_filter": q_conf_threshold_filter,
-        "validity_filter_count": q_validity_filter_count,
-        "rescale_projection": q_rescale_projection,
-        "reading_order": q_reading_order,
-        "top_docs_per_lang": q_top_docs_per_lang,
-        "nonempty_text_filter": q_nonempty_text_filter,
-        "span_offsets": q_span_offsets,
-        "max_extent": q_max_extent,
-        "page_header_format": q_page_header_format,
-        "doc_assembly": q_doc_assembly,
-        "dedup_exact": q_dedup_exact,
-        "dedup_first_per_key": q_dedup_first_per_key,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "lang_id_script": q_lang_id_script,
-        "fingerprint": q_fingerprint,
-        "token_count_bpe": q_token_count_bpe,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "minhash_lsh_buckets": q_minhash_lsh_buckets,
-        "minhash_candidate_pairs": q_minhash_candidate_pairs,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "near_dup_components": q_near_dup_components,
-        "topk_cosine": q_topk_cosine,
-        "sessionize": q_sessionize,
-        "reorder_explicit": q_reorder_explicit,
-        "top_tokens": q_top_tokens,
-        "bigram_counts": q_bigram_counts,
-        "text_position_projection": q_text_position_projection,
-        "corpus_clean": q_corpus_clean,
-        "corpus_clean_verified": q_corpus_clean_verified,
-        "value_median": q_value_median,
-        "windowed_event_counts": q_windowed_event_counts,
-        "event_rollup_hourly": q_event_rollup_hourly,
-        "text_nfc": q_text_nfc,
+        # -- never driver-checked before round 4 --
         "tpch_q1_exactstats": q_tpch_q1_exactstats,
         "join_agg_segment": q_join_agg_segment,
         "anti_join_customers": q_anti_join_customers,
@@ -797,6 +763,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "rare_token_ratio": q_rare_token_ratio,
         "token_budget_sample": q_token_budget_sample,
+        # -- reworked / load-bearing this round --
+        "near_dup_components": q_near_dup_components,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_buckets": q_minhash_lsh_buckets,
+        "minhash_candidate_pairs": q_minhash_candidate_pairs,
+        "simhash_groups": q_simhash_groups,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "topk_cosine": q_topk_cosine,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "corpus_clean": q_corpus_clean,
+        "corpus_clean_verified": q_corpus_clean_verified,
+        "sessionize": q_sessionize,
+        "windowed_event_counts": q_windowed_event_counts,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count_bpe": q_token_count_bpe,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "doc_assembly": q_doc_assembly,
+        "span_offsets": q_span_offsets,
+        "reading_order": q_reading_order,
+        # ---- position 51+: stable since r1/r2, pytest-parity only ----
+        "searchable_pdf": q_searchable_pdf,
+        "images_to_pdf": q_images_to_pdf,
+        "conf_avg_valid": q_conf_avg_valid,
+        "conf_threshold_filter": q_conf_threshold_filter,
+        "validity_filter_count": q_validity_filter_count,
+        "rescale_projection": q_rescale_projection,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "nonempty_text_filter": q_nonempty_text_filter,
+        "max_extent": q_max_extent,
+        "page_header_format": q_page_header_format,
+        "dedup_first_per_key": q_dedup_first_per_key,
+        "token_count": q_token_count,
+        "lang_id_script": q_lang_id_script,
+        "reorder_explicit": q_reorder_explicit,
+        "top_tokens": q_top_tokens,
+        "bigram_counts": q_bigram_counts,
+        "text_position_projection": q_text_position_projection,
+        "value_median": q_value_median,
+        "event_rollup_hourly": q_event_rollup_hourly,
+        "text_nfc": q_text_nfc,
     }
 
 

@@ -241,20 +241,26 @@ def rare_token_ratio(df: DataFrame, min_count: int = 3,
     ``(id, n_tokens, n_rare, rare_ratio)``; token-less docs report 0/0/0.0.
 
     Two aggregates: corpus token frequencies (map-side partial combine,
-    vocab-cardinality shuffle), then the per-doc rare count.  The vocab
-    table broadcasts by default (natural-language vocabularies are tiny
-    next to the corpus); set ``broadcast_vocab=False`` for adversarial
-    vocabularies and the probe becomes a shuffle hash join on the token."""
+    vocab-cardinality shuffle), then the per-doc rare count.  The
+    broadcast side is the COMMON vocab (freq >= min_count) — bounded by
+    natural language regardless of corpus size — and a token counts as
+    rare exactly when the left join misses.  Broadcasting the rare set
+    instead would ship the Zipf hapax tail, which on a crawl full of
+    hash soup is the majority of distinct types and unbounded.  Set
+    ``broadcast_vocab=False`` for adversarial inputs whose COMMON vocab
+    is itself huge and the probe becomes a shuffle hash join."""
     tok = df.select(F.col(id_col),
                     F.explode(token_array_expr(text_col)).alias("__tok"))
     vocab = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
-    rare = vocab.where(F.col("__c") < min_count).select("__tok")
+    common = vocab.where(F.col("__c") >= min_count).select("__tok")
     if broadcast_vocab:
-        rare = F.broadcast(rare)
-    flagged = tok.join(rare.withColumn("__rare", F.lit(1)), "__tok", "left")
+        common = F.broadcast(common)
+    flagged = tok.join(common.withColumn("__common", F.lit(1)),
+                       "__tok", "left")
     agg = flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(F.coalesce(F.col("__rare"), F.lit(0))).alias("n_rare"))
+        F.sum(F.when(F.col("__common").isNull(), F.lit(1))
+               .otherwise(F.lit(0))).alias("n_rare"))
     ids = df.select(F.col(id_col))
     out = ids.join(agg, id_col, "left")
     return out.select(

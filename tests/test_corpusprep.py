@@ -5,6 +5,8 @@ the decontamination join, digest-only window shuffle for line dedup)."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from image_pdf_ocr_suite_spark.analytics import corpusprep
@@ -165,11 +167,15 @@ def test_rare_token_ratio_exact(spark):
     assert out[2] == (0, 0, 0.0)
 
 
-def test_rare_token_ratio_broadcasts_vocab(spark):
+def test_rare_token_ratio_broadcasts_common_side(spark):
+    # The broadcast relation must be the COMMON vocab (freq >= min_count):
+    # broadcasting the rare side ships the unbounded Zipf hapax tail.
     df = _docs(spark, [(0, "a b c")])
-    plan = corpusprep.rare_token_ratio(df) \
+    plan = corpusprep.rare_token_ratio(df, min_count=3) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+    assert re.search(r"__c#\d+L? >= 3", plan), plan
+    assert not re.search(r"__c#\d+L? < 3", plan), plan
 
 
 # -- token-budget sampling --------------------------------------------------
