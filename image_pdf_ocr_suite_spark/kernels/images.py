@@ -40,8 +40,10 @@ def _extent_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for g, i, raw in zip(pdf["group"], pdf["image_index"], pdf["image"]):
-            page = spdf.decode(bytes(raw)).pages[0]
-            rows.append((g, int(i), page.width_px, page.height_px))
+            # header-only dims peek: the extent pass must not pay a full
+            # decode — the normalize kernel downstream is the one decode
+            w, h = spdf.peek_dims(bytes(raw))
+            rows.append((g, int(i), w, h))
         if rows:
             yield pd.DataFrame(rows, columns=["group", "image_index", "width", "height"])
 

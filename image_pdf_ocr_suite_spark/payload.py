@@ -162,6 +162,53 @@ def decode(payload: bytes, password: str | None = None) -> Document:
     return Document(pages=[Page.from_json(p) for p in obj["pages"]])
 
 
+_DIMS_RE = None  # compiled lazily; see peek_dims
+
+
+def peek_dims(payload: bytes, password: str | None = None) -> tuple[int, int]:
+    """``(width_px, height_px)`` of page 0 WITHOUT decoding the document.
+
+    The body is ``json.dumps(..., sort_keys=True)``, so a page object
+    serializes ``{"h":H,"ink":I,"w":W,"words":[...]}`` — the geometry keys
+    sort ahead of the word-box bulk.  A bounded partial zlib decompress
+    (``decompressobj().decompress(body, 160)``) therefore yields the dims
+    while touching only the head of the stream: no full inflate, no JSON
+    parse of the words.  This is the single-decode path for P3's
+    max-extent pass (the full ``decode`` used to run twice per image).
+
+    Raises the same taxonomy as :func:`decode` — ``PayloadError`` for
+    non-SPDF/corrupt input, ``EncryptedPayloadError`` for missing/wrong
+    password.
+    """
+    global _DIMS_RE
+    if _DIMS_RE is None:
+        import re
+        _DIMS_RE = re.compile(rb'^\{"pages":\[\{"h":(\d+),"ink":(\d+),"w":(\d+),')
+    if payload is None or len(payload) < 6 or payload[:4] != MAGIC:
+        raise PayloadError("not an SPDF payload")
+    version, flags = payload[4], payload[5]
+    if version != VERSION:
+        raise PayloadError(f"unsupported SPDF version {version}")
+    body = payload[6:]
+    if flags & FLAG_ENCRYPTED:
+        if not password:
+            raise EncryptedPayloadError("payload is encrypted and no password was given")
+        body = _xor(body, password)
+    if flags & FLAG_STORED:
+        head = body[:160]
+    else:
+        try:
+            head = zlib.decompressobj().decompress(body, 160)
+        except Exception as exc:
+            if flags & FLAG_ENCRYPTED:
+                raise EncryptedPayloadError("wrong password") from exc
+            raise PayloadError(f"corrupt SPDF body: {exc}") from exc
+    m = _DIMS_RE.match(head)
+    if m is None:
+        raise PayloadError("SPDF body has no page-0 geometry header")
+    return int(m.group(3)), int(m.group(1))
+
+
 def remove_password(payload: bytes, password: str) -> bytes:
     """Re-encode without encryption (≈ remove_pdf_password, ocr.py:198-241).
 

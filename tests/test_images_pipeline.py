@@ -74,3 +74,23 @@ def test_image_order_is_explicit_index(spark):
     df = spark.createDataFrame(rows, "group string, image_index int, image binary").repartition(3)
     pdf = bytes(images_to_searchable_pdf(df, CFG).head()["pdf"])
     assert pdf.index(b"(first) Tj") < pdf.index(b"(second) Tj") < pdf.index(b"(third) Tj")
+
+
+def test_extent_kernel_is_header_only(monkeypatch):
+    """The max-extent pass must use the header peek, never a full decode
+    (single-decode fix: decode happens once, in the normalize kernel)."""
+    import pandas as pd
+    from image_pdf_ocr_suite_spark.kernels import images as ik
+
+    def _boom(*a, **k):
+        raise AssertionError("extent kernel called full spdf.decode")
+
+    monkeypatch.setattr(ik.spdf, "decode", _boom)
+    batch = pd.DataFrame({
+        "group": ["g", "g"],
+        "image_index": [0, 1],
+        "image": [_img_payload(50, 20, []), _img_payload(70, 10, [])],
+    })
+    out = pd.concat(list(ik._extent_kernel(iter([batch]))))
+    assert list(out["width"]) == [50, 70]
+    assert list(out["height"]) == [20, 10]

@@ -69,3 +69,33 @@ def test_split_pages():
     assert len(parts) == 2
     p0 = spdf.decode(parts[0])
     assert len(p0.pages) == 1 and p0.pages[0].words[0].text == "hello"
+
+
+def test_peek_dims_matches_decode():
+    doc = _doc()
+    for kwargs in ({}, {"level": 0}):
+        payload = spdf.encode(doc, **kwargs)
+        ref = spdf.decode(payload).pages[0]
+        assert spdf.peek_dims(payload) == (ref.width_px, ref.height_px)
+    # big words array: the peek must not need the full stream
+    big = Document(pages=[Page(12345, 678, [
+        Word(1, 1, i // 10, i % 10, 10.0 * i, 12, 15, 10, 80.0, 40.0,
+             f"w{i}") for i in range(5000)])])
+    payload = spdf.encode(big)
+    assert spdf.peek_dims(payload) == (12345, 678)
+
+
+def test_peek_dims_error_taxonomy():
+    doc = _doc()
+    enc = spdf.encode(doc, password="pw")
+    assert spdf.peek_dims(enc, password="pw") == (100, 60)
+    with pytest.raises(spdf.EncryptedPayloadError):
+        spdf.peek_dims(enc)
+    with pytest.raises(spdf.EncryptedPayloadError):
+        spdf.peek_dims(enc, password="wrong")
+    with pytest.raises(spdf.PayloadError):
+        spdf.peek_dims(b"whatever")
+    with pytest.raises(spdf.PayloadError):
+        spdf.peek_dims(b"SPDF" + bytes([1, 0]) + b"nonsense")
+    with pytest.raises(spdf.PayloadError):
+        spdf.peek_dims(spdf.encode(Document(pages=[])))
