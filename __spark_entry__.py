@@ -584,7 +584,7 @@ def q_asof_join_views(spark, sf_dir):
 
 def q_image_features(spark, sf_dir):
     """Multimodal image column: decode + typed features via the Arrow
-    kernel (BMP/PGM real decoders, PNG codec seam -> err row).  The
+    kernel (BMP/PGM/PNG real decoders, JPEG codec seam -> err row).  The
     fixture rasters are solid-color, so the oracle states mean luminance
     in closed form; the accumulated mean is rounded at 1e-4 on both sides
     (ULP-level pairwise-summation drift, never near a boundary: the exact
@@ -944,8 +944,9 @@ def _media_oracles() -> dict[str, str]:
                        {dbl.format('(doc_id * 31) % 256')} AS gray
                 FROM documents WHERE doc_id < 200)
             SELECT CAST(doc_id AS VARCHAR) AS id,
-                   CASE WHEN m <= 3 THEN 'bmp' WHEN m <= 5 THEN 'pgm'
-                        WHEN m = 6 THEN 'unknown' ELSE 'none' END AS format,
+                   CASE WHEN m <= 2 THEN 'bmp' WHEN m = 4 THEN 'pgm'
+                        WHEN m IN (3, 5) THEN 'png'
+                        WHEN m = 6 THEN 'jpg' ELSE 'none' END AS format,
                    CASE WHEN m <= 5 THEN {MEDIA_DIM} ELSE 0 END AS width,
                    CASE WHEN m <= 5 THEN {MEDIA_DIM} ELSE 0 END AS height,
                    CASE WHEN m <= 3 THEN 3 WHEN m <= 5 THEN 1 ELSE 0 END AS channels,

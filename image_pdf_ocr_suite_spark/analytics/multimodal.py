@@ -122,19 +122,132 @@ def _decode_ppm(payload: bytes):
         else arr.reshape(height, width).copy()
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw, h: int, stride: int, bpp: int):
+    """Reverse the per-scanline PNG filters (spec §9: None/Sub/Up/Average/
+    Paeth).  Up/None are vectorized; Sub/Average/Paeth carry a left-pixel
+    dependency so they walk the scanline — fine for a decode kernel that
+    is per-payload Python already."""
+    import numpy as np
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.int32)
+    zero = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(lines[y, 0])
+        cur = lines[y, 1:].astype(np.int32)
+        prior = out[y - 1] if y else zero
+        if f == 0:
+            res = cur
+        elif f == 2:                                   # Up
+            res = (cur + prior) & 0xFF
+        elif f == 1:                                   # Sub
+            res = cur
+            for x in range(bpp, stride):
+                res[x] = (res[x] + res[x - bpp]) & 0xFF
+        elif f == 3:                                   # Average
+            res = cur
+            for x in range(stride):
+                left = res[x - bpp] if x >= bpp else 0
+                res[x] = (res[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif f == 4:                                   # Paeth
+            res = cur
+            for x in range(stride):
+                a = res[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                res[x] = (res[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = res
+    return out.astype(np.uint8)
+
+
+def _decode_png(payload: bytes):
+    """PNG decode on the stdlib only (public spec, RFC 2083 / ISO 15948):
+    chunk walk with CRC verification, zlib inflate, per-scanline
+    unfiltering, palette expansion.  Supports bit depth 8, color types
+    0/2/3/4/6, non-interlaced — the overwhelming bulk of web PNGs.
+    16-bit and Adam7 stay behind the NotImplementedError seam."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 12 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack_from(">I", payload, pos + 8 + length)[0]
+        if _z.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if w <= 0 or h <= 0 or comp != 0 or filt != 0:
+        raise ValueError(f"invalid PNG header {w}x{h}/{comp}/{filt}")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported "
+                                  "(bind Pillow/libvips for interlaced)")
+    if depth != 8:
+        raise NotImplementedError(f"only 8-bit PNG decodes here "
+                                  f"(got depth={depth})")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if nch is None:
+        raise ValueError(f"invalid PNG color type {color}")
+    try:
+        raw = _z.decompress(b"".join(idat))
+    except _z.error as exc:
+        raise ValueError(f"corrupt PNG pixel stream: {exc}") from exc
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    arr = _png_unfilter(raw, h, stride, nch)
+    if color == 3:                                     # palette -> RGB
+        if plte is None or len(plte) % 3:
+            raise ValueError("paletted PNG without a valid PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = arr.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        return pal[idx].copy()
+    if nch == 1:
+        return arr.reshape(h, w).copy()
+    return arr.reshape(h, w, nch).copy()
+
+
 def decode_image(payload: bytes):
     """Image decode without codec libraries: dependency-free BMP
-    (24/32-bit BI_RGB) and binary PPM/PGM decoders; anything else (JPEG,
-    PNG, ...) needs a Pillow/libvips binding — that seam raises
-    NotImplementedError so production can plug the real codec in."""
+    (24/32-bit BI_RGB), binary PPM/PGM, and 8-bit PNG (stdlib zlib +
+    unfiltering) decoders; anything else (JPEG, WebP, ...) needs a
+    Pillow/libvips binding — that seam raises NotImplementedError so
+    production can plug the real codec in."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] in (b"P6", b"P5"):
         return _decode_ppm(payload)
+    if payload[:8] == PNG_MAGIC:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "JPEG/PNG/... decoding needs codec libraries not available in this "
-        "environment; bind Pillow/libvips here in production "
-        "(BMP and PPM/PGM decode natively)")
+        "JPEG/WebP/... decoding needs codec libraries not available in "
+        "this environment; bind Pillow/libvips here in production "
+        "(BMP, PPM/PGM and 8-bit PNG decode natively)")
 
 
 IMAGE_FEATURES_SCHEMA = ("id string, format string, width int, height int, "
@@ -159,16 +272,22 @@ def image_features(df, image_col: str = "image", id_col: str = "id"):
                 raw = bytes(raw)
                 fmt = ("bmp" if raw[:2] == b"BM"
                        else "ppm" if raw[:2] == b"P6"
-                       else "pgm" if raw[:2] == b"P5" else "unknown")
+                       else "pgm" if raw[:2] == b"P5"
+                       else "png" if raw[:8] == PNG_MAGIC
+                       else "jpg" if raw[:3] == b"\xff\xd8\xff"
+                       else "unknown")
                 try:
                     arr = decode_image(raw)
                 except (NotImplementedError, ValueError) as e:
                     rows.append((rid, fmt, 0, 0, 0, 0.0, type(e).__name__))
                     continue
-                if arr.ndim == 3:
+                if arr.ndim == 3 and arr.shape[2] >= 3:
                     a = arr.astype(np.float64)
                     lum = (a[..., 0] * 0.299 + a[..., 1] * 0.587
                            + a[..., 2] * 0.114).mean()
+                    ch = arr.shape[2]
+                elif arr.ndim == 3:                     # gray+alpha
+                    lum = float(arr[..., 0].astype(np.float64).mean())
                     ch = arr.shape[2]
                 else:
                     lum = float(arr.astype(np.float64).mean())

@@ -253,6 +253,25 @@ def pgm_solid(width: int, height: int, gray: int) -> bytes:
     return b"P5 %d %d 255\n" % (width, height) + bytes([gray]) * (width * height)
 
 
+def png_solid(width: int, height: int, *channels: int) -> bytes:
+    """8-bit non-interlaced PNG filled with one color — gray (color type
+    0) for one channel value, RGB (type 2) for three.  Filter-0
+    scanlines, stdlib zlib, CRC-correct chunks."""
+    import struct
+    import zlib
+    color = 0 if len(channels) == 1 else 2
+    px = bytes(channels)
+    raw = (b"\x00" + px * width) * height
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
 def wav_const(rate: int, frames: int, channels: int, bits: int,
               value: int, audio_fmt: int = 1) -> bytes:
     """RIFF/WAVE with every sample equal to ``value`` (PCM16 int or PCM8
@@ -272,17 +291,23 @@ def wav_const(rate: int, frames: int, channels: int, bits: int,
 
 def image_payload_for(doc_id: int) -> bytes | None:
     """doc_id % 8 → image payload kind (oracle mirrors this dispatch):
-    0-2 BMP24, 3 BMP32, 4-5 PGM, 6 undecodable PNG magic, 7 null."""
+    0-1 BMP24, 2 BMP32, 3 PNG-RGB, 4 PGM, 5 PNG-gray, 6 JPEG magic
+    (codec seam → err row), 7 null."""
     m = doc_id % 8
     r, g, b = doc_id % 256, (doc_id * 7) % 256, (doc_id * 13) % 256
-    if m <= 2:
+    gray = (doc_id * 31) % 256
+    if m <= 1:
         return bmp_solid(MEDIA_DIM, MEDIA_DIM, r, g, b, bpp=24)
-    if m == 3:
+    if m == 2:
         return bmp_solid(MEDIA_DIM, MEDIA_DIM, r, g, b, bpp=32)
-    if m <= 5:
-        return pgm_solid(MEDIA_DIM, MEDIA_DIM, (doc_id * 31) % 256)
+    if m == 3:
+        return png_solid(MEDIA_DIM, MEDIA_DIM, r, g, b)
+    if m == 4:
+        return pgm_solid(MEDIA_DIM, MEDIA_DIM, gray)
+    if m == 5:
+        return png_solid(MEDIA_DIM, MEDIA_DIM, gray)
     if m == 6:
-        return b"\x89PNG\r\n\x1a\n" + bytes(32)   # codec seam -> err row
+        return b"\xff\xd8\xff\xe0" + bytes(32)    # codec seam -> err row
     return None
 
 

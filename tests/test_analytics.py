@@ -156,9 +156,98 @@ def test_payload_metadata(spark):
 
 def test_multimodal_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG...")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg")   # JPEG seam
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(b"\x00")
+
+
+def _png_encode_filtered(arr, filters):
+    """Test-side PNG writer applying a PRESCRIBED filter type per
+    scanline (forward transform per spec §9) — exercises the decoder's
+    unfilter paths, which png_solid (all filter-0) never hits."""
+    import struct
+    import zlib
+
+    import numpy as np
+    h, w = arr.shape[:2]
+    nch = 1 if arr.ndim == 2 else arr.shape[2]
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    px = arr.reshape(h, w * nch).astype(np.int32)
+    raw = bytearray()
+    for y, f in enumerate(filters):
+        cur = px[y]
+        prior = px[y - 1] if y else np.zeros_like(cur)
+        left = np.concatenate([np.zeros(nch, np.int32), cur[:-nch]])
+        ul = np.concatenate([np.zeros(nch, np.int32), prior[:-nch]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prior
+        elif f == 3:
+            enc = cur - ((left + prior) >> 1)
+        else:
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prior, ul))
+            enc = cur - pred
+        raw += bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes()
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+def test_png_decode_all_filter_types():
+    rng = np.random.RandomState(7)
+    for shape in [(5, 4, 3), (5, 4), (5, 4, 4), (5, 4, 2)]:
+        arr = rng.randint(0, 256, shape, dtype=np.uint8)
+        payload = _png_encode_filtered(arr, [0, 1, 2, 3, 4])
+        got = multimodal.decode_image(payload)
+        assert got.shape == arr.shape
+        assert (got == arr).all(), shape
+
+
+def test_png_decode_palette_and_errors():
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    # 2x2 paletted: indices [[0,1],[1,0]] over a 2-entry palette
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 0, 255])
+    raw = b"\x00\x00\x01" + b"\x00\x01\x00"
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"PLTE", plte)
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    got = multimodal.decode_image(payload)
+    assert (got == np.array([[[255, 0, 0], [0, 0, 255]],
+                             [[0, 0, 255], [255, 0, 0]]])).all()
+    # CRC corruption must raise ValueError, not decode garbage
+    bad = bytearray(fixtures.png_solid(4, 4, 9))
+    bad[20] ^= 0xFF
+    with pytest.raises(ValueError):
+        multimodal.decode_image(bytes(bad))
+    # 16-bit and interlaced stay behind the seam
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    p16 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(p16)
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    p_i = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i)
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(p_i)
 
 
 def test_jaccard_verify_pairs(spark, docs):
@@ -516,6 +605,10 @@ def test_media_fixture_closed_forms():
     assert (arr32 == arr).all()
     g = multimodal.decode_image(fixtures.pgm_solid(16, 16, 77))
     assert g.shape == (16, 16) and (g == 77).all()
+    p = multimodal.decode_image(fixtures.png_solid(16, 16, 10, 20, 30))
+    assert p.shape == (16, 16, 3) and (p == [10, 20, 30]).all()
+    pg = multimodal.decode_image(fixtures.png_solid(16, 16, 77))
+    assert pg.shape == (16, 16) and (pg == 77).all()
     rate, ch, samples = multimodal.decode_wav(
         fixtures.wav_const(8000, 1024, 1, 16, 123))
     assert (rate, ch, samples.shape) == (8000, 1, (1024, 1))
