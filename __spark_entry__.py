@@ -348,6 +348,29 @@ def q_ivf_topk(spark, sf_dir):
                                       n_lists=16, n_probe=4).select("vec_id")
 
 
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_ivf_topk_from_index(spark, sf_dir):
+    """IVF ANN over the MATERIALIZED index layout: ivf_write_index
+    persists (vec_id, embedding) partitioned by the coarse-list column,
+    so the probe filter resolves as PartitionFilters — the scan reads
+    n_probe/n_lists of the files (plan-asserted in test_ivf_index.py).
+    Same quantizer (deterministic training), same probe order, same
+    rerank as q_ivf_topk → same oracle."""
+    import tempfile
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    path = _IVF_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivf_index_") + "/index"
+        similarity.ivf_write_index(emb, path, n_lists=16)
+        _IVF_INDEX_CACHE[sf_dir] = path
+    return similarity.ivf_topk_from_index(
+        spark, path, [float(x) for x in qvec], k=10, n_probe=4) \
+        .select("vec_id")
+
+
 def q_simhash_groups(spark, sf_dir):
     return dedup.simhash_groups(_t(spark, sf_dir, "documents"))
 
@@ -774,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine": q_topk_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_from_index": q_ivf_topk_from_index,
         "corpus_clean": q_corpus_clean,
         "corpus_clean_verified": q_corpus_clean_verified,
         "sessionize": q_sessionize,
@@ -1329,6 +1353,9 @@ def oracle_sql() -> dict[str, str]:
             FROM toks a, toks b WHERE a.doc_id < b.doc_id""",
         "ann_lsh_topk": _ann_lsh_topk_oracle(),
         "ivf_topk": _ivf_topk_oracle(),
+        # same quantizer + probe + rerank, served from the materialized
+        # partitioned layout — identical result set by construction
+        "ivf_topk_from_index": _ivf_topk_oracle(),
         "near_dup_components": """
             WITH RECURSIVE
             sh AS (

@@ -284,18 +284,73 @@ def ivf_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 20,
     if centroids is None:
         centroids = train_ivf_centroids(df, n_lists, vec_col, id_col,
                                         seed=seed)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qn = np.linalg.norm(qv)
-    qdots = centroids @ (qv / qn if qn > 0 else qv)
-    order = np.lexsort((np.arange(len(centroids)), -qdots))
-    probe = [int(i) for i in order[:n_probe]]
-
+    probe = _probe_lists(centroids, query_vec, n_probe)
     lists = ivf_list_expr(vec_col, centroids)
     cand = df.select(F.col(id_col), F.col(vec_col), lists.alias("ivf_list")) \
              .where(F.col("ivf_list").isin(probe))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     emb = F.col(vec_col).cast("array<double>")
     scored = cand.select(F.col(id_col), cosine_expr(emb, q).alias("sim"))
+    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
+def _probe_lists(centroids: np.ndarray, query_vec, n_probe: int) -> list[int]:
+    """The query's ``n_probe`` closest coarse lists (argmax dots,
+    deterministic lexsort tie-break — same order ivf_cosine_topk uses)."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(qv)
+    qdots = centroids @ (qv / qn if qn > 0 else qv)
+    order = np.lexsort((np.arange(len(centroids)), -qdots))
+    return [int(i) for i in order[:n_probe]]
+
+
+def ivf_write_index(df: DataFrame, path: str, n_lists: int = 16,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    centroids: np.ndarray | None = None,
+                    seed: int = 42) -> np.ndarray:
+    """Materialize the IVF layout: one-pass coarse-list assignment, then
+    ``partitionBy("ivf_list")`` parquet — the 100 TB shape where probing
+    is PartitionFilters-level pruning (the scan touches n_probe/n_lists
+    of the files; see test_ivf_index.py for the plan assertion).  The
+    trained quantizer rides along as a ``_ivf_centroids.json`` sidecar
+    (underscore-prefixed → invisible to parquet readers), so any reader
+    probes the exact quantizer the index was built with.  Null vectors
+    are excluded (they can't be probed).  Returns the centroids."""
+    import json
+    import os
+    if centroids is None:
+        centroids = train_ivf_centroids(df, n_lists, vec_col, id_col,
+                                        seed=seed)
+    out = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col),
+        ivf_list_expr(vec_col, centroids).alias("ivf_list"))
+    out.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as fh:
+        json.dump([[float(x) for x in row] for row in centroids], fh)
+    return centroids
+
+
+def ivf_read_centroids(path: str) -> np.ndarray:
+    import json
+    import os
+    with open(os.path.join(path, "_ivf_centroids.json")) as fh:
+        return np.asarray(json.load(fh), dtype=np.float64)
+
+
+def ivf_topk_from_index(spark, path: str, query_vec: list[float],
+                        k: int = 20, n_probe: int = 4,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Query a materialized IVF index: the ``ivf_list IN probe`` filter
+    resolves as PartitionFilters at the scan — no assignment compute, no
+    full-table read — then exact-cosine rerank inside the probed lists.
+    Result-identical to ``ivf_cosine_topk`` with the same quantizer."""
+    centroids = ivf_read_centroids(path)
+    probe = _probe_lists(centroids, query_vec, n_probe)
+    df = spark.read.parquet(path).where(F.col("ivf_list").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    emb = F.col(vec_col).cast("array<double>")
+    scored = df.select(F.col(id_col), cosine_expr(emb, q).alias("sim"))
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
 
 

@@ -1,0 +1,80 @@
+"""Materialized IVF index: the coarse-list partition layout must prune
+at the scan (PartitionFilters), and serving from the index must return
+exactly what the on-the-fly assignment returns."""
+
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from image_pdf_ocr_suite_spark.analytics import similarity
+
+
+N, DIM, N_LISTS = 200, 8, 8
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(DIM)])
+            for i in range(N)]
+    rows.append((N, None))  # null vector must not break the index build
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, emb_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    similarity.ivf_write_index(emb_df, path, n_lists=N_LISTS)
+    return path
+
+
+def test_index_layout_and_sidecar(index_path):
+    import glob
+    cents = similarity.ivf_read_centroids(index_path)
+    assert cents.shape == (N_LISTS, DIM)
+    # unit-norm quantizer rows
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+    lists = sorted(int(p.rsplit("=", 1)[1])
+                   for p in glob.glob(f"{index_path}/ivf_list=*"))
+    assert lists and set(lists) <= set(range(N_LISTS))
+
+
+def test_probe_prunes_partitions(spark, emb_df, index_path):
+    qvec = [float(x) for x in
+            emb_df.where("vec_id = 0").head()["embedding"]]
+    topk = similarity.ivf_topk_from_index(spark, index_path, qvec,
+                                          k=10, n_probe=2)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_list" in m.group(1), plan
+    # the probe filter resolves entirely at the partition level — it must
+    # not reappear as a post-scan data filter
+    post = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert post is None or "ivf_list" not in post.group(1), plan
+
+
+def test_index_result_matches_online_assignment(spark, emb_df, index_path):
+    qvec = [float(x) for x in
+            emb_df.where("vec_id = 0").head()["embedding"]]
+    cents = similarity.ivf_read_centroids(index_path)
+    online = similarity.ivf_cosine_topk(
+        emb_df, qvec, k=10, n_lists=N_LISTS, n_probe=3,
+        centroids=cents).select("vec_id").collect()
+    served = similarity.ivf_topk_from_index(
+        spark, index_path, qvec, k=10, n_probe=3).select("vec_id").collect()
+    assert [r["vec_id"] for r in online] == [r["vec_id"] for r in served]
+
+
+def test_scan_reads_probe_fraction(spark, emb_df, index_path):
+    """The probed scan's file list is the probed partitions only."""
+    qvec = [float(x) for x in
+            emb_df.where("vec_id = 0").head()["embedding"]]
+    probe = similarity._probe_lists(
+        similarity.ivf_read_centroids(index_path), qvec, 2)
+    full = spark.read.parquet(index_path)
+    probed = full.where(F.col("ivf_list").isin(probe))
+    n_full = full.select("ivf_list").distinct().count()
+    n_probed = probed.select("ivf_list").distinct().count()
+    assert n_probed <= 2 < n_full
