@@ -453,6 +453,19 @@ def q_value_median(spark, sf_dir):
         F.expr("percentile(value, 0.5)").alias("median_value"))
 
 
+def q_watermark_dedup(spark, sf_dir):
+    """Batch replay of dropDuplicatesWithinWatermark (streaming path:
+    streaming/stream.py dedup_pages_stream): greedy anchor thinning per
+    user — keep an event iff strictly more than 3600 s after the last
+    kept one.  The DuckDB oracle states the same recurrence as a
+    recursive CTE (each iteration finds every key's next anchor)."""
+    from image_pdf_ocr_suite_spark.streaming.stream import (
+        dedup_within_watermark_batch)
+    e = _t(spark, sf_dir, "events")
+    return dedup_within_watermark_batch(e, delay_sec=3600) \
+        .select("event_id", "user_id")
+
+
 def q_windowed_event_counts(spark, sf_dir):
     """Batch analog of the streaming windowed aggregation: 10-minute
     tumbling windows per event_type (streaming path: streaming/stream.py
@@ -802,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean_verified": q_corpus_clean_verified,
         "sessionize": q_sessionize,
         "windowed_event_counts": q_windowed_event_counts,
+        "watermark_dedup": q_watermark_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1498,6 +1512,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start,
                    event_type, CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY 1, 2""",
+        # greedy anchor thinning = dropDuplicatesWithinWatermark replay:
+        # the recursive step finds every key's NEXT anchor (earliest event
+        # strictly beyond the previous anchor's expiry), exactly the
+        # streaming state machine's recurrence
+        "watermark_dedup": """
+            WITH RECURSIVE keep AS (
+              SELECT user_id, ts, event_id FROM (
+                SELECT user_id, ts, event_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events) WHERE rn = 1
+              UNION ALL
+              SELECT user_id, ts, event_id FROM (
+                SELECT e.user_id, e.ts, e.event_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                          ORDER BY e.ts, e.event_id) AS rn
+                FROM events e JOIN keep k ON e.user_id = k.user_id
+                 AND e.ts > k.ts + INTERVAL 3600 SECOND) WHERE rn = 1)
+            SELECT event_id, user_id FROM keep""",
         "text_nfc": """
             SELECT doc_id, nfc_normalize(text) AS nfc_text FROM documents""",
         "tpch_q1_exactstats": f"""

@@ -31,31 +31,64 @@ class PdfStructureError(ValueError):
     pass
 
 
+def _xref_section(pdf: bytes, xref_at: int):
+    """Parse ONE cross-reference section (possibly several subsections)
+    at ``xref_at``: returns ``({obj_no: offset-or-None}, prev)`` where
+    None marks a free entry (it shadows older definitions) and ``prev``
+    is the trailer's ``/Prev`` pointer to the preceding section."""
+    if pdf[xref_at:xref_at + 4] != b"xref":
+        raise PdfStructureError("no xref table at startxref")
+    pos = xref_at + 4
+    entries: dict[int, int | None] = {}
+    while True:
+        sub = re.match(rb"\s*(\d+) (\d+)\s*\n", pdf[pos:])
+        if not sub:
+            break
+        first, count = int(sub.group(1)), int(sub.group(2))
+        pos += sub.end()
+        for i in range(count):
+            row = pdf[pos + i * 20: pos + (i + 1) * 20]
+            if len(row) < 18:
+                raise PdfStructureError("truncated xref row")
+            try:
+                off, _gen = int(row[:10]), int(row[11:16])
+            except ValueError as exc:  # non-digit bytes in a declared row
+                raise PdfStructureError(f"malformed xref row {first + i}") from exc
+            entries[first + i] = off if row[17:18] == b"n" else None
+        pos += count * 20
+    tend = pdf.find(b"startxref", pos)
+    scope = pdf[pos:tend if tend >= 0 else len(pdf)]
+    prev = None
+    if scope.lstrip().startswith(b"trailer"):
+        pm = re.search(rb"/Prev\s+(\d+)", scope)
+        if pm:
+            prev = int(pm.group(1))
+    return entries, prev
+
+
 def _object_spans(pdf: bytes) -> list[tuple[int, int]]:
-    """(start, end) byte ranges of every indirect object, via the xref
-    table (trailer ``startxref`` → offsets), end = next ``endobj``."""
-    # the LAST startxref governs (incremental updates append a new xref;
-    # the spec says a consumer starts from the end of the file)
+    """(start, end) byte ranges of every LIVE indirect object: start from
+    the LAST startxref (the spec says a consumer reads from the end of
+    the file) and follow the trailer ``/Prev`` chain through every
+    earlier section, newest definition winning per object number — so an
+    incrementally-updated PDF enumerates original AND updated objects,
+    with superseded/freed revisions shadowed."""
     matches = list(re.finditer(rb"startxref\s+(\d+)\s+%%EOF", pdf))
     if not matches:
         raise PdfStructureError("no startxref")
-    xref_at = int(matches[-1].group(1))
-    header = re.match(rb"xref\s+(\d+) (\d+)\s*\n", pdf[xref_at:])
-    if not header:
-        raise PdfStructureError("no xref table at startxref")
-    first, count = int(header.group(1)), int(header.group(2))
-    rows_at = xref_at + header.end()
+    at: int | None = int(matches[-1].group(1))
+    merged: dict[int, int | None] = {}
+    visited: set[int] = set()
+    while at is not None:
+        if at in visited:
+            raise PdfStructureError("xref /Prev cycle")
+        visited.add(at)
+        entries, at = _xref_section(pdf, at)
+        for no, off in entries.items():
+            merged.setdefault(no, off)   # newest section seen first wins
     spans = []
-    for i in range(count):
-        row = pdf[rows_at + i * 20: rows_at + (i + 1) * 20]
-        if len(row) < 18:
-            raise PdfStructureError("truncated xref row")
-        try:
-            off, _gen = int(row[:10]), int(row[11:16])
-        except ValueError as exc:  # non-digit bytes in a declared row
-            raise PdfStructureError(f"malformed xref row {i}") from exc
-        kind = row[17:18]
-        if kind != b"n" or (first + i) == 0:
+    for no, off in sorted(merged.items()):
+        if no == 0 or off is None:
             continue
         end = pdf.find(b"endobj", off)
         if end < 0:

@@ -60,6 +60,49 @@ def dedup_pages_stream(pages_stream: DataFrame,
             .dropDuplicatesWithinWatermark([key]))
 
 
+def dedup_within_watermark_batch(df: DataFrame, delay_sec: int,
+                                 key: str = "user_id", ts_col: str = "ts",
+                                 order_col: str = "event_id") -> DataFrame:
+    """Batch replay of ``dropDuplicatesWithinWatermark``'s event-time
+    semantics — the deterministic contract a streaming run converges to
+    when events arrive in event-time order: walk each key's events in
+    ``(ts, order)`` order and keep an event iff it lies STRICTLY more
+    than ``delay_sec`` after the last KEPT event (the state entry whose
+    expiry it would have found alive); everything inside the window of a
+    kept anchor is a duplicate.  This greedy anchor thinning is the
+    same recurrence the streaming operator's state machine computes
+    (state timestamp is NOT renewed by duplicates).
+
+    Scale shape: one shuffle on the key; per-key state is one anchor;
+    the kernel jumps anchor-to-anchor with ``searchsorted`` (O(kept *
+    log n) per key, no per-row walk).  Rows with a null event time
+    never anchor; a key with only null timestamps keeps its first row
+    by ``order_col``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    delay_ns = int(delay_sec) * 1_000_000_000
+    cols = [key, ts_col, order_col]
+    schema = df.select(*cols).schema
+
+    def thin(pdf: pd.DataFrame) -> pd.DataFrame:
+        valid = pdf[pdf[ts_col].notna()]
+        if not len(valid):
+            return pdf.sort_values(order_col).iloc[[0]]
+        valid = valid.sort_values([ts_col, order_col], kind="mergesort")
+        # int64 epoch-nanos: exact arithmetic, no Timestamp/np coercion
+        ts = pd.to_datetime(valid[ts_col]).astype("int64").to_numpy()
+        kept: list[int] = []
+        i, n = 0, len(ts)
+        while i < n:
+            kept.append(i)
+            i = int(np.searchsorted(ts, ts[i] + delay_ns, side="right"))
+        return valid.iloc[kept]
+
+    return df.select(*cols).groupBy(key).applyInPandas(thin, schema=schema)
+
+
 def read_pages_stream(spark: SparkSession, input_dir: str,
                       max_files_per_trigger: int = 8) -> DataFrame:
     return (spark.readStream.schema(PAGES_SCHEMA)
@@ -117,11 +160,16 @@ def start_decontamination_stream(spark: SparkSession, input_dir: str,
     Each micro-batch runs the exact batch operator
     (``corpusprep.decontaminate_ngrams`` — the held-out grams broadcast,
     stream side is a map-only probe) against the STATIC ``test_docs``
-    table, so streaming and batch decisions agree row-for-row; a
-    document's grams are complete within its one arriving row, so the
-    per-document aggregate needs no cross-batch state (same argument as
-    the extraction stream's per-url assembly).  Flagged ``(id, n_shared)``
-    rows append to a snapshot table with the replay guard → exactly-once.
+    table, so streaming and batch decisions agree row-for-row FOR IDS
+    UNIQUE ACROSS THE INPUT FILES (the extraction stream's per-url
+    assembly assumption).  If the same ``id`` arrives in two different
+    micro-batches, each batch appends its own ``(id, n_shared)`` row,
+    whereas one batch pass over the union would emit a single merged
+    row counting distinct grams across the copies — dedupe ids upstream
+    if inputs can repeat.  A document's grams are complete within its
+    one arriving row, so the per-document aggregate needs no
+    cross-batch state.  Flagged ``(id, n_shared)`` rows append to a
+    snapshot table with the replay guard → exactly-once.
     Returns the StreamingQuery."""
     from pyspark import StorageLevel
 

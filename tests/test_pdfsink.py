@@ -77,3 +77,54 @@ def test_emit_searchable_pdfs_dataframe(spark):
         exp_pages = len(fixtures.build_document(i, rows[i][1]).pages) \
             if i % fixtures.EDGE_MOD != fixtures.EMPTY_AT else 0
         assert r["n_pages"] == exp_pages
+
+
+def _xref(entries):
+    """entries: list of (first, [(off, kind), ...]) subsections."""
+    out = b"xref\n"
+    for first, rows in entries:
+        out += b"%d %d\n" % (first, len(rows))
+        for off, kind in rows:
+            out += b"%010d %05d %s \n" % (off, 65535 if kind == b"f" else 0, kind)
+    return out
+
+
+def test_pdfverify_follows_prev_chain():
+    """Incrementally-updated PDF: the final xref section lists only the
+    CHANGED objects; pages recorded solely in the original section must
+    still be enumerated via the trailer /Prev chain."""
+    from image_pdf_ocr_suite_spark.kernels import pdfverify
+
+    body = b"%PDF-1.4\n"
+    offs = {}
+    objs1 = [
+        (1, b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"),
+        (2, b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"),
+        (3, b"3 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n"),
+    ]
+    for no, src in objs1:
+        offs[no] = len(body)
+        body += src
+    xref1_at = len(body)
+    body += _xref([(0, [(0, b"f")] + [(offs[n], b"n") for n in (1, 2, 3)])])
+    body += (b"trailer\n<< /Size 4 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+             % xref1_at)
+    # revision 2: update the /Pages node, append a second /Type /Page
+    objs2 = [
+        (2, b"2 0 obj\n<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>\nendobj\n"),
+        (4, b"4 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n"),
+    ]
+    for no, src in objs2:
+        offs[no] = len(body)
+        body += src
+    xref2_at = len(body)
+    body += _xref([(2, [(offs[2], b"n")]), (4, [(offs[4], b"n")])])
+    body += (b"trailer\n<< /Size 5 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+             % (xref1_at, xref2_at))
+
+    spans = pdfverify._object_spans(body)
+    assert len(spans) == 4                       # objects 1-4, all live
+    # the updated object 2 must resolve to its NEW offset
+    assert (offs[2], body.find(b"endobj", offs[2])) in spans
+    st = pdfverify.pdf_stats(body)
+    assert st["n_pages"] == 2                    # page 3 via /Prev, page 4 new

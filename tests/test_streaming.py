@@ -168,3 +168,35 @@ def test_stream_decontamination_matches_batch(spark, tmp_path):
     assert got == want
     # the shared 5-gram prefix flags all ten alpha... docs, none of the others
     assert {d for d, _ in got} == set(range(10))
+
+
+def test_dedup_within_watermark_batch_semantics(spark):
+    """Greedy anchor thinning: equal-to-delay distance is a duplicate
+    (strictly-greater survives); anchors chain from KEPT events, not
+    from every event; null-ts keys keep one row."""
+    from datetime import datetime
+
+    from image_pdf_ocr_suite_spark.streaming.stream import (
+        dedup_within_watermark_batch)
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # user 1: anchors at 0 and 25 (10 and 20 are within 10s chains:
+        # 10-0=10 not >10 -> dup; 20 is 20s after anchor 0 -> KEPT?  no:
+        # anchor stays 0 until something is kept; 20-0=20>10 -> kept,
+        # then 25-20=5 -> dup
+        (1, t(0), 100), (1, t(10), 101), (1, t(20), 102), (1, t(25), 103),
+        # user 2: single event
+        (2, t(0), 200),
+        # user 3: null ts only -> first by event_id survives
+        (3, None, 301), (3, None, 300),
+        # user 4: null ts + real event -> real anchors, null dropped
+        (4, None, 400), (4, t(0), 401),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long")
+    kept = sorted(r["event_id"] for r in
+                  dedup_within_watermark_batch(df, delay_sec=10).collect())
+    assert kept == [100, 102, 200, 300, 401]
