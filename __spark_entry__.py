@@ -299,14 +299,16 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 def q_near_dup_components(spark, sf_dir):
     """Full near-dup composition: LSH candidates → exact pair Jaccard
-    verification (>= 0.2) → connected components (min-label propagation).
-    (id, comp): comp is each verified near-dup cluster's smallest doc_id —
-    the representative a corpus-prep job keeps."""
+    verification (>= 0.2) → connected components (large-star/small-star,
+    the scale path; output-identical to min-label propagation,
+    equivalence pytest-pinned).  (id, comp): comp is each verified
+    near-dup cluster's smallest doc_id — the representative a
+    corpus-prep job keeps."""
     d = _t(spark, sf_dir, "documents")
     cand = dedup.lsh_candidate_pairs(d)
     verified = dedup.jaccard_verify_pairs(cand, d) \
         .where(F.col("jaccard") >= 0.2)
-    return dedup.connected_components_min(verified)
+    return dedup.connected_components_star(verified)
 
 
 def q_topk_cosine(spark, sf_dir):

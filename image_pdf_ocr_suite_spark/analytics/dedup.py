@@ -218,6 +218,11 @@ def jaccard_verify_pairs(pairs: DataFrame, df: DataFrame, text_col: str = "text"
     return inter.select("id_a", "id_b", j.alias("jaccard"))
 
 
+# rounds taken by the most recent connected-components convergence
+# (diagnostics for the round-count tests/bench, not API)
+_last_rounds: int = 0
+
+
 class ComponentsNotConverged(RuntimeError):
     """connected_components_min exhausted max_iters with labels still
     moving — returning them silently would violate the 'one representative
@@ -230,23 +235,28 @@ def connected_components_min(pairs: DataFrame, id_a: str = "id_a",
     """(id, comp) for every id appearing in ``pairs``; comp = smallest id
     reachable through the pair graph.
 
-    Min-label propagation with POINTER JUMPING (path halving): each round
-    every node takes the min label over itself and its neighbors, then
-    follows comp -> comp(comp) — so convergence is O(log diameter)
-    rounds, not O(diameter).  The label table holds only ids that appear
-    in candidate pairs — a sliver of the corpus — so the per-round
-    convergence count() and localCheckpoint (lineage truncation) are
-    cheap.  Raises ComponentsNotConverged if max_iters exhausts with
-    labels still changing (with halving, 20 rounds cover ~2^20-diameter
-    chains, so this fires only on genuinely pathological inputs — but it
-    must fire: an unconverged label set is silently wrong)."""
+    Min-label propagation with pointer jumping (path halving).  Fine for
+    the SHALLOW graphs near-dup candidates actually form (diameter 2-4:
+    converges in 2-3 rounds, matched round-for-round by the tests), but
+    NOT the scale path: on a label-shuffled 1024-node chain the jumps
+    stop compounding (measured: ``changed`` trickles at 1 for 20+
+    rounds), and long iterated localCheckpoint loops degrade
+    superlinearly past ~18 rounds in a shared local JVM (round cost
+    0.4 s → 3.4 s between rounds 17 and 21 on CONSTANT-size data —
+    see CLAUDE.md round-4 rules).  Use
+    :func:`connected_components_star` for unbounded/pathological
+    graphs; it is output-identical (pytest-pinned) and converges in
+    <= ~log2(n) cheap rounds on the same chain.  Raises
+    ComponentsNotConverged if max_iters exhausts with labels still
+    moving — an unconverged label set is silently wrong."""
+    global _last_rounds
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .select("id", F.col("id").alias("comp"))
               .localCheckpoint())
-    for _ in range(max_iters):
+    for rnd in range(max_iters):
         nbr = (sym.join(labels, sym["src"] == labels["id"])
                .select(F.col("dst").alias("id"), F.col("comp")))
         stepped = (labels.unionByName(nbr)
@@ -265,10 +275,78 @@ def connected_components_min(pairs: DataFrame, id_a: str = "id_a",
                    .where(F.col("n.comp") != F.col("o.comp")).limit(1).count())
         labels = new_labels
         if changed == 0:
+            _last_rounds = rnd + 1        # diagnostics for round-count tests
             return labels
     raise ComponentsNotConverged(
         f"label propagation still changing after {max_iters} rounds; "
         f"raise max_iters (pointer jumping needs ~log2(graph diameter) rounds)")
+
+
+def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
+                              id_b: str = "id_b",
+                              max_iters: int = 30) -> DataFrame:
+    """(id, comp) with comp = smallest id reachable — same contract and
+    same output as :func:`connected_components_min` (equivalence
+    pytest-pinned), via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    ACM SoCC 2014 — public algorithm).
+
+    Large-star hangs every strictly-larger neighbor of a node under its
+    minimum neighborhood member; small-star hangs the smaller neighbors
+    (and the node) under the same minimum.  Each round is two
+    groupBy-min + join passes over the EDGE list only — there is no
+    separate label table to shuffle, and intermediate edge counts only
+    shrink (toward one star per component), which is the property that
+    survives 100 TB graphs: min-label propagation shuffles the full
+    label frontier every round, star rounds shuffle a monotonically
+    collapsing edge set.  Convergence is O(log^2 n) rounds worst-case,
+    few in practice: measured (test_dedup_components.py), a
+    label-shuffled 1024-node path graph converges in 9 rounds where
+    connected_components_min still trickles after 30, and shallow
+    near-dup graphs converge in 2-3.  Staying under ~10 rounds also
+    matters operationally: iterated localCheckpoint loops degrade
+    superlinearly past ~18 rounds in a shared local JVM (measured,
+    CLAUDE.md round-4 rules).  Raises ComponentsNotConverged when
+    ``max_iters`` exhausts."""
+    ids = (pairs.select(F.col(id_a).alias("id"))
+           .union(pairs.select(F.col(id_b).alias("id"))).distinct())
+    edges = (pairs.where(F.col(id_a) != F.col(id_b))
+             .select(F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+                     F.least(F.col(id_a), F.col(id_b)).alias("v"))
+             .distinct().localCheckpoint())
+    for rnd in range(max_iters):
+        # large-star: for every node, all strictly-larger neighbors attach
+        # to min(N(u) ∪ {u}); output stays canonical (larger, smaller)
+        sym = edges.union(edges.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least(F.col("u"), F.col("mn")).alias("m")))
+        large = (sym.join(mins, "u")
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .where(F.col("u") != F.col("v"))
+                 .distinct().localCheckpoint())
+        # small-star: smaller neighbors (and the node itself) attach to
+        # the node's minimum smaller neighbor
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        withm = large.join(mins2, "u")
+        small = (withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .union(withm.select(F.col("u"), F.col("m").alias("v")))
+                 .where(F.col("u") != F.col("v"))
+                 .distinct().localCheckpoint())
+        # fixpoint = the round left the edge set unchanged (both sides are
+        # distinct, so equal count + empty one-sided difference ⇒ equal)
+        if (small.count() == edges.count()
+                and small.exceptAll(edges).limit(1).count() == 0):
+            global _last_rounds
+            _last_rounds = rnd + 1        # diagnostics for the round-count tests
+            lab = small.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+            return (ids.join(lab, "id", "left")
+                    .select("id", F.coalesce(F.col("comp"), F.col("id"))
+                            .alias("comp")))
+        edges = small
+    raise ComponentsNotConverged(
+        f"star rounds still changing after {max_iters} iterations")
 
 
 def verified_near_dup_losers(df: DataFrame, text_col: str = "text",
@@ -284,7 +362,7 @@ def verified_near_dup_losers(df: DataFrame, text_col: str = "text",
     cand = lsh_candidate_pairs(df, text_col, id_col, n_hashes, shingle_k)
     verified = jaccard_verify_pairs(cand, df, text_col, id_col) \
         .where(F.col("jaccard") >= F.lit(threshold))
-    comp = connected_components_min(verified, max_iters=max_iters)
+    comp = connected_components_star(verified, max_iters=max_iters)
     return comp.where(F.col("id") != F.col("comp")) \
                .select(F.col("id").alias(id_col))
 
