@@ -373,6 +373,29 @@ def q_ivf_topk_from_index(spark, sf_dir):
         .select("vec_id")
 
 
+_LSH_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_ann_lsh_topk_from_index(spark, sf_dir):
+    """Hyperplane-LSH ANN over the MATERIALIZED index: sketches persisted
+    once, partitioned by the sketch's low 6 bits; the Hamming-3 probe
+    enumerates the 42/64 qualifying prefixes and the scan partition-
+    prunes to them (plan-asserted in test_ivf_index.py).  Same planes,
+    same sketch bits, same rerank as q_ann_lsh_topk → same oracle."""
+    import tempfile
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    path = _LSH_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="lsh_index_") + "/index"
+        similarity.lsh_write_index(emb, path, dim=len(qvec), n_planes=12,
+                                   prefix_bits=6)
+        _LSH_INDEX_CACHE[sf_dir] = path
+    return similarity.lsh_topk_from_index(
+        spark, path, [float(x) for x in qvec], k=10, max_hamming=3) \
+        .select("vec_id")
+
+
 def q_simhash_groups(spark, sf_dir):
     return dedup.simhash_groups(_t(spark, sf_dir, "documents"))
 
@@ -811,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "topk_cosine": q_topk_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_topk_from_index": q_ann_lsh_topk_from_index,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_from_index": q_ivf_topk_from_index,
         "corpus_clean": q_corpus_clean,
@@ -1368,6 +1392,9 @@ def oracle_sql() -> dict[str, str]:
                        / len(list_distinct(list_concat(a.tk, b.tk))) AS jaccard
             FROM toks a, toks b WHERE a.doc_id < b.doc_id""",
         "ann_lsh_topk": _ann_lsh_topk_oracle(),
+        # same planes/sketch/rerank served from the partitioned layout —
+        # identical result set by construction
+        "ann_lsh_topk_from_index": _ann_lsh_topk_oracle(),
         "ivf_topk": _ivf_topk_oracle(),
         # same quantizer + probe + rerank, served from the materialized
         # partitioned layout — identical result set by construction

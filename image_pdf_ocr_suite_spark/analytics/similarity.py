@@ -354,6 +354,80 @@ def ivf_topk_from_index(spark, path: str, query_vec: list[float],
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
 
 
+def _query_sketch(query_vec, planes: np.ndarray) -> int:
+    """Driver-side query sketch via sequential LEFT-ASSOCIATED dot
+    products — the same summation order as sketch_expr's aggregate (and
+    any SQL oracle's explicit chain), so the sketch is bit-identical
+    across engines.  numpy's @ uses pairwise summation, which can flip
+    a sign-boundary bit."""
+    q_sketch = 0
+    for i, h in enumerate(planes):
+        s = 0.0
+        for x, p in zip(query_vec, h):
+            s += float(x) * float(p)
+        if s > 0:
+            q_sketch |= (1 << i) if i < 63 else -(1 << 63)
+    return q_sketch
+
+
+def lsh_write_index(df: DataFrame, path: str, dim: int,
+                    n_planes: int = 12, prefix_bits: int = 6,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    seed: int = 42) -> None:
+    """Materialize the LSH layout: persist (id, vector, sketch)
+    partitioned by the sketch's low ``prefix_bits`` bits, with the plane
+    matrix as a ``_lsh_planes.json`` sidecar.  A Hamming-ball query can
+    then PRUNE PARTITIONS: any partition whose prefix differs from the
+    query prefix in more than ``max_hamming`` bits cannot contain a
+    candidate (prefix distance lower-bounds sketch distance), so the
+    probe enumerates the qualifying prefixes and the scan reads only
+    those directories — sum_{i<=h} C(b,i) / 2^b of the files (42/64 at
+    b=6, h=3; 7/64 at h=1).  Sketches are also never recomputed at
+    query time (the per-query full-scan assignment was the r3 100×
+    gap)."""
+    import json
+    import os
+    planes = hyperplanes(dim, n_planes, seed)
+    mask = (1 << prefix_bits) - 1
+    out = (df.where(F.col(vec_col).isNotNull())
+           .select(F.col(id_col), F.col(vec_col),
+                   sketch_expr(vec_col, planes).alias("sketch"))
+           .withColumn("lsh_prefix", F.col("sketch").bitwiseAND(F.lit(mask))))
+    out.write.mode("overwrite").partitionBy("lsh_prefix").parquet(path)
+    with open(os.path.join(path, "_lsh_planes.json"), "w") as fh:
+        json.dump({"planes": [[float(x) for x in row] for row in planes],
+                   "n_planes": n_planes, "prefix_bits": prefix_bits}, fh)
+
+
+def lsh_topk_from_index(spark, path: str, query_vec: list[float],
+                        k: int = 20, max_hamming: int = 2,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Query a materialized LSH index: partition-prune to the prefixes
+    within the Hamming budget, filter the full sketch distance, exact-
+    cosine rerank.  Result-identical to ``lsh_cosine_topk`` with the
+    same planes (prefix pruning never drops a candidate: the prefix
+    distance lower-bounds the sketch distance)."""
+    import json
+    import os
+    with open(os.path.join(path, "_lsh_planes.json")) as fh:
+        meta = json.load(fh)
+    planes = np.asarray(meta["planes"], dtype=np.float64)
+    b = int(meta["prefix_bits"])
+    q_sketch = _query_sketch(query_vec, planes)
+    qpre = q_sketch & ((1 << b) - 1)
+    allowed = [p for p in range(1 << b)
+               if bin(p ^ qpre).count("1") <= max_hamming]
+    df = spark.read.parquet(path).where(F.col("lsh_prefix").isin(allowed))
+    cand = df.where(
+        F.bit_count(F.col("sketch").bitwiseXOR(F.lit(q_sketch)))
+        <= max_hamming)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    emb = F.col(vec_col).cast("array<double>")
+    scored = cand.select(F.col(id_col), cosine_expr(emb, q).alias("sim"))
+    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
 def lsh_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 20,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     n_planes: int = 12, max_hamming: int = 2,
@@ -362,17 +436,7 @@ def lsh_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 20,
     ``max_hamming`` bits of the query's sketch; exact rerank inside."""
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes, seed)
-    # Sequential left-associated dot product — the SAME summation order as
-    # sketch_expr's aggregate (and any SQL oracle's explicit chain), so the
-    # query sketch is bit-identical across engines.  numpy's @ uses
-    # pairwise summation, which can flip a sign-boundary bit.
-    q_sketch = 0
-    for i, h in enumerate(planes):
-        s = 0.0
-        for x, p in zip(query_vec, h):
-            s += float(x) * float(p)
-        if s > 0:
-            q_sketch |= 1 << i
+    q_sketch = _query_sketch(query_vec, planes)
 
     sk = sketch_expr(vec_col, planes)
     cand = df.select(F.col(id_col), F.col(vec_col), sk.alias("sketch"))

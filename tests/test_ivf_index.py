@@ -78,3 +78,36 @@ def test_scan_reads_probe_fraction(spark, emb_df, index_path):
     n_full = full.select("ivf_list").distinct().count()
     n_probed = probed.select("ivf_list").distinct().count()
     assert n_probed <= 2 < n_full
+
+
+@pytest.fixture(scope="module")
+def lsh_path(spark, emb_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("lsh") / "index")
+    similarity.lsh_write_index(emb_df, path, dim=DIM, n_planes=12,
+                               prefix_bits=4)
+    return path
+
+
+def test_lsh_index_prunes_partitions(spark, emb_df, lsh_path):
+    qvec = [float(x) for x in emb_df.where("vec_id = 0").head()["embedding"]]
+    topk = similarity.lsh_topk_from_index(spark, lsh_path, qvec,
+                                          k=10, max_hamming=1)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lsh_prefix" in m.group(1), plan
+    # hamming-1 over 4 prefix bits admits at most 1 + C(4,1) = 5 of the 16
+    # prefixes — the index must hold more than that for pruning to matter
+    full = spark.read.parquet(lsh_path)
+    assert full.select("lsh_prefix").distinct().count() > 5
+
+
+def test_lsh_index_result_matches_online(spark, emb_df, lsh_path):
+    qvec = [float(x) for x in emb_df.where("vec_id = 0").head()["embedding"]]
+    for h in (1, 2, 4):
+        online = similarity.lsh_cosine_topk(
+            emb_df, qvec, k=10, n_planes=12, max_hamming=h) \
+            .select("vec_id").collect()
+        served = similarity.lsh_topk_from_index(
+            spark, lsh_path, qvec, k=10, max_hamming=h) \
+            .select("vec_id").collect()
+        assert [r["vec_id"] for r in online] == [r["vec_id"] for r in served], h
