@@ -645,7 +645,8 @@ def q_asof_join_views(spark, sf_dir):
 
 def q_image_features(spark, sf_dir):
     """Multimodal image column: decode + typed features via the Arrow
-    kernel (BMP/PGM/PNG real decoders, JPEG codec seam -> err row).  The
+    kernel (BMP/PGM/PNG/baseline-JPEG real decoders, WebP codec seam ->
+    err row).  The
     fixture rasters are solid-color, so the oracle states mean luminance
     in closed form; the accumulated mean is rounded at 1e-4 on both sides
     (ULP-level pairwise-summation drift, never near a boundary: the exact
@@ -992,7 +993,7 @@ def _media_oracles() -> dict[str, str]:
         WAV_RATE_STEREO)
     dbl = "CAST({} AS DOUBLE)"
     lum = ("CASE WHEN m <= 3 THEN r*{c299} + g*{c587} + b*{c114} "
-           "WHEN m <= 5 THEN gray ELSE {zero} END").format(
+           "WHEN m <= 6 THEN gray ELSE {zero} END").format(
         c299=dbl.format("0.299"), c587=dbl.format("0.587"),
         c114=dbl.format("0.114"), zero=dbl.format("0"))
     amp = ("CASE WHEN m <= 2 THEN k / 32768 "
@@ -1009,14 +1010,15 @@ def _media_oracles() -> dict[str, str]:
                 FROM documents WHERE doc_id < 200)
             SELECT CAST(doc_id AS VARCHAR) AS id,
                    CASE WHEN m <= 2 THEN 'bmp' WHEN m = 4 THEN 'pgm'
-                        WHEN m IN (3, 5) THEN 'png'
-                        WHEN m = 6 THEN 'jpg' ELSE 'none' END AS format,
-                   CASE WHEN m <= 5 THEN {MEDIA_DIM} ELSE 0 END AS width,
-                   CASE WHEN m <= 5 THEN {MEDIA_DIM} ELSE 0 END AS height,
-                   CASE WHEN m <= 3 THEN 3 WHEN m <= 5 THEN 1 ELSE 0 END AS channels,
+                        WHEN m IN (3, 5) THEN 'png' WHEN m = 6 THEN 'jpg'
+                        WHEN doc_id % 16 = 15 THEN 'webp'
+                        ELSE 'none' END AS format,
+                   CASE WHEN m <= 6 THEN {MEDIA_DIM} ELSE 0 END AS width,
+                   CASE WHEN m <= 6 THEN {MEDIA_DIM} ELSE 0 END AS height,
+                   CASE WHEN m <= 3 THEN 3 WHEN m <= 6 THEN 1 ELSE 0 END AS channels,
                    {R4.format(x=lum)} AS mean_lum,
-                   CASE WHEN m = 6 THEN 'NotImplementedError'
-                        WHEN m = 7 THEN 'null_payload' END AS err
+                   CASE WHEN doc_id % 16 = 15 THEN 'NotImplementedError'
+                        WHEN doc_id % 16 = 7 THEN 'null_payload' END AS err
             FROM d""",
         "audio_features": f"""
             WITH d AS (

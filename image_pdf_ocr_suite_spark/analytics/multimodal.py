@@ -2,9 +2,11 @@
 
 Images/audio/video are carried as ``binary`` columns with typed metadata
 extracted by Arrow-batched ``mapInPandas`` kernels.  Image decode is REAL
-for codec-free formats (uncompressed BMP, binary PPM/PGM — pure numpy);
-compressed formats (JPEG/PNG) and video frame sampling stay behind a
-clearly-marked ``NotImplementedError`` seam where production binds
+for uncompressed BMP, binary PPM/PGM, 8-bit PNG (stdlib zlib +
+per-scanline unfiltering) and baseline JPEG (full T.81 sequential
+decoder, analytics/jpeg.py); WebP/AVIF, progressive JPEG, 16-bit/Adam7
+PNG and video frame sampling stay behind a clearly-marked
+``NotImplementedError`` seam where production binds
 Pillow/libvips/ffmpeg.  The Spark-side plumbing — schema, batch shape,
 partitioning, UDF signature — is real and tested end-to-end.
 """
@@ -234,20 +236,26 @@ def _decode_png(payload: bytes):
 
 def decode_image(payload: bytes):
     """Image decode without codec libraries: dependency-free BMP
-    (24/32-bit BI_RGB), binary PPM/PGM, and 8-bit PNG (stdlib zlib +
-    unfiltering) decoders; anything else (JPEG, WebP, ...) needs a
-    Pillow/libvips binding — that seam raises NotImplementedError so
-    production can plug the real codec in."""
+    (24/32-bit BI_RGB), binary PPM/PGM, 8-bit PNG (stdlib zlib +
+    unfiltering), and baseline JPEG (full T.81 sequential decoder:
+    huffman, dequant, exact-float IDCT, 4:2:0/4:2:2 upsampling, restart
+    intervals — analytics/jpeg.py) decoders; anything else (WebP,
+    progressive JPEG, ...) needs a Pillow/libvips binding — that seam
+    raises NotImplementedError so production can plug the real codec
+    in."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] in (b"P6", b"P5"):
         return _decode_ppm(payload)
     if payload[:8] == PNG_MAGIC:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from image_pdf_ocr_suite_spark.analytics.jpeg import decode_jpeg
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG/WebP/... decoding needs codec libraries not available in "
+        "WebP/AVIF/... decoding needs codec libraries not available in "
         "this environment; bind Pillow/libvips here in production "
-        "(BMP, PPM/PGM and 8-bit PNG decode natively)")
+        "(BMP, PPM/PGM, 8-bit PNG and baseline JPEG decode natively)")
 
 
 IMAGE_FEATURES_SCHEMA = ("id string, format string, width int, height int, "
@@ -275,6 +283,8 @@ def image_features(df, image_col: str = "image", id_col: str = "id"):
                        else "pgm" if raw[:2] == b"P5"
                        else "png" if raw[:8] == PNG_MAGIC
                        else "jpg" if raw[:3] == b"\xff\xd8\xff"
+                       else "webp" if (raw[:4] == b"RIFF"
+                                       and raw[8:12] == b"WEBP")
                        else "unknown")
                 try:
                     arr = decode_image(raw)

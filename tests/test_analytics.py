@@ -156,7 +156,7 @@ def test_payload_metadata(spark):
 
 def test_multimodal_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg")   # JPEG seam
+        multimodal.decode_image(b"RIFF\0\0\0\0WEBP")        # WebP seam
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(b"\x00")
 

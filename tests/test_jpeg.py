@@ -1,0 +1,93 @@
+"""Baseline JPEG codec (analytics/jpeg.py, ITU-T T.81): spec
+conformance via near-lossless round-trips (flat q=1 quant tables leave
+only DCT/rounding error — any huffman/zigzag/IDCT/predictor bug blows
+the diff up by orders of magnitude), exact solid-color forms, sampling
+modes, restart intervals, and the progressive/truncation seams."""
+
+import numpy as np
+import pytest
+
+from image_pdf_ocr_suite_spark.analytics import jpeg, multimodal
+from image_pdf_ocr_suite_spark import fixtures
+
+
+def _maxdiff(a, b):
+    return int(np.abs(a.astype(int) - b.astype(int)).max())
+
+
+def test_solid_gray_is_lossless():
+    # constant block -> DC-only spectrum -> exact float IDCT round-trip
+    for g in (0, 1, 77, 128, 254, 255):
+        arr = np.full((16, 24), g, dtype=np.uint8)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(arr))
+        assert out.shape == (16, 24) and (out == g).all(), g
+
+
+def test_random_gray_near_lossless():
+    rng = np.random.RandomState(3)
+    for shape in [(8, 8), (24, 17), (5, 30)]:   # incl. non-multiple-of-8
+        arr = rng.randint(0, 256, shape, dtype=np.uint8)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(arr))
+        assert out.shape == arr.shape
+        assert _maxdiff(out, arr) <= 2, shape
+
+
+def test_random_rgb_444_near_lossless():
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 256, (16, 19, 3), dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(arr))
+    # YCbCr int rounding both ways + DCT rounding
+    assert _maxdiff(out, arr) <= 4
+
+
+def test_subsampled_420_solid_exact():
+    arr = np.full((20, 20, 3), [10, 200, 30], dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, subsample=True))
+    assert _maxdiff(out, arr) <= 1   # chroma constant -> upsample exact
+
+
+def test_restart_intervals():
+    rng = np.random.RandomState(9)
+    arr = rng.randint(0, 256, (32, 32), dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, restart_interval=2))
+    assert _maxdiff(out, arr) <= 2
+
+
+def test_quantization_actually_quantizes():
+    # coarse tables must lose information (sanity that q=1 wasn't a no-op
+    # path) while remaining a valid stream
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quant_luma=50))
+    assert out.shape == arr.shape
+    assert _maxdiff(out, arr) > 2
+
+
+def test_progressive_and_corrupt_seams():
+    import struct
+    sof2 = (b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11)
+            + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(sof2)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"\xff\xd8\xff\xd9")        # SOI+EOI, no scan
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"not a jpeg")
+    with pytest.raises(NotImplementedError):
+        # 12-bit precision
+        sof12 = (b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 11)
+                 + bytes([12]) + struct.pack(">HH", 8, 8)
+                 + bytes([1, 1, 0x11, 0]))
+        jpeg.decode_jpeg(sof12)
+
+
+def test_decode_image_dispatches_jpeg():
+    arr = np.full((16, 16), 99, dtype=np.uint8)
+    out = multimodal.decode_image(jpeg.encode_jpeg(arr))
+    assert (out == 99).all()
+    # fixture helper closed form
+    out = multimodal.decode_image(fixtures.jpeg_solid_gray(16, 16, 123))
+    assert out.shape == (16, 16) and (out == 123).all()
+    # WebP stays behind the seam
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBP" + bytes(16))

@@ -158,3 +158,11 @@ def test_chunk_documents_is_map_only(spark):
 def test_stratified_sample_is_scan_side_predicate(spark):
     plan = _plan(entrymod.q_stratified_sample(spark, SF_DIR))
     assert "Exchange" not in plan
+
+
+def test_watermark_dedup_single_key_shuffle(spark):
+    """Greedy anchor thinning is one shuffle on the key into the Pandas
+    group kernel — no window over the raw timeline, no second exchange."""
+    plan = _plan(entrymod.q_watermark_dedup(spark, SF_DIR))
+    assert plan.count("Exchange") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
