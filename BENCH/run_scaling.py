@@ -123,13 +123,16 @@ def main() -> None:
         for res in results)
     table = "\n".join(rows)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(md, "w") as fh:
-        fh.write(f"""# BENCH/BASELINE.md — measured engine numbers
+    # APPEND a dated section — earlier rounds' evidence (1M-doc point,
+    # skew, corpus-analytics scaling) must survive re-runs
+    with open(md, "a") as fh:
+        fh.write(f"""
 
-Scaling evidence for the north_rule two-cluster-size criterion, measured
-as the same extraction job (pre-materialized pages parquet at
-`{sf_dir}`, fixed 64-way task graph, fresh JVM per level) at two
-parallelism levels — the sandbox stand-in for N vs 4N executors.
+## Extraction scaling run {results[-1]['measured_at']}
+
+Input `{sf_dir}`, fixed 64-way task graph, fresh JVM per level,
+best-of-{RUNS_PER_LEVEL} walls, slots <= cores/2 at both levels (see
+methodology above).
 
 | corpus | level | cores | wall sec | docs/sec |
 |---|---|---|---|---|
@@ -138,21 +141,6 @@ parallelism levels — the sandbox stand-in for N vs 4N executors.
 **Scaling efficiency** = throughput(4N) / (4 × throughput(N)):
 
 {eff_lines}
-
-Methodology: task slots are kept <= cores/2 at BOTH levels because local
-mode co-locates the JVM (shuffle + Arrow serialization) with the Python
-kernel workers on the same cores — slot counts near the core count measure
-host oversubscription, not engine scaling.  A real cluster reserves JVM
-cores via executor sizing; here the scaled variable is purely the worker
-count.  Best-of-{RUNS_PER_LEVEL} walls per level (the sandbox host shows
-up to 3x outside interference); fresh JVM per level; identical 128-task
-graph and pre-materialized input for both levels.
-
-Measured {results[-1]['measured_at']}. Reproduce: `python
-BENCH/run_scaling.py` (SCALING_REPLICATES=64,200 for the 1M-doc point).
-See repo-root `bench.py` for the full per-query suite and
-`BENCH/run_skew.py` for the giant-document skew evidence (appended below
-when run).
 """)
 
 
