@@ -170,6 +170,40 @@ class SnapshotTable:
             return None
         return spark.read.parquet(*dirs)
 
+    def read_at(self, spark: SparkSession,
+                snapshot_id: str) -> DataFrame | None:
+        """Time travel (Iceberg ``VERSION AS OF`` semantics): read the
+        table exactly as committed at ``snapshot_id`` — replay the
+        manifest chain up to and including it, applying the same
+        append/replace visibility rules as :meth:`read`.  Expired data
+        directories raise on scan (history manifests outlive their data,
+        as in Iceberg after ``expire_snapshots``)."""
+        snaps = self.snapshots()
+        cut = next((i for i, s in enumerate(snaps)
+                    if s.snapshot_id == snapshot_id), None)
+        if cut is None:
+            raise KeyError(f"unknown snapshot {snapshot_id!r}")
+        live: list[str] = []
+        for s in snaps[:cut + 1]:
+            if s.op == "replace":
+                live = [s.data_dir]
+            else:
+                live.append(s.data_dir)
+        if not live:
+            return None
+        return spark.read.parquet(*live)
+
+    def read_asof(self, spark: SparkSession,
+                  timestamp: float) -> DataFrame | None:
+        """Time travel by wall clock (Iceberg ``TIMESTAMP AS OF``): the
+        table as of the last snapshot committed at or before
+        ``timestamp`` (epoch seconds); None if nothing was committed
+        yet."""
+        snaps = [s for s in self.snapshots() if s.committed_at <= timestamp]
+        if not snaps:
+            return None
+        return self.read_at(spark, snaps[-1].snapshot_id)
+
     def processed_keys(self, spark: SparkSession, key_col: str = "url") -> DataFrame | None:
         committed = self.read(spark)
         if committed is None:
