@@ -146,6 +146,16 @@ def main() -> None:
     queries["pack_chunks"] = time_query(
         lambda: _force(entrymod.q_pack_chunks(spark, SF_DIR)))
 
+    # round-4 legs: watermark-dedup batch replay (stateful anchor
+    # thinning), as-of join (union + last-non-null window), multimodal
+    # feature extraction with the REAL codec decoders (BMP/PNG/JPEG)
+    queries["watermark_dedup"] = time_query(
+        lambda: _force(entrymod.q_watermark_dedup(spark, SF_DIR)))
+    queries["asof_join"] = time_query(
+        lambda: _force(entrymod.q_asof_join_views(spark, SF_DIR)))
+    queries["image_features"] = time_query(
+        lambda: _force(entrymod.q_image_features(spark, SF_DIR)))
+
     docs_per_sec = round(n_docs / queries["ocr_extract"], 2)
     print(json.dumps({
         "metric": "extract_docs_per_sec",

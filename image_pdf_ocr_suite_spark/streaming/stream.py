@@ -73,34 +73,61 @@ def dedup_within_watermark_batch(df: DataFrame, delay_sec: int,
     same recurrence the streaming operator's state machine computes
     (state timestamp is NOT renewed by duplicates).
 
-    Scale shape: one shuffle on the key; per-key state is one anchor;
-    the kernel jumps anchor-to-anchor with ``searchsorted`` (O(kept *
-    log n) per key, no per-row walk).  Rows with a null event time
-    never anchor; a key with only null timestamps keeps its first row
-    by ``order_col``.
+    Scale shape: one shuffle on the key + a partition-local sort, then a
+    PARTITION-level ``mapInPandas`` kernel (``groupBy().applyInPandas``
+    pays per-GROUP Arrow slicing — measured ~4 ms/group, 7 s for 1.5k
+    keys at sf0.1; the partition kernel walks all of a batch's key
+    groups in numpy and runs the same data in ~0.5 s).  Per-key state
+    is one anchor; the kernel jumps anchor-to-anchor with
+    ``searchsorted`` (O(kept * log n) per key, no per-row walk).  Rows
+    with a null event time never anchor; a key with only null
+    timestamps keeps its first row by ``order_col``.
     """
+    from collections.abc import Iterator
+
     import numpy as np
     import pandas as pd
+    from pyspark.sql import functions as F
 
     delay_ns = int(delay_sec) * 1_000_000_000
     cols = [key, ts_col, order_col]
     schema = df.select(*cols).schema
 
-    def thin(pdf: pd.DataFrame) -> pd.DataFrame:
-        valid = pdf[pdf[ts_col].notna()]
-        if not len(valid):
-            return pdf.sort_values(order_col).iloc[[0]]
-        valid = valid.sort_values([ts_col, order_col], kind="mergesort")
-        # int64 epoch-nanos: exact arithmetic, no Timestamp/np coercion
-        ts = pd.to_datetime(valid[ts_col]).astype("int64").to_numpy()
-        kept: list[int] = []
-        i, n = 0, len(ts)
-        while i < n:
-            kept.append(i)
-            i = int(np.searchsorted(ts, ts[i] + delay_ns, side="right"))
-        return valid.iloc[kept]
+    def thin(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        # one partition = all rows of its keys, sorted (key, ts, order)
+        # with nulls-first ts — concat so a key never splits across the
+        # Arrow batch boundary
+        pdf = pd.concat(chunks, ignore_index=True)
+        codes, _ = pd.factorize(pdf[key], use_na_sentinel=False)
+        change = np.empty(len(pdf), dtype=bool)
+        change[0] = True
+        change[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(pdf))
+        ts_valid = pdf[ts_col].notna().to_numpy()
+        ts_ns = pd.to_datetime(pdf[ts_col]).astype("int64").to_numpy()
+        keep = np.zeros(len(pdf), dtype=bool)
+        for s, e in zip(starts, ends):
+            vidx = s + np.flatnonzero(ts_valid[s:e])
+            if not len(vidx):
+                keep[s] = True           # all-null key: first by order
+                continue
+            t = ts_ns[vidx]
+            i, n = 0, len(vidx)
+            while i < n:
+                keep[vidx[i]] = True
+                i = int(np.searchsorted(t, t[i] + delay_ns, side="right"))
+        yield pdf[keep]
 
-    return df.select(*cols).groupBy(key).applyInPandas(thin, schema=schema)
+    ordered = (df.select(*cols)
+               .repartition(F.col(key))
+               .sortWithinPartitions(F.col(key),
+                                     F.col(ts_col).asc_nulls_first(),
+                                     F.col(order_col)))
+    return ordered.mapInPandas(thin, schema=schema)
 
 
 def read_pages_stream(spark: SparkSession, input_dir: str,

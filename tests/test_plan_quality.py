@@ -161,8 +161,11 @@ def test_stratified_sample_is_scan_side_predicate(spark):
 
 
 def test_watermark_dedup_single_key_shuffle(spark):
-    """Greedy anchor thinning is one shuffle on the key into the Pandas
-    group kernel — no window over the raw timeline, no second exchange."""
+    """Greedy anchor thinning is ONE shuffle on the key + a
+    partition-local sort into a partition-level Pandas kernel — not
+    per-group applyInPandas (measured ~4 ms/group Arrow slicing), and
+    no second exchange."""
     plan = _plan(entrymod.q_watermark_dedup(spark, SF_DIR))
     assert plan.count("Exchange") == 1, plan
-    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert re.search(r"Sort \[user_id", plan), plan
