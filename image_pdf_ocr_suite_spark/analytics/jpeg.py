@@ -195,7 +195,20 @@ def _extend(v: int, t: int) -> int:
 # ---------------------------------------------------------------------------
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF -> HxW uint8 (grayscale) or HxWx3 uint8 RGB."""
+    """Baseline JFIF -> HxW uint8 (grayscale) or HxWx3 uint8 RGB.
+
+    Raises ValueError for corrupt/truncated streams (quarantine-safe:
+    out-of-range reads surface as ValueError, never IndexError — a
+    decode kernel must route bad payloads to an err column, not fail
+    the task) and NotImplementedError for the progressive/arithmetic/
+    12-bit codec seam."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated JPEG stream: {exc}") from exc
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2

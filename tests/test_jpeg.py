@@ -91,3 +91,23 @@ def test_decode_image_dispatches_jpeg():
     # WebP stays behind the seam
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBP" + bytes(16))
+
+
+def test_truncated_streams_raise_valueerror_not_indexerror():
+    """Quarantine contract: a decode kernel routes bad payloads to an
+    err column — truncation anywhere in the stream must surface as
+    ValueError, never IndexError/struct.error task failures."""
+    full = jpeg.encode_jpeg(np.full((16, 16), 50, dtype=np.uint8))
+    for cut in (3, 10, 25, len(full) // 2, len(full) - 3):
+        with pytest.raises((ValueError, NotImplementedError)):
+            jpeg.decode_jpeg(full[:cut])
+
+
+def test_image_features_quarantines_truncated_jpeg(spark):
+    full = jpeg.encode_jpeg(np.full((16, 16), 50, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [("ok", bytearray(full)), ("cut", bytearray(full[: len(full) // 2]))],
+        "id string, image binary")
+    got = {r["id"]: r for r in multimodal.image_features(df).collect()}
+    assert got["ok"]["err"] is None and got["ok"]["mean_lum"] == 50.0
+    assert got["cut"]["format"] == "jpg" and got["cut"]["err"] is not None
