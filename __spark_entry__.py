@@ -478,6 +478,19 @@ def q_value_median(spark, sf_dir):
         F.expr("percentile(value, 0.5)").alias("median_value"))
 
 
+def q_bm25_scores(spark, sf_dir):
+    """Okapi BM25 of every document against a fixed 4-term query —
+    map-only tf via array filters, ONE tiny global stats aggregate
+    broadcast back, fixed-order contribution sum (textops.bm25_scores).
+    Oracle replicates the identical arithmetic; the ln-bearing score
+    rounds at 1e-4 (<=1 ulp engine wobble), tf/df/dl stats are exact
+    ints."""
+    return textops.bm25_scores(
+        _t(spark, sf_dir, "documents"),
+        ["hash", "join", "filter", "zebra"]).select(
+        "doc_id", "n_terms_hit", round4(F.col("score")).alias("score"))
+
+
 def q_watermark_dedup(spark, sf_dir):
     """Batch replay of dropDuplicatesWithinWatermark (streaming path:
     streaming/stream.py dedup_pages_stream): greedy anchor thinning per
@@ -843,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "windowed_event_counts": q_windowed_event_counts,
         "watermark_dedup": q_watermark_dedup,
+        "bm25_scores": q_bm25_scores,
         "winnow_fingerprints": q_winnow_fingerprints,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1543,6 +1557,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start,
                    event_type, CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY 1, 2""",
+        # BM25: identical arithmetic nesting as textops.bm25_scores
+        # (exact-int tf/dl/df/N, one exact avgdl division, fixed-order
+        # contribution sum); only ln carries <=1 ulp engine wobble ->
+        # score rounds at 1e-4 on both sides
+        "bm25_scores": """
+            WITH base AS (
+              SELECT doc_id,
+                   len(list_filter(string_split(COALESCE(text,''),' '), x -> x <> '')) AS dl,
+                   len(list_filter(string_split(COALESCE(text,''),' '), x -> x = 'hash')) AS tf0,
+                   len(list_filter(string_split(COALESCE(text,''),' '), x -> x = 'join')) AS tf1,
+                   len(list_filter(string_split(COALESCE(text,''),' '), x -> x = 'filter')) AS tf2,
+                   len(list_filter(string_split(COALESCE(text,''),' '), x -> x = 'zebra')) AS tf3
+              FROM documents),
+            stats AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(dl) AS DOUBLE) AS sumdl,
+                   CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                   CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+                   CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+                   CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+              FROM base)
+            SELECT doc_id,
+                   CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_terms_hit,
+                   FLOOR(((ln(1.0 + (n - df0 + 0.5)/(df0 + 0.5)) * (CAST(tf0 AS DOUBLE) * 2.2)) / (CAST(tf0 AS DOUBLE) + 1.2*(0.25 + 0.75*(CAST(dl AS DOUBLE)/(sumdl/n)))) + (ln(1.0 + (n - df1 + 0.5)/(df1 + 0.5)) * (CAST(tf1 AS DOUBLE) * 2.2)) / (CAST(tf1 AS DOUBLE) + 1.2*(0.25 + 0.75*(CAST(dl AS DOUBLE)/(sumdl/n)))) + (ln(1.0 + (n - df2 + 0.5)/(df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * 2.2)) / (CAST(tf2 AS DOUBLE) + 1.2*(0.25 + 0.75*(CAST(dl AS DOUBLE)/(sumdl/n)))) + (ln(1.0 + (n - df3 + 0.5)/(df3 + 0.5)) * (CAST(tf3 AS DOUBLE) * 2.2)) / (CAST(tf3 AS DOUBLE) + 1.2*(0.25 + 0.75*(CAST(dl AS DOUBLE)/(sumdl/n))))) * 10000.0 + 0.5) / 10000.0 AS score
+            FROM base, stats""",
         # greedy anchor thinning = dropDuplicatesWithinWatermark replay:
         # the recursive step finds every key's NEXT anchor (earliest event
         # strictly beyond the previous anchor's expiry), exactly the

@@ -351,3 +351,75 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     ).otherwise(F.col("__h"))  # fewer than w k-grams: keep them all
     return (hashed.select(F.col(id_col), F.explode(wins).alias("fp"))
             .distinct())
+
+
+def bm25_scores(df: DataFrame, query_terms: list[str],
+                k1: float = 1.2, b: float = 0.75,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 relevance of every document against a literal query —
+    the corpus-quality / retrieval scoring primitive of a training-data
+    pipeline (rank documents against seed queries, mine hard negatives,
+    filter topical slices).
+
+    Scale shape — the whole operator has NO data-sized shuffle:
+
+    - per-term term frequencies come from ``F.size(F.filter(tokens, ..))``
+      over the already-split token array — map-only, one pass, no explode;
+    - corpus statistics (N, total token count, per-term document
+      frequencies) reduce through ONE global aggregate whose rows are
+      ~len(query_terms) numbers (map-side partial combine), broadcast
+      back with a crossJoin;
+    - the final score is a map-only projection.
+
+    Determinism: tf/dl/df/N are exact integers; avgdl = total_dl / N is
+    one exact IEEE division; per-term contributions add in FIXED literal
+    term order (never a float sum over an unordered group), so the only
+    cross-engine wobble is ``ln`` (<= 1 ulp between libm and the JVM) —
+    the driver oracle rounds at 1e-4 like every accumulated float here.
+    Returns ``(id, n_terms_hit, score)``.
+    """
+    # dedupe terms, keep first occurrence order (the summation order)
+    terms: list[str] = []
+    for t in query_terms:
+        if t not in terms:
+            terms.append(t)
+    toks = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                    lambda x: x != "")
+
+    def _eq(term: str):
+        # single-parameter closure: a two-parameter lambda would be
+        # interpreted by F.filter as (element, index)
+        return lambda x: x == F.lit(term)
+
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("__dl"),
+        *[F.size(F.filter(toks, _eq(t))).alias(f"__tf_{i}")
+          for i, t in enumerate(terms)])
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__sumdl"),
+        *[F.sum(F.when(F.col(f"__tf_{i}") > 0, 1).otherwise(0))
+          .alias(f"__df_{i}") for i in range(len(terms))])
+    joined = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n").cast("double")
+    denom_tail = F.lit(k1) * (F.lit(1.0 - b)
+                              + F.lit(b) * (F.col("__dl").cast("double")
+                                            / avgdl))
+
+    def contrib(i: int):
+        tf = F.col(f"__tf_{i}").cast("double")
+        dfreq = F.col(f"__df_{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (F.col("__n").cast("double") - dfreq
+                                  + F.lit(0.5)) / (dfreq + F.lit(0.5)))
+        return idf * (tf * F.lit(k1 + 1.0)) / (tf + denom_tail)
+
+    score = contrib(0)
+    for i in range(1, len(terms)):
+        score = score + contrib(i)          # fixed literal order
+    hits = sum((F.col(f"__tf_{i}") > 0).cast("int")
+               for i in range(len(terms)))
+    return joined.select(
+        F.col(id_col),
+        hits.cast("int").alias("n_terms_hit"),
+        score.alias("score"))

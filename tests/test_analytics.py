@@ -686,3 +686,38 @@ def test_stratified_sample_deterministic_and_rate_shaped(spark):
     en = sum(1 for d in kept1 if d % 2 == 0) / 1000
     ja = sum(1 for d in kept1 if d % 2 == 1) / 1000
     assert 0.05 < en < 0.16 and 0.42 < ja < 0.58
+
+
+def test_bm25_scores_hand_computed(spark):
+    import math
+    from image_pdf_ocr_suite_spark.analytics import text as textops
+    rows = [(0, "a b a c"), (1, "a d"), (2, "d d d"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           textops.bm25_scores(df, ["a", "zz"]).collect()}
+    n, sumdl = 4, 4 + 2 + 3 + 0
+    avgdl = sumdl / n
+    dfa = 2                                   # docs 0 and 1 contain 'a'
+    idf_a = math.log(1 + (n - dfa + 0.5) / (dfa + 0.5))
+    idf_z = math.log(1 + (n - 0 + 0.5) / 0.5)
+
+    def bm25(tf, dl):
+        return idf_a * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert abs(got[0]["score"] - bm25(2, 4)) < 1e-12
+    assert abs(got[1]["score"] - bm25(1, 2)) < 1e-12
+    assert got[2]["score"] == 0.0 and got[2]["n_terms_hit"] == 0
+    assert got[3]["score"] == 0.0             # null text -> dl 0, tf 0
+    assert got[0]["n_terms_hit"] == 1         # 'zz' hits nowhere
+    assert idf_z > 0                          # zero-df term is well-defined
+
+
+def test_bm25_has_no_data_shuffle(spark):
+    from image_pdf_ocr_suite_spark.analytics import text as textops
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    plan = textops.bm25_scores(df, ["a"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # global stats reduce (SinglePartition) + broadcast back only — the
+    # document rows themselves never shuffle
+    assert "hashpartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
