@@ -491,6 +491,27 @@ def q_bm25_scores(spark, sf_dir):
         "doc_id", "n_terms_hit", round4(F.col("score")).alias("score"))
 
 
+def q_video_frames(spark, sf_dir):
+    """Video frame sampling plumbing (every_n=4 over 12-frame fixture
+    clips): one row per sampled frame via the Arrow flatMap kernel; the
+    SVID fixture container decodes for real (solid frames → exact
+    closed-form luminance), MP4 magic exercises the ffmpeg seam as an
+    err row, nulls quarantine."""
+    from image_pdf_ocr_suite_spark.fixtures import build_media_df
+    return multimodal.video_frame_features(
+        build_media_df(spark, sf_dir, "video"), every_n=4)
+
+
+def q_audio_spectrum(spark, sf_dir):
+    """Dominant spectral bin via numpy rFFT in the Arrow kernel: pure
+    sine fixtures at exact FFT bins make argmax closed-form; dominant_hz
+    = bin*rate/frames is one exact IEEE division (dyadic rate/frames) so
+    values compare raw."""
+    from image_pdf_ocr_suite_spark.fixtures import build_media_df
+    return multimodal.audio_spectrum(
+        build_media_df(spark, sf_dir, "tone"), audio_col="tone")
+
+
 def q_watermark_dedup(spark, sf_dir):
     """Batch replay of dropDuplicatesWithinWatermark (streaming path:
     streaming/stream.py dedup_pages_stream): greedy anchor thinning per
@@ -857,6 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_counts": q_windowed_event_counts,
         "watermark_dedup": q_watermark_dedup,
         "bm25_scores": q_bm25_scores,
+        "video_frames": q_video_frames,
+        "audio_spectrum": q_audio_spectrum,
         "winnow_fingerprints": q_winnow_fingerprints,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1003,8 +1026,8 @@ def _media_oracles() -> dict[str, str]:
     sides, and the exact values are multiples of 1e-3 so the rounding
     boundary is never in play."""
     from image_pdf_ocr_suite_spark.fixtures import (
-        MEDIA_DIM, WAV_FRAMES_MONO, WAV_FRAMES_STEREO, WAV_RATE_MONO,
-        WAV_RATE_STEREO)
+        MEDIA_DIM, VIDEO_DIM, WAV_FRAMES_MONO, WAV_FRAMES_STEREO,
+        WAV_RATE_MONO, WAV_RATE_STEREO)
     dbl = "CAST({} AS DOUBLE)"
     lum = ("CASE WHEN m <= 3 THEN r*{c299} + g*{c587} + b*{c114} "
            "WHEN m <= 6 THEN gray ELSE {zero} END").format(
@@ -1034,6 +1057,39 @@ def _media_oracles() -> dict[str, str]:
                    CASE WHEN doc_id % 16 = 15 THEN 'NotImplementedError'
                         WHEN doc_id % 16 = 7 THEN 'null_payload' END AS err
             FROM d""",
+        "audio_spectrum": f"""
+            WITH d AS (SELECT doc_id, doc_id % 4 AS m,
+                              (doc_id % 37) + 1 AS k
+                       FROM documents WHERE doc_id < 200)
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   CASE WHEN m <= 1 THEN {WAV_RATE_MONO} ELSE 0 END
+                       AS sample_rate,
+                   CAST(CASE WHEN m <= 1 THEN {WAV_FRAMES_MONO} ELSE 0 END
+                        AS BIGINT) AS n_frames,
+                   CAST(CASE WHEN m <= 1 THEN k ELSE -1 END AS INTEGER)
+                       AS dominant_bin,
+                   CASE WHEN m <= 1
+                        THEN CAST(k AS DOUBLE) * {WAV_RATE_MONO} / {WAV_FRAMES_MONO}
+                        ELSE CAST(0 AS DOUBLE) END AS dominant_hz,
+                   CASE WHEN m = 2 THEN 'NotImplementedError'
+                        WHEN m = 3 THEN 'null_payload' END AS err
+            FROM d""",
+        "video_frames": f"""
+            WITH d AS (SELECT doc_id, doc_id % 4 AS m
+                       FROM documents WHERE doc_id < 200),
+            fr AS (SELECT CAST(unnest([0, 4, 8]) AS INTEGER) AS frame_idx)
+            SELECT CAST(doc_id AS VARCHAR) AS id, fr.frame_idx,
+                   {VIDEO_DIM} AS width, {VIDEO_DIM} AS height,
+                   CAST((doc_id * 7 + fr.frame_idx * 11) % 256 AS DOUBLE)
+                       AS mean_lum,
+                   CAST(NULL AS VARCHAR) AS err
+            FROM d, fr WHERE m <= 1
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR) AS id, -1 AS frame_idx,
+                   0 AS width, 0 AS height, CAST(0 AS DOUBLE) AS mean_lum,
+                   CASE WHEN m = 2 THEN 'NotImplementedError'
+                        ELSE 'null_payload' END AS err
+            FROM d WHERE m >= 2""",
         "audio_features": f"""
             WITH d AS (
                 SELECT doc_id, doc_id % 6 AS m,

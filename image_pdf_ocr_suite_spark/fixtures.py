@@ -300,6 +300,33 @@ def jpeg_solid_gray(width: int, height: int, gray: int) -> bytes:
     return encode_jpeg(np.full((height, width), gray, dtype=np.uint8))
 
 
+VIDEO_DIM = 8
+VIDEO_FRAMES = 12
+
+
+def svid_video(width: int, height: int, frame_values: list[int]) -> bytes:
+    """SVID fixture container (multimodal.sample_frames): solid gray
+    frames — closed-form per-frame mean luminance for the SQL oracle."""
+    import struct
+    head = (b"SVID" + bytes([1])
+            + struct.pack("<HHH", width, height, len(frame_values)))
+    return head + b"".join(bytes([v]) * (width * height)
+                           for v in frame_values)
+
+
+def video_payload_for(doc_id: int) -> bytes | None:
+    """doc_id % 4 → video payload kind (oracle mirrors this dispatch):
+    0-1 SVID with 12 solid frames (frame f's gray = (doc_id*7 + f*11)
+    % 256), 2 MP4 magic (codec seam → err row), 3 null."""
+    m = doc_id % 4
+    if m <= 1:
+        vals = [(doc_id * 7 + f * 11) % 256 for f in range(VIDEO_FRAMES)]
+        return svid_video(VIDEO_DIM, VIDEO_DIM, vals)
+    if m == 2:
+        return b"\x00\x00\x00\x20ftypmp42" + bytes(16)   # seam -> err row
+    return None
+
+
 def image_payload_for(doc_id: int) -> bytes | None:
     """doc_id % 8 → image payload kind (oracle mirrors this dispatch):
     0-1 BMP24, 2 BMP32, 3 PNG-RGB, 4 PGM, 5 PNG-gray, 6 baseline JPEG
@@ -325,6 +352,39 @@ def image_payload_for(doc_id: int) -> bytes | None:
     return None
 
 
+def wav_sine(rate: int, frames: int, bin_k: int,
+             amplitude: int = 16000) -> bytes:
+    """PCM16 mono WAV carrying one pure tone at FFT bin ``bin_k``
+    (an exact number of cycles over ``frames``) — the rFFT argmax is
+    exactly ``bin_k``: quantization noise is ~0.5 LSB against a
+    half-scale peak, ~90 dB below it."""
+    import struct
+
+    import numpy as np
+    n = np.arange(frames)
+    samples = np.round(amplitude
+                       * np.sin(2.0 * np.pi * bin_k * n / frames))
+    data = samples.astype("<i2").tobytes()
+    block = 2
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * block, block, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def tone_payload_for(doc_id: int) -> bytes | None:
+    """doc_id % 4 → tone payload kind (oracle mirrors this dispatch):
+    0-1 pure sine at bin (doc_id % 37) + 1, 2 float-WAV (codec seam →
+    err row), 3 null."""
+    m = doc_id % 4
+    if m <= 1:
+        return wav_sine(WAV_RATE_MONO, WAV_FRAMES_MONO,
+                        (doc_id % 37) + 1)
+    if m == 2:
+        return wav_const(WAV_RATE_MONO, 64, 1, 32, 0, audio_fmt=3)
+    return None
+
+
 def audio_payload_for(doc_id: int) -> bytes | None:
     """doc_id % 6 → audio payload kind: 0-1 PCM16 mono, 2 PCM16 stereo,
     3 PCM8 mono, 4 float WAV (codec seam), 5 null."""
@@ -345,8 +405,9 @@ def audio_payload_for(doc_id: int) -> bytes | None:
 def build_media_df(spark, sf_dir: str, media: str, limit: int = 200):
     """Distributed media-column synthesis from the documents table:
     (id, image|audio binary) rows for the multimodal feature kernels."""
-    assert media in ("image", "audio")
-    fn = image_payload_for if media == "image" else audio_payload_for
+    assert media in ("image", "audio", "video", "tone")
+    fn = {"image": image_payload_for, "audio": audio_payload_for,
+          "video": video_payload_for, "tone": tone_payload_for}[media]
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     if limit is not None:
         docs = docs.where(f"doc_id < {int(limit)}")

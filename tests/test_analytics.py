@@ -721,3 +721,42 @@ def test_bm25_has_no_data_shuffle(spark):
     # document rows themselves never shuffle
     assert "hashpartitioning" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sample_frames_svid_and_seam(spark):
+    import numpy as np
+    clip = fixtures.svid_video(4, 3, [10, 20, 30, 40, 50])
+    frames = multimodal.sample_frames(clip, every_n=2)
+    assert [(i, f.shape, int(f[0, 0])) for i, f in frames] == \
+        [(0, (3, 4), 10), (2, (3, 4), 30), (4, (3, 4), 50)]
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(b"\x00\x00\x00\x20ftypmp42")  # MP4 seam
+    with pytest.raises(ValueError):
+        multimodal.sample_frames(clip[:-5])                    # truncated
+    rows = [("a", bytearray(clip)),
+            ("b", bytearray(b"\x00\x00\x00\x20ftypmp42")),
+            ("c", bytearray(clip[:8])),
+            ("d", None)]
+    df = spark.createDataFrame(rows, "id string, video binary")
+    got = {}
+    for r in multimodal.video_frame_features(df, every_n=2).collect():
+        got.setdefault(r["id"], []).append(r)
+    assert [r["frame_idx"] for r in sorted(got["a"], key=lambda r: r["frame_idx"])] == [0, 2, 4]
+    assert all(r["err"] is None for r in got["a"])
+    assert got["b"][0]["err"] == "NotImplementedError"
+    assert got["c"][0]["err"] == "ValueError"
+    assert got["d"][0]["err"] == "null_payload"
+
+
+def test_audio_spectrum_pure_tone_and_edges(spark):
+    rows = [("a", bytearray(fixtures.wav_sine(8000, 1024, 17))),
+            ("b", bytearray(fixtures.wav_const(8000, 64, 1, 32, 0, audio_fmt=3))),
+            ("c", None),
+            ("d", bytearray(fixtures.wav_const(8000, 256, 2, 16, 500)))]
+    df = spark.createDataFrame(rows, "id string, audio binary")
+    got = {r["id"]: r for r in multimodal.audio_spectrum(df).collect()}
+    assert (got["a"]["dominant_bin"], got["a"]["dominant_hz"]) == \
+        (17, 17 * 8000 / 1024)
+    assert got["b"]["err"] == "NotImplementedError"
+    assert got["c"]["err"] == "null_payload"
+    assert got["d"]["dominant_bin"] == 0         # constant signal -> DC
