@@ -162,3 +162,69 @@ def test_parse_langs_never_crashes_weird_input(s):
     else:
         with _pytest.raises(ValueError):
             parse_langs(s)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(2, 24), st.integers(2, 24), st.integers(0, 3),
+       st.integers(0, 2**31 - 1))
+def test_png_roundtrip_any_shape(w, h, mode, seed):
+    """PNG decode inverts the test-side filtered encoder for ANY raster
+    shape, channel count, and filter sequence."""
+    import numpy as np
+    from image_pdf_ocr_suite_spark.analytics import multimodal
+    from tests.test_analytics import _png_encode_filtered
+    rng = np.random.RandomState(seed)
+    shape = [(h, w), (h, w, 2), (h, w, 3), (h, w, 4)][mode]
+    arr = rng.randint(0, 256, shape, dtype=np.uint8)
+    filters = [int(rng.randint(0, 5)) for _ in range(h)]
+    out = multimodal.decode_image(_png_encode_filtered(arr, filters))
+    assert out.shape == arr.shape and (out == arr).all()
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(1, 40), st.integers(1, 40), st.booleans(),
+       st.integers(0, 6), st.integers(0, 2**31 - 1))
+def test_jpeg_roundtrip_any_shape(w, h, gray, dri, seed):
+    """Baseline JPEG with flat q=1 tables stays within DCT-rounding
+    tolerance for ANY shape (incl. non-multiple-of-8 + MCU padding),
+    grayscale or RGB, with or without restart intervals."""
+    import numpy as np
+    from image_pdf_ocr_suite_spark.analytics import jpeg
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, (h, w) if gray else (h, w, 3), dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, restart_interval=dri))
+    assert out.shape == arr.shape
+    tol = 2 if gray else 4
+    assert int(np.abs(out.astype(int) - arr.astype(int)).max()) <= tol
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)),
+                min_size=1, max_size=60),
+       st.integers(1, 20))
+def test_watermark_thinning_invariants(events, delay):
+    """Greedy anchor thinning (driver-side replica of the kernel's
+    per-key walk): kept events are pairwise > delay apart, every
+    dropped event is within delay AFTER a kept one, and the first
+    event per key always survives."""
+    import numpy as np
+    per_key: dict[int, list[int]] = {}
+    for k, t in sorted(events, key=lambda e: (e[0], e[1])):
+        per_key.setdefault(k, []).append(t)
+    for ts in per_key.values():
+        arr = np.asarray(ts)
+        kept = []
+        i = 0
+        while i < len(arr):
+            kept.append(i)
+            i = int(np.searchsorted(arr, arr[i] + delay, side="right"))
+        kt = [arr[i] for i in kept]
+        assert kept[0] == 0
+        assert all(b - a > delay for a, b in zip(kt, kt[1:]))
+        for j, t in enumerate(arr):
+            if j not in kept:
+                prior = [a for a in kt if a <= t]
+                assert prior and t - prior[-1] <= delay
