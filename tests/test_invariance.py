@@ -2,6 +2,7 @@
 urls must not change per-url output; stored payloads round-trip."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from image_pdf_ocr_suite_spark import fixtures
 from image_pdf_ocr_suite_spark import payload as spdf
@@ -64,3 +65,40 @@ def test_stored_payload_roundtrip():
     assert spdf.decode(enc, password="p").pages[0].words[0].text == "x"
     with pytest.raises(spdf.EncryptedPayloadError):
         spdf.decode(enc, password="wrong")
+
+
+def test_star_cc_partition_invariance(spark):
+    """Connected-components labels are a pure function of the edge SET —
+    identical across partitionings and input row orders."""
+    import numpy as np
+    from image_pdf_ocr_suite_spark.analytics import dedup
+    rng = np.random.RandomState(21)
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, 40, size=(50, 2))]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    ref = sorted(map(tuple, dedup.connected_components_star(df).collect()))
+    for variant in (df.repartition(7), df.orderBy("id_b"), df.coalesce(1)):
+        got = sorted(map(tuple,
+                         dedup.connected_components_star(variant).collect()))
+        assert got == ref
+
+
+def test_watermark_dedup_partition_invariance(spark):
+    """Kept-event set is a pure function of the data, not of the input
+    partitioning (the kernel re-sorts within its own key shuffle)."""
+    import numpy as np
+    from datetime import datetime, timedelta
+    from image_pdf_ocr_suite_spark.streaming.stream import (
+        dedup_within_watermark_batch)
+    rng = np.random.RandomState(22)
+    t0 = datetime(2024, 1, 1)
+    rows = [(int(rng.randint(0, 6)), t0 + timedelta(seconds=int(s)), i)
+            for i, s in enumerate(rng.randint(0, 500, size=120))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    ref = sorted(r["event_id"] for r in
+                 dedup_within_watermark_batch(df, delay_sec=30).collect())
+    for variant in (df.repartition(11), df.orderBy(F.desc("ts")),
+                    df.coalesce(1)):
+        got = sorted(r["event_id"] for r in
+                     dedup_within_watermark_batch(variant, delay_sec=30)
+                     .collect())
+        assert got == ref
