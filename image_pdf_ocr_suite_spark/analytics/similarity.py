@@ -267,6 +267,35 @@ def ivf_list_expr(vec_col, centroids: np.ndarray):
     return _matdots_aggregate(vec_col, centroids, finish)
 
 
+def ivf_list_np(vec_col, centroids: np.ndarray):
+    """Arrow argmax-dot coarse assignment (one numpy matmul per batch) —
+    the index-BUILD fast path: ``_matdots_aggregate`` runs interpreted
+    per array element (the round-3 Catalyst-HOF wall), ~ms/row on wide
+    quantizers, while the matmul is ~µs/row.  ``np.argmax`` takes the
+    FIRST maximal list, the same tie rule as ``array_position``; numpy's
+    pairwise summation is not bit-guaranteed against the sequential
+    form at exact dot ties (measure-zero on real embeddings), so
+    oracle-checked builds keep ``ivf_list_expr`` — equivalence on the
+    driver-gate data is pytest-pinned."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ct = centroids.T.copy()
+
+    def _fn(s):
+        vals = s.to_numpy()
+        out = np.full(len(vals), None, dtype=object)
+        idx = [i for i, v in enumerate(vals) if v is not None]
+        if idx:
+            m = np.stack([np.asarray(vals[i], dtype=np.float64)
+                          for i in idx])
+            for i, lst in zip(idx, (m @ ct).argmax(axis=1)):
+                out[i] = int(lst)
+        return pd.Series(out)
+
+    return pandas_udf(_fn, "int")(vec_col)
+
+
 def ivf_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 20,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     n_lists: int = 16, n_probe: int = 4,
@@ -307,7 +336,7 @@ def _probe_lists(centroids: np.ndarray, query_vec, n_probe: int) -> list[int]:
 def ivf_write_index(df: DataFrame, path: str, n_lists: int = 16,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     centroids: np.ndarray | None = None,
-                    seed: int = 42) -> np.ndarray:
+                    seed: int = 42, impl: str = "auto") -> np.ndarray:
     """Materialize the IVF layout: one-pass coarse-list assignment, then
     ``partitionBy("ivf_list")`` parquet — the 100 TB shape where probing
     is PartitionFilters-level pruning (the scan touches n_probe/n_lists
@@ -315,15 +344,26 @@ def ivf_write_index(df: DataFrame, path: str, n_lists: int = 16,
     trained quantizer rides along as a ``_ivf_centroids.json`` sidecar
     (underscore-prefixed → invisible to parquet readers), so any reader
     probes the exact quantizer the index was built with.  Null vectors
-    are excluded (they can't be probed).  Returns the centroids."""
+    are excluded (they can't be probed).  Returns the centroids.
+
+    ``impl``: "catalyst" = bit-exact sequential dot sums (what the
+    pinned-centroid oracle replicates), "numpy" = Arrow matmul kernel
+    (the 100 TB build path — interpreted HOFs are the round-3 GC wall),
+    "auto" = catalyst while the quantizer fits the interpreted-HOF
+    budget (n_lists * dim <= 1024), numpy beyond."""
     import json
     import os
     if centroids is None:
         centroids = train_ivf_centroids(df, n_lists, vec_col, id_col,
                                         seed=seed)
+    if impl == "auto":
+        impl = ("catalyst"
+                if centroids.shape[0] * centroids.shape[1] <= 1024
+                else "numpy")
+    lists = (ivf_list_expr(vec_col, centroids) if impl == "catalyst"
+             else ivf_list_np(F.col(vec_col), centroids))
     out = df.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col), F.col(vec_col),
-        ivf_list_expr(vec_col, centroids).alias("ivf_list"))
+        F.col(id_col), F.col(vec_col), lists.alias("ivf_list"))
     out.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
     with open(os.path.join(path, "_ivf_centroids.json"), "w") as fh:
         json.dump([[float(x) for x in row] for row in centroids], fh)

@@ -111,3 +111,30 @@ def test_lsh_index_result_matches_online(spark, emb_df, lsh_path):
             spark, lsh_path, qvec, k=10, max_hamming=h) \
             .select("vec_id").collect()
         assert [r["vec_id"] for r in online] == [r["vec_id"] for r in served], h
+
+
+def test_ivf_assignment_arrow_matches_catalyst(spark, emb_df):
+    """The Arrow matmul assignment (index-build scale path) and the
+    bit-exact Catalyst aggregate give identical coarse lists — incl.
+    null vectors — on gate-style data (argmax ties are measure-zero)."""
+    cents = similarity.train_centroids_np(
+        np.stack([np.asarray(r["embedding"])
+                  for r in emb_df.where("embedding is not null").collect()]),
+        n_lists=N_LISTS)
+    cat = emb_df.select("vec_id",
+                        similarity.ivf_list_expr("embedding", cents)
+                        .alias("l")).collect()
+    arr = emb_df.select("vec_id",
+                        similarity.ivf_list_np(F.col("embedding"), cents)
+                        .alias("l")).collect()
+    assert sorted((r["vec_id"], r["l"]) for r in cat) == \
+        sorted((r["vec_id"], r["l"]) for r in arr)
+
+
+def test_ivf_write_index_numpy_impl(spark, emb_df, tmp_path):
+    path = str(tmp_path / "ivf_np")
+    similarity.ivf_write_index(emb_df, path, n_lists=N_LISTS, impl="numpy")
+    qvec = [float(x) for x in emb_df.where("vec_id = 0").head()["embedding"]]
+    served = similarity.ivf_topk_from_index(spark, path, qvec, k=10,
+                                            n_probe=3).collect()
+    assert len(served) == 10 and served[0]["vec_id"] == 0
