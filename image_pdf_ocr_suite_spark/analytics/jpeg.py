@@ -1,11 +1,13 @@
 """Baseline JPEG (JFIF) codec on stdlib + numpy — public spec only
 (ITU-T T.81 / ISO 10918-1; tables from Annex K).
 
-Decoder: baseline sequential DCT (SOF0), grayscale or YCbCr with
-4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals, byte-stuffing.
-Progressive (SOF2), arithmetic coding, 12-bit precision and hierarchical
-modes stay behind the NotImplementedError codec seam — exactly the split
-a production Pillow/libvips binding would replace.
+Decoder: baseline sequential DCT (SOF0/SOF1) and progressive (SOF2 —
+spectral selection + successive approximation, EOB runs, refinement
+correction bits), grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0
+sampling, restart intervals, byte-stuffing.  Arithmetic coding, 12-bit
+precision and hierarchical modes stay behind the NotImplementedError
+codec seam — exactly the split a production Pillow/libvips binding
+would replace.
 
 Encoder: the minimal fixture writer (solid colors and small test rasters;
 quality expressed directly as quant tables — all-ones tables make the
@@ -200,12 +202,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     Raises ValueError for corrupt/truncated streams (quarantine-safe:
     out-of-range reads surface as ValueError, never IndexError — a
     decode kernel must route bad payloads to an err column, not fail
-    the task) and NotImplementedError for the progressive/arithmetic/
-    12-bit codec seam."""
+    the task) and NotImplementedError for the arithmetic/12-bit/
+    hierarchical codec seam (baseline AND progressive decode here)."""
     try:
         return _decode_jpeg(payload)
     except (IndexError, struct.error) as exc:
         raise ValueError(f"truncated JPEG stream: {exc}") from exc
+    except _RestartMarker as exc:
+        raise ValueError("JPEG restart marker out of position") from exc
 
 
 def _decode_jpeg(payload: bytes) -> np.ndarray:
@@ -216,6 +220,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    coef_store = None
     restart_interval = 0
     n = len(payload)
     while pos + 4 <= n:
@@ -249,7 +254,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 tbl = _build_decode_table(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 i += 17 + nvals
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2 prog
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -260,12 +265,14 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) decodes here; "
-                "progressive/arithmetic/hierarchical need a codec binding")
+                "only baseline (SOF0/SOF1) and progressive (SOF2) JPEG "
+                "decode here; arithmetic/lossless/hierarchical need a "
+                "codec binding")
         elif marker == 0xDD:                    # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:                    # SOS — entropy data follows
@@ -275,11 +282,26 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             scan = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
-                scan.append({**comp, "dc": tt >> 4, "ac": tt & 0xF})
-            return _decode_scan(payload, pos + seglen, frame, scan, qt,
-                                huff_dc, huff_ac, restart_interval)
+                ci, comp = next(
+                    (i, x) for i, x in enumerate(frame["comps"])
+                    if x["id"] == cs)
+                scan.append({**comp, "ci": ci, "dc": tt >> 4,
+                             "ac": tt & 0xF})
+            if not frame["progressive"]:
+                return _decode_scan(payload, pos + seglen, frame, scan, qt,
+                                    huff_dc, huff_ac, restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if coef_store is None:
+                coef_store = _prog_init_store(frame)
+            pos = _prog_decode_scan(
+                payload, pos + seglen, frame, scan, huff_dc, huff_ac,
+                coef_store, ss, se, ahal >> 4, ahal & 0xF,
+                restart_interval)
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive") and coef_store:
+        return _prog_reconstruct(frame, coef_store, qt)
     raise ValueError("JPEG has no scan data")
 
 
@@ -314,9 +336,13 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
             except _RestartMarker:
                 raise ValueError("JPEG restart marker out of position")
             mcu_count += 1
-    # upsample to full resolution and crop
+    return _finish_planes(planes, scan, w, h, hmax, vmax)
+
+
+def _finish_planes(planes, comps, w, h, hmax, vmax):
+    """Shared tail: nearest upsample, crop, (YCbCr->RGB), clamp."""
     full = []
-    for ci, c in enumerate(scan):
+    for ci, c in enumerate(comps):
         p = planes[ci]
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
@@ -333,6 +359,187 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) scans — coefficients accumulate across scans, one
+# reconstruction at EOI (spec G.2; the decoder control flow mirrors the
+# public successive-approximation algorithm, same structure as libjpeg's
+# decode_mcu_DC/AC_first/refine)
+# ---------------------------------------------------------------------------
+
+def _frame_geometry(frame):
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _prog_init_store(frame):
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    return [np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+            for c in frame["comps"]]
+
+
+def _comp_block_grid(frame, c):
+    """Non-interleaved block grid: the component's OWN size, not the
+    MCU-padded grid (spec A.2.2)."""
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    cw = (frame["w"] * c["h"] + hmax - 1) // hmax
+    ch = (frame["h"] * c["v"] + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _next_marker_pos(data, pos):
+    p = pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 \
+                and not (0xD0 <= data[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(data)
+
+
+def _prog_decode_scan(data, pos, frame, scan, huff_dc, huff_ac, store,
+                      ss, se, ah, al, dri):
+    reader = _BitReader(data, pos)
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    if ss == 0:                                   # DC scan (interleavable)
+        pred = [0] * len(scan)
+        units = []                                # (ci, by, bx) per MCU
+        if len(scan) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    units.append([(c["ci"], my * c["v"] + by,
+                                   mx * c["h"] + bx)
+                                  for c in scan
+                                  for by in range(c["v"])
+                                  for bx in range(c["h"])])
+        else:
+            bh, bw = _comp_block_grid(frame, scan[0])
+            units = [[(scan[0]["ci"], by, bx)]
+                     for by in range(bh) for bx in range(bw)]
+        pred_of = {c["ci"]: i for i, c in enumerate(scan)}
+        for u, blocks in enumerate(units):
+            if dri and u and u % dri == 0:
+                reader.sync_to_restart()
+                pred = [0] * len(scan)
+            for ci, by, bx in blocks:
+                coefs = store[ci][by, bx]
+                if ah == 0:                       # DC first
+                    c = next(x for x in scan if x["ci"] == ci)
+                    t = _huff_decode(reader, huff_dc[c["dc"]])
+                    diff = _extend(reader.read_bits(t), t)
+                    pred[pred_of[ci]] += diff
+                    coefs[0] = pred[pred_of[ci]] << al
+                else:                             # DC refine: one raw bit
+                    if reader.read_bit():
+                        coefs[0] |= 1 << al
+    else:                                         # AC scan: one component
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        c = scan[0]
+        bh, bw = _comp_block_grid(frame, c)
+        ac_tbl = huff_ac[c["ac"]]
+        eobrun = 0
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if dri and unit and unit % dri == 0:
+                    reader.sync_to_restart()
+                    eobrun = 0
+                unit += 1
+                coefs = store[c["ci"]][by, bx]
+                if ah == 0:
+                    eobrun = _ac_first_block(reader, ac_tbl, coefs,
+                                             ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(reader, ac_tbl, coefs,
+                                              ss, se, al, eobrun)
+    return _next_marker_pos(data, reader.pos)
+
+
+def _ac_first_block(reader, ac_tbl, coefs, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_tbl)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16                           # ZRL
+                continue
+            return (1 << r) + reader.read_bits(r) - 1   # EOBn (this block)
+        k += r
+        if k > se:
+            raise ValueError("progressive AC run past band end")
+        coefs[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, ac_tbl, coefs, ss, se, al, eobrun):
+    """Successive-approximation AC refinement (spec G.1.2.3): newly
+    significant coefficients arrive as run+sign, previously significant
+    ones absorb one correction bit each, in position order."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_tbl)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + reader.read_bits(r)
+                    break                          # EOB covers this block
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if coefs[k] != 0:
+                    if reader.read_bit() and (coefs[k] & p1) == 0:
+                        coefs[k] += p1 if coefs[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                coefs[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coefs[k] != 0:
+                if reader.read_bit() and (coefs[k] & p1) == 0:
+                    coefs[k] += p1 if coefs[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _prog_reconstruct(frame, store, qt):
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    planes = []
+    for ci, c in enumerate(frame["comps"]):
+        coefs = store[ci]
+        bh, bw = coefs.shape[:2]
+        quant = qt[c["tq"]].astype(np.float64)
+        # vectorized: dequant every block, de-zigzag, batch IDCT
+        dq = coefs.reshape(-1, 64).astype(np.float64) * quant
+        blocks = np.zeros((dq.shape[0], 64))
+        blocks[:, ZIGZAG] = dq
+        blocks = blocks.reshape(-1, 8, 8)
+        spatial = np.einsum("ij,njk,kl->nil", _C.T, blocks, _C)
+        plane = (spatial.reshape(bh, bw, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+        planes.append(plane)
+    return _finish_planes(planes, frame["comps"], frame["w"], frame["h"],
+                          hmax, vmax)
 
 
 def _decode_block(reader, dc_tbl, ac_tbl, quant, pred, ci):
@@ -530,5 +737,183 @@ def encode_jpeg(arr: np.ndarray, quant_luma: int = 1, quant_chroma: int = 1,
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quant_luma: int = 1,
+                            quant_chroma: int = 1) -> bytes:
+    """Progressive (SOF2) fixture encoder: grayscale or RGB 4:4:4, scan
+    script = interleaved DC first (Al=1) + DC refinement, then per
+    component AC 1-63 first (Al=1) + AC successive-approximation
+    refinement — exercising every progressive decode path (EOB runs,
+    ZRL-with-corrections, newly-significant runs, correction bits).
+    Flat quant tables; coefficient reconstruction is exact, so decoding
+    a progressive stream must equal decoding the baseline stream of the
+    same raster bit-for-bit (pytest-pinned)."""
+    arr = np.asarray(arr, dtype=np.float64)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        comps = [arr - 128.0]
+    else:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = np.round(-0.168736 * r - 0.331264 * g + 0.5 * b)
+        cr = np.round(0.5 * r - 0.418688 * g - 0.081312 * b)
+        comps = [y - 128.0, cb, cr]
+    nc = len(comps)
+    bh_, bw_ = (h + 7) // 8, (w + 7) // 8
+    ql = np.full(64, quant_luma, dtype=np.int64)
+    qc = np.full(64, quant_chroma, dtype=np.int64)
+    T = []
+    for ci, c in enumerate(comps):
+        p = np.pad(c, ((0, bh_ * 8 - h), (0, bw_ * 8 - w)), mode="edge")
+        quant = ql if ci == 0 else qc
+        t = np.zeros((bh_, bw_, 64), dtype=np.int64)
+        for by in range(bh_):
+            for bx in range(bw_):
+                d = _C @ p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] @ _C.T
+                t[by, bx] = np.round(d.flat[ZIGZAG] / quant)
+        T.append(t)
+
+    dc_l = _build_encode_table(DC_LUM_BITS, DC_LUM_VALS)
+    ac_l = _build_encode_table(AC_LUM_BITS, AC_LUM_VALS)
+    dc_c = _build_encode_table(DC_CHR_BITS, DC_CHR_VALS)
+    ac_c = _build_encode_table(AC_CHR_BITS, AC_CHR_VALS)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(comp_specs, ss, se, ah, al):
+        body = bytes([len(comp_specs)])
+        for cid, dct, act in comp_specs:
+            body += bytes([cid, (dct << 4) | act])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in ql))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(int(x) for x in qc))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)                         # SOF2: progressive
+
+    def dht(tc, th, bits, vals):
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+    out += dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+    if not gray:
+        out += dht(0, 1, DC_CHR_BITS, DC_CHR_VALS)
+        out += dht(1, 1, AC_CHR_BITS, AC_CHR_VALS)
+
+    all_comps = [(ci + 1, 0 if ci == 0 else 1, 0 if ci == 0 else 1)
+                 for ci in range(nc)]
+
+    # --- scan 1: DC first, interleaved, Al=1 (arithmetic point shift) ---
+    out += sos(all_comps, 0, 0, 0, 1)
+    wtr = _BitWriter()
+    pred = [0] * nc
+    for by in range(bh_):
+        for bx in range(bw_):
+            for ci in range(nc):
+                v = int(T[ci][by, bx, 0]) >> 1
+                diff = v - pred[ci]
+                pred[ci] = v
+                t_ = int(abs(diff)).bit_length()
+                code, length = (dc_l if ci == 0 else dc_c)[t_]
+                wtr.write(code, length)
+                if t_:
+                    wtr.write(diff if diff > 0 else diff + (1 << t_) - 1, t_)
+    wtr.flush()
+    out += wtr.out
+
+    # --- scan 2: DC refinement, interleaved, Ah=1 Al=0 (raw bits) ---
+    out += sos(all_comps, 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for by in range(bh_):
+        for bx in range(bw_):
+            for ci in range(nc):
+                wtr.write(int(T[ci][by, bx, 0]) & 1, 1)
+    wtr.flush()
+    out += wtr.out
+
+    # --- per component: AC first (Al=1) then AC refinement (Ah=1 Al=0) ---
+    for ci in range(nc):
+        enc = ac_l if ci == 0 else ac_c
+        cspec = [(ci + 1, 0 if ci == 0 else 1, 0 if ci == 0 else 1)]
+        out += sos(cspec, 1, 63, 0, 1)
+        wtr = _BitWriter()
+        for by in range(bh_):
+            for bx in range(bw_):
+                tt = T[ci][by, bx]
+                sh = [0] * 64
+                for k in range(1, 64):
+                    v = int(tt[k])
+                    sh[k] = (1 if v > 0 else -1) * (abs(v) >> 1)
+                last = max([k for k in range(1, 64) if sh[k]], default=0)
+                run = 0
+                for k in range(1, last + 1):
+                    v = sh[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = enc[0xF0]
+                        wtr.write(code, length)
+                        run -= 16
+                    s = int(abs(v)).bit_length()
+                    code, length = enc[(run << 4) | s]
+                    wtr.write(code, length)
+                    wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 63:
+                    code, length = enc[0x00]      # EOB, run of 1
+                    wtr.write(code, length)
+        wtr.flush()
+        out += wtr.out
+
+        out += sos(cspec, 1, 63, 1, 0)
+        wtr = _BitWriter()
+        for by in range(bh_):
+            for bx in range(bw_):
+                tt = T[ci][by, bx]
+                absv = [abs(int(tt[k])) for k in range(64)]
+                newly = [k for k in range(1, 64) if absv[k] == 1]
+                k, run, pending = 1, 0, []
+                for nk in newly:
+                    while k < nk:
+                        if absv[k] >> 1:          # previously significant
+                            pending.append(absv[k] & 1)
+                        elif absv[k] == 0:        # zero history
+                            run += 1
+                            if run == 16:
+                                code, length = enc[0xF0]
+                                wtr.write(code, length)
+                                for bit in pending:
+                                    wtr.write(bit, 1)
+                                pending, run = [], 0
+                        k += 1
+                    code, length = enc[(run << 4) | 1]
+                    wtr.write(code, length)
+                    wtr.write(1 if int(tt[nk]) > 0 else 0, 1)
+                    for bit in pending:
+                        wtr.write(bit, 1)
+                    pending, run = [], 0
+                    k = nk + 1
+                if k < 64:
+                    rest = [absv[j] & 1 for j in range(k, 64)
+                            if absv[j] >> 1]
+                    code, length = enc[0x00]      # EOB + corrections
+                    wtr.write(code, length)
+                    for bit in rest:
+                        wtr.write(bit, 1)
+        wtr.flush()
+        out += wtr.out
+
     out += b"\xff\xd9"
     return bytes(out)

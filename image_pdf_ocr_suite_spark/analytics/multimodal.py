@@ -3,8 +3,8 @@
 Images/audio/video are carried as ``binary`` columns with typed metadata
 extracted by Arrow-batched ``mapInPandas`` kernels.  Image decode is REAL
 for uncompressed BMP, binary PPM/PGM, 8-bit PNG (stdlib zlib +
-per-scanline unfiltering) and baseline JPEG (full T.81 sequential
-decoder, analytics/jpeg.py); WebP/AVIF, progressive JPEG, 16-bit/Adam7
+per-scanline unfiltering) and JPEG — baseline and progressive (full
+T.81 decoder, analytics/jpeg.py); WebP/AVIF, 16-bit/Adam7
 PNG and video frame sampling stay behind a clearly-marked
 ``NotImplementedError`` seam where production binds
 Pillow/libvips/ffmpeg.  The Spark-side plumbing — schema, batch shape,
@@ -237,10 +237,10 @@ def _decode_png(payload: bytes):
 def decode_image(payload: bytes):
     """Image decode without codec libraries: dependency-free BMP
     (24/32-bit BI_RGB), binary PPM/PGM, 8-bit PNG (stdlib zlib +
-    unfiltering), and baseline JPEG (full T.81 sequential decoder:
-    huffman, dequant, exact-float IDCT, 4:2:0/4:2:2 upsampling, restart
-    intervals — analytics/jpeg.py) decoders; anything else (WebP,
-    progressive JPEG, ...) needs a Pillow/libvips binding — that seam
+    unfiltering), and JPEG — baseline AND progressive
+    (full T.81 decoder: huffman, successive approximation, dequant,
+    exact-float IDCT, 4:2:0/4:2:2 upsampling, restart intervals —
+    analytics/jpeg.py); anything else (WebP, AVIF, ...) needs a Pillow/libvips binding — that seam
     raises NotImplementedError so production can plug the real codec
     in."""
     if payload[:2] == b"BM":

@@ -289,15 +289,19 @@ def wav_const(rate: int, frames: int, channels: int, bits: int,
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
-def jpeg_solid_gray(width: int, height: int, gray: int) -> bytes:
-    """Real baseline JPEG, solid gray: with flat q=1 quant tables a
-    constant block quantizes to a DC-only spectrum reproduced EXACTLY by
-    the float IDCT — solid grays round-trip losslessly, giving the SQL
-    oracle a closed form over a genuine entropy-coded JPEG."""
+def jpeg_solid_gray(width: int, height: int, gray: int,
+                    progressive: bool = False) -> bytes:
+    """Real JPEG (baseline or progressive), solid gray: with flat q=1
+    quant tables a constant block quantizes to a DC-only spectrum
+    reproduced EXACTLY by the float IDCT — solid grays round-trip
+    losslessly in BOTH coding modes, giving the SQL oracle one closed
+    form over genuine entropy-coded streams of either kind."""
     import numpy as np
 
-    from image_pdf_ocr_suite_spark.analytics.jpeg import encode_jpeg
-    return encode_jpeg(np.full((height, width), gray, dtype=np.uint8))
+    from image_pdf_ocr_suite_spark.analytics.jpeg import (
+        encode_jpeg, encode_jpeg_progressive)
+    arr = np.full((height, width), gray, dtype=np.uint8)
+    return encode_jpeg_progressive(arr) if progressive else encode_jpeg(arr)
 
 
 VIDEO_DIM = 8
@@ -329,9 +333,10 @@ def video_payload_for(doc_id: int) -> bytes | None:
 
 def image_payload_for(doc_id: int) -> bytes | None:
     """doc_id % 8 → image payload kind (oracle mirrors this dispatch):
-    0-1 BMP24, 2 BMP32, 3 PNG-RGB, 4 PGM, 5 PNG-gray, 6 baseline JPEG
-    gray, 7 split on doc_id % 16: 7 → null, 15 → WebP magic (codec
-    seam → err row)."""
+    0-1 BMP24, 2 BMP32, 3 PNG-RGB, 4 PGM, 5 PNG-gray, 6 real JPEG gray
+    (doc_id % 16 == 6 → baseline, == 14 → PROGRESSIVE — same decoded
+    pixels, same oracle row), 7 split on doc_id % 16: 7 → null, 15 →
+    WebP magic (codec seam → err row)."""
     m = doc_id % 8
     r, g, b = doc_id % 256, (doc_id * 7) % 256, (doc_id * 13) % 256
     gray = (doc_id * 31) % 256
@@ -346,7 +351,8 @@ def image_payload_for(doc_id: int) -> bytes | None:
     if m == 5:
         return png_solid(MEDIA_DIM, MEDIA_DIM, gray)
     if m == 6:
-        return jpeg_solid_gray(MEDIA_DIM, MEDIA_DIM, gray)
+        return jpeg_solid_gray(MEDIA_DIM, MEDIA_DIM, gray,
+                               progressive=doc_id % 16 == 14)
     if doc_id % 16 == 15:
         return b"RIFF\x00\x00\x00\x00WEBP" + bytes(16)  # seam -> err row
     return None

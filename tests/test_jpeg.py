@@ -63,22 +63,70 @@ def test_quantization_actually_quantizes():
     assert _maxdiff(out, arr) > 2
 
 
-def test_progressive_and_corrupt_seams():
+def test_corrupt_and_unsupported_seams():
     import struct
+    # SOF2 with no scan data is corrupt, not unsupported (progressive
+    # decodes for real now)
     sof2 = (b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11)
             + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         jpeg.decode_jpeg(sof2)
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(b"\xff\xd8\xff\xd9")        # SOI+EOI, no scan
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(b"not a jpeg")
     with pytest.raises(NotImplementedError):
+        # arithmetic-coded sequential (SOF9) stays a seam
+        sof9 = (b"\xff\xd8" + b"\xff\xc9" + struct.pack(">H", 11)
+                + bytes([8]) + struct.pack(">HH", 8, 8)
+                + bytes([1, 1, 0x11, 0]))
+        jpeg.decode_jpeg(sof9)
+    with pytest.raises(NotImplementedError):
         # 12-bit precision
         sof12 = (b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 11)
                  + bytes([12]) + struct.pack(">HH", 8, 8)
                  + bytes([1, 1, 0x11, 0]))
         jpeg.decode_jpeg(sof12)
+
+
+def test_progressive_decode_equals_baseline():
+    """Every progressive scan path (interleaved DC first+refine, AC
+    first with EOB/ZRL, AC successive-approximation refinement with
+    correction bits) reconstructs the EXACT coefficients — decoding the
+    progressive stream must equal decoding the baseline stream of the
+    same raster bit-for-bit."""
+    rng = np.random.RandomState(31)
+    for shape in [(8, 8), (16, 24), (17, 13), (16, 16, 3), (11, 21, 3)]:
+        arr = rng.randint(0, 256, shape, dtype=np.uint8)
+        prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(arr))
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(arr))
+        assert (prog == base).all(), shape
+
+
+def test_progressive_solid_gray_lossless():
+    for g in (0, 77, 255):
+        arr = np.full((16, 16), g, dtype=np.uint8)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(arr))
+        assert (out == g).all(), g
+
+
+def test_progressive_sparse_spectra_exercise_zrl_and_eob():
+    """Long zero runs between significant coefficients force ZRL symbols
+    (first pass) and ZRL-with-correction-bits (refinement pass)."""
+    arr = np.zeros((8, 8), dtype=np.uint8)
+    arr[7, 7] = 255                     # energy in the highest frequencies
+    arr[0, 0] = 255
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(arr))
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(arr))
+    assert (prog == base).all()
+
+
+def test_progressive_truncation_quarantines():
+    full = jpeg.encode_jpeg_progressive(
+        np.random.RandomState(1).randint(0, 256, (16, 16), dtype=np.uint8))
+    for cut in (30, len(full) // 3, len(full) - 4):
+        with pytest.raises((ValueError, NotImplementedError)):
+            jpeg.decode_jpeg(full[:cut])
 
 
 def test_decode_image_dispatches_jpeg():

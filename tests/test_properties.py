@@ -228,3 +228,20 @@ def test_watermark_thinning_invariants(events, delay):
             if j not in kept:
                 prior = [a for a in kt if a <= t]
                 assert prior and t - prior[-1] <= delay
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(1, 32), st.integers(1, 32), st.booleans(),
+       st.integers(0, 2**31 - 1))
+def test_progressive_equals_baseline_any_shape(w, h, gray, seed):
+    """Progressive reconstruction recovers the exact coefficient matrix
+    for ANY raster — decode(progressive stream) == decode(baseline
+    stream) bit-for-bit."""
+    import numpy as np
+    from image_pdf_ocr_suite_spark.analytics import jpeg
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, (h, w) if gray else (h, w, 3), dtype=np.uint8)
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(arr))
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(arr))
+    assert (prog == base).all()
