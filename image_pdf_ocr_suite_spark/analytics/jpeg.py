@@ -259,6 +259,9 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
             h, w = struct.unpack_from(">HH", seg, 1)
+            if w == 0 or h == 0 or w * h > 64_000_000:
+                raise ValueError(f"JPEG dimensions {w}x{h} invalid or "
+                                 f"beyond the decode kernel's 64 MP bound")
             nc = seg[5]
             comps = []
             for c in range(nc):

@@ -213,12 +213,19 @@ def _decode_png(payload: bytes):
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if nch is None:
         raise ValueError(f"invalid PNG color type {color}")
+    if w * h > 64_000_000:
+        raise ValueError(f"PNG dimensions {w}x{h} exceed the decode "
+                         f"kernel's 64 MP bound")
+    stride = w * nch
+    expected = h * (stride + 1)
     try:
-        raw = _z.decompress(b"".join(idat))
+        # bounded inflate: a crafted stream must not expand past the
+        # header-declared size (zip-bomb guard for untrusted crawl data)
+        d = _z.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
     except _z.error as exc:
         raise ValueError(f"corrupt PNG pixel stream: {exc}") from exc
-    stride = w * nch
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expected:
         raise ValueError("PNG pixel data length mismatch")
     arr = _png_unfilter(raw, h, stride, nch)
     if color == 3:                                     # palette -> RGB

@@ -159,3 +159,33 @@ def test_image_features_quarantines_truncated_jpeg(spark):
     got = {r["id"]: r for r in multimodal.image_features(df).collect()}
     assert got["ok"]["err"] is None and got["ok"]["mean_lum"] == 50.0
     assert got["cut"]["format"] == "jpg" and got["cut"]["err"] is not None
+
+
+def test_decode_bomb_guards():
+    """Untrusted-crawl hardening: header-declared giant dimensions and
+    over-expanding pixel streams raise ValueError before allocation."""
+    import struct
+    import zlib
+    # JPEG: 60000x60000 header
+    sof = (b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 11)
+           + bytes([8]) + struct.pack(">HH", 60000, 60000)
+           + bytes([1, 1, 0x11, 0]))
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(sof)
+    # PNG: small header, over-long (bomb-style) pixel stream
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * 100000)   # 2x2 gray needs 6 bytes
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        multimodal.decode_image(payload)
+    # PNG: giant header dims
+    ihdr_big = struct.pack(">IIBBBBB", 60000, 60000, 8, 0, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_big)
+               + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+               + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        multimodal.decode_image(payload)
