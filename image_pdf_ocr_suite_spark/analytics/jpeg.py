@@ -636,7 +636,7 @@ def _encode_block(writer, block, quant, pred, ci, dc_enc, ac_enc):
 
 
 def encode_jpeg(arr: np.ndarray, quant_luma: int = 1, quant_chroma: int = 1,
-                subsample: bool = False, restart_interval: int = 0) -> bytes:
+                subsample=False, restart_interval: int = 0) -> bytes:
     """Minimal baseline encoder for fixtures/tests: grayscale (HxW) or
     RGB (HxWx3), flat quant tables (value ``quant_*`` everywhere — 1 =
     lossless up to DCT rounding), optional 4:2:0 subsampling and DRI
@@ -653,8 +653,10 @@ def encode_jpeg(arr: np.ndarray, quant_luma: int = 1, quant_chroma: int = 1,
         cb = np.round(-0.168736 * r - 0.331264 * g + 0.5 * b)
         cr = np.round(0.5 * r - 0.418688 * g - 0.081312 * b)
         comps = [y - 128.0, cb, cr]
-        samp = [(2, 2), (1, 1), (1, 1)] if subsample else \
-            [(1, 1), (1, 1), (1, 1)]
+        # subsample: False = 4:4:4, True/"h2v2" = 4:2:0, "h2v1" = 4:2:2
+        luma = {False: (1, 1), True: (2, 2),
+                "h2v2": (2, 2), "h2v1": (2, 1)}[subsample]
+        samp = [luma, (1, 1), (1, 1)]
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)

@@ -189,3 +189,20 @@ def test_decode_bomb_guards():
                + chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         multimodal.decode_image(payload)
+
+
+def test_subsampled_422_decode_path():
+    """4:2:2 (h2v1) chroma: solid colors exact, random rasters within
+    luma tolerance on the Y channel (chroma is genuinely lossy)."""
+    arr = np.full((20, 24, 3), [200, 40, 90], dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, subsample="h2v1"))
+    assert out.shape == arr.shape
+    assert _maxdiff(out, arr) <= 1
+    rng = np.random.RandomState(13)
+    arr = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, subsample="h2v1"))
+    # valid stream with plausible content; chroma averaging is lossy, so
+    # only a loose luminance check applies
+    ly = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+    oy = 0.299 * out[..., 0] + 0.587 * out[..., 1] + 0.114 * out[..., 2]
+    assert np.abs(ly - oy).max() <= 16
