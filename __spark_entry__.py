@@ -567,6 +567,54 @@ def q_tpch_q1_exactstats(spark, sf_dir):
                  round4(F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")))
 
 
+def _cents(col):
+    """Exact integer scaling of a 2-decimal double: FLOOR(x*100+0.5) —
+    the identical IEEE op sequence on both engines (CLAUDE.md float
+    rules), so the resulting BIGINTs match bit-for-bit and their sums
+    are order-independent."""
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecasting-revenue-change: filter-only scan + one
+    global aggregate.  revenue = sum(extendedprice * discount) computed
+    over exact cent/basis-point integers (order-independent); the
+    headline double is one division of that exact integer."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return f.agg(
+        F.sum(_cents("l_extendedprice") * _cents("l_discount"))
+         .alias("revenue_scaled"),
+        F.count(F.lit(1)).alias("n_items")).select(
+        F.col("revenue_scaled"),
+        (F.col("revenue_scaled").cast("double") / F.lit(10000.0))
+        .alias("revenue"),
+        F.col("n_items"))
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping-priority: 3-way join (customer segment filter →
+    broadcast; orders date filter) + per-order revenue aggregate + top
+    10.  Revenue over exact integers as in q6."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-06-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-06-01").cast("timestamp"))
+    j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]))
+    rev = j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")))
+         .alias("revenue_scaled"))
+    return (rev.orderBy(F.desc("revenue_scaled"), F.asc("l_orderkey"))
+            .limit(10)
+            .select("l_orderkey", "o_orderdate", "revenue_scaled"))
+
+
 def q_reorder_explicit(spark, sf_dir):
     """§2.2 manual reorder (GUI move up/down, ocr_desktop_app.py:1055-1089):
     explicit ordering by a user-supplied index column."""
@@ -840,6 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_to_pdf_stats": q_images_to_pdf_stats,
         # -- never driver-checked before round 4 --
         "tpch_q1_exactstats": q_tpch_q1_exactstats,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q3": q_tpch_q3,
         "join_agg_segment": q_join_agg_segment,
         "anti_join_customers": q_anti_join_customers,
         "orders_rollup": q_orders_rollup,
@@ -1659,6 +1709,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id FROM keep""",
         "text_nfc": """
             SELECT doc_id, nfc_normalize(text) AS nfc_text FROM documents""",
+        "tpch_q6": """
+            WITH f AS (
+              SELECT CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS cents,
+                     CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT) AS bp
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-01-01'
+                AND l_discount >= 0.05 AND l_discount <= 0.07
+                AND l_quantity < 24)
+            SELECT CAST(SUM(cents*bp) AS BIGINT) AS revenue_scaled,
+                   CAST(SUM(cents*bp) AS DOUBLE) / 10000.0 AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM f""",
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                            * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)))
+                        AS BIGINT) AS revenue_scaled
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-06-01'
+              AND l_shipdate  > TIMESTAMP '1996-06-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue_scaled DESC, l_orderkey
+            LIMIT 10""",
         "tpch_q1_exactstats": f"""
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,
