@@ -615,6 +615,54 @@ def q_tpch_q3(spark, sf_dir):
             .select("l_orderkey", "o_orderdate", "revenue_scaled"))
 
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5-style local-supplier revenue: the full snowflake chain
+    region -> nation -> (customer, supplier) -> orders -> lineitem with
+    the co-nation condition (c_nationkey = s_nationkey), revenue over
+    exact integers.  All three dims (region/nation/supplier metadata)
+    broadcast; the fact-side shuffles are the orders and per-nation
+    aggregates only."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s_ = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    nr = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .join(c, o["o_custkey"] == c["c_custkey"])
+         .join(s_, li["l_suppkey"] == s_["s_suppkey"])
+         .where(F.col("c_nationkey") == F.col("s_nationkey"))
+         .join(F.broadcast(nr), F.col("s_nationkey") == nr["n_nationkey"]))
+    return (j.groupBy("n_name")
+            .agg(F.sum(_cents("l_extendedprice")
+                       * (F.lit(100) - _cents("l_discount")))
+                 .alias("revenue_scaled"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14-style promo revenue share: lineitem x part (broadcast),
+    conditional aggregate; the ratio divides two exact scaled integers
+    (one IEEE division, identical cross-engine)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    rev = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+         .alias("promo_scaled"),
+        F.sum(rev).alias("total_scaled"))
+    return agg.select(
+        "promo_scaled", "total_scaled",
+        (F.col("promo_scaled").cast("double")
+         / F.col("total_scaled").cast("double")).alias("promo_share"))
+
+
 def q_reorder_explicit(spark, sf_dir):
     """§2.2 manual reorder (GUI move up/down, ocr_desktop_app.py:1055-1089):
     explicit ordering by a user-supplied index column."""
@@ -890,6 +938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_exactstats": q_tpch_q1_exactstats,
         "tpch_q6": q_tpch_q6,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q14": q_tpch_q14,
         "join_agg_segment": q_join_agg_segment,
         "anti_join_customers": q_anti_join_customers,
         "orders_rollup": q_orders_rollup,
@@ -1736,6 +1786,39 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue_scaled DESC, l_orderkey
             LIMIT 10""",
+        "tpch_q5": """
+            SELECT n_name,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                            * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)))
+                        AS BIGINT) AS revenue_scaled,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey  = c_custkey
+            JOIN supplier ON l_suppkey  = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND c_nationkey = s_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name""",
+        "tpch_q14": """
+            WITH j AS (
+              SELECT p_type,
+                     CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                     * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))
+                         AS rev
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01')
+            SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                        AS BIGINT) AS promo_scaled,
+                   CAST(SUM(rev) AS BIGINT) AS total_scaled,
+                   CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                        AS DOUBLE)
+                       / CAST(SUM(rev) AS DOUBLE) AS promo_share
+            FROM j""",
         "tpch_q1_exactstats": f"""
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,
