@@ -967,7 +967,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_groups": q_simhash_groups,
         "simhash_near_pairs": q_simhash_near_pairs,
         "embedding_near_dup": q_embedding_near_dup,
-        "topk_cosine": q_topk_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_topk_from_index": q_ann_lsh_topk_from_index,
         "ivf_topk": q_ivf_topk,
@@ -980,7 +979,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "video_frames": q_video_frames,
         "audio_spectrum": q_audio_spectrum,
+        # ---- stable r1-r3 green rows, rotated past 50 as needed ----
         "winnow_fingerprints": q_winnow_fingerprints,
+        "topk_cosine": q_topk_cosine,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count_bpe": q_token_count_bpe,
