@@ -370,6 +370,29 @@ def ivf_write_index(df: DataFrame, path: str, n_lists: int = 16,
     return centroids
 
 
+def ivf_append_to_index(df: DataFrame, path: str,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        impl: str = "auto") -> None:
+    """Incremental index maintenance: assign NEW vectors with the
+    index's OWN quantizer (sidecar centroids — never retrain, or old
+    and new rows would disagree on list boundaries) and append their
+    parquet files into the existing ``ivf_list=`` partition directories.
+    The 100 TB story: ingest batches extend the index without a rebuild;
+    rebuild only when the quantizer drifts from the data distribution
+    (monitor per-list counts)."""
+    centroids = ivf_read_centroids(path)
+    if impl == "auto":
+        impl = ("catalyst"
+                if centroids.shape[0] * centroids.shape[1] <= 1024
+                else "numpy")
+    lists = (ivf_list_expr(vec_col, centroids) if impl == "catalyst"
+             else ivf_list_np(F.col(vec_col), centroids))
+    out = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col), lists.alias("ivf_list"))
+    out.write.mode("append").partitionBy("ivf_list").parquet(path)
+
+
 def ivf_read_centroids(path: str) -> np.ndarray:
     import json
     import os

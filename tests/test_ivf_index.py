@@ -138,3 +138,30 @@ def test_ivf_write_index_numpy_impl(spark, emb_df, tmp_path):
     served = similarity.ivf_topk_from_index(spark, path, qvec, k=10,
                                             n_probe=3).collect()
     assert len(served) == 10 and served[0]["vec_id"] == 0
+
+
+def test_ivf_append_extends_index(spark, emb_df, tmp_path):
+    """Incremental maintenance: appended vectors are assigned by the
+    index's own sidecar quantizer and become visible to probes; existing
+    rows are untouched."""
+    path = str(tmp_path / "ivf_inc")
+    first = emb_df.where("vec_id < 100")
+    similarity.ivf_write_index(first, path, n_lists=N_LISTS)
+    n0 = spark.read.parquet(path).count()
+    assert n0 == 100
+    more = emb_df.where("vec_id >= 100 and embedding is not null")
+    similarity.ivf_append_to_index(more, path)
+    full = spark.read.parquet(path)
+    assert full.count() == 200
+    # appended rows carry assignments from the ORIGINAL quantizer
+    cents = similarity.ivf_read_centroids(path)
+    sample = full.where("vec_id >= 100").limit(20).collect()
+    for r in sample:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        assert r["ivf_list"] == int((cents @ v).argmax())
+    # a probe over the extended index can return appended ids
+    qvec = [float(x) for x in
+            emb_df.where("vec_id = 150").head()["embedding"]]
+    got = [r["vec_id"] for r in similarity.ivf_topk_from_index(
+        spark, path, qvec, k=5, n_probe=3).collect()]
+    assert 150 in got
