@@ -43,6 +43,7 @@ def clean_corpus(pages: DataFrame, cfg: ExtractConfig | None = None,
                  decontam_test: DataFrame | None = None,
                  decontam_n: int = 13,
                  redact_pii: bool = False,
+                 max_rare_ratio: float | None = None,
                  run_id: str | None = None) -> tuple[DataFrame, DataFrame]:
     """pages -> (clean_docs, rejects).  clean_docs: (url, text, script_lang,
     n_tokens); rejects: (url, reason).
@@ -50,7 +51,10 @@ def clean_corpus(pages: DataFrame, cfg: ExtractConfig | None = None,
     ``decontam_test``: optional held-out evaluation set ``(url, text)`` —
     surviving documents sharing any ``decontam_n``-gram with it are
     rejected as ``contaminated`` (runs AFTER dedup so the n-gram probe
-    sees the smallest candidate set).  ``redact_pii=True`` rewrites the
+    sees the smallest candidate set).  ``max_rare_ratio``: optional OOV
+    ceiling — documents whose rare-token ratio (corpus frequency <
+    3, common vocab broadcast) exceeds it are rejected as hash-soup /
+    mojibake.  ``redact_pii=True`` rewrites the
     final text through the email/IP/phone redactor — last, so dedup
     digests are computed on the original bytes."""
     cfg = cfg or ExtractConfig()
@@ -107,6 +111,16 @@ def clean_corpus(pages: DataFrame, cfg: ExtractConfig | None = None,
             hits.select("url", F.lit("contaminated").alias("reason")))
         clean = clean.join(hits, "url", "left_anti")
 
+    if max_rare_ratio is not None:
+        soup = (corpusprep.rare_token_ratio(clean, text_col="text",
+                                            id_col="url")
+                .where(F.col("rare_ratio") > max_rare_ratio)
+                .select("url")
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        rejects = rejects.unionByName(
+            soup.select("url", F.lit("rare_token_soup").alias("reason")))
+        clean = clean.join(soup, "url", "left_anti")
+
     if redact_pii:
         red = corpusprep.redact_pii(clean, text_col="text", id_col="url") \
             .select("url", F.col("redacted_text").alias("text"))
@@ -129,6 +143,9 @@ def main(argv: list[str] | None = None) -> None:
                          "surviving docs sharing any n-gram are rejected")
     ap.add_argument("--decontam-n", type=int, default=13)
     ap.add_argument("--redact-pii", action="store_true")
+    ap.add_argument("--max-rare-ratio", type=float, default=None,
+                    help="reject documents whose rare-token (OOV) ratio "
+                         "exceeds this ceiling (hash soup / mojibake)")
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args(argv)
 
@@ -144,6 +161,7 @@ def main(argv: list[str] | None = None) -> None:
         decontam_test=decontam,
         decontam_n=args.decontam_n,
         redact_pii=args.redact_pii,
+        max_rare_ratio=args.max_rare_ratio,
         run_id=run_id)
     SnapshotTable(f"{args.output_root}/clean").append(clean, run_id=run_id)
     SnapshotTable(f"{args.output_root}/rejects").append(rejects, run_id=run_id)

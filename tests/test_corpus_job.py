@@ -132,3 +132,31 @@ def test_near_dup_verification_and_components(spark, neardup_pages):
     assert rej[u(108)] == "near_dup"
     # unrelated docs untouched
     assert {u(90), u(91), u(93)} <= kept
+
+
+def test_rare_token_ceiling_rejects_hash_soup(spark):
+    # 10 docs of shared natural-ish text + 2 docs of unique hash soup:
+    # soup tokens are corpus-hapax, so their rare ratio is ~1.0
+    rows = [(i, "alpha beta gamma delta " * 5, "ja") for i in range(10)]
+    # soup docs: every token is a corpus hapax (freq 1 < min_count 3);
+    # ids 12/13 avoid the doc_id%29 edge slots (5 empty, 11 encrypted)
+    rows += [(12, " ".join(f"qz{j}x{j * 7}" for j in range(20)), "ja"),
+             (13, " ".join(f"ab{j}c{j * 13}" for j in range(20)), "ja")]
+    pages = spark.createDataFrame(fixtures.build_pages_pdf(rows))
+    clean, rejects = clean_corpus(
+        pages, ExtractConfig(), min_tokens=5,
+        langs=("en", "ja", "unknown"), max_rare_ratio=0.5, run_id="soup")
+    soup_urls = {fixtures.url_for(12), fixtures.url_for(13)}
+    kept = {r["url"] for r in clean.collect()}
+    reasons = {r["url"]: r["reason"] for r in rejects.collect()
+               if r["url"] in soup_urls}
+    # hash-soup docs rejected with the dedicated reason, nothing else
+    assert not (kept & soup_urls)
+    assert set(reasons.values()) <= {"rare_token_soup", "exact_dup",
+                                     "near_dup"}
+    assert "rare_token_soup" in reasons.values()
+    # every url still accounted exactly once
+    all_urls = {fixtures.url_for(i) for i in range(10)} | soup_urls
+    rej_urls = {r["url"] for r in rejects.collect()}
+    assert kept | rej_urls >= {u for u in all_urls} - set()
+    assert not kept & rej_urls
