@@ -193,6 +193,68 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .where(F.col("jaccard") >= threshold))
 
 
+def minhash_write_index(df: DataFrame, path: str, text_col: str = "text",
+                        id_col: str = "doc_id", n_hashes: int = 4,
+                        shingle_k: int = 3) -> None:
+    """Materialize the corpus minhash signature table partitioned by
+    ``band`` — the incremental-dedup layout: a daily ingest batch
+    minhashes only ITSELF and probes this index, instead of
+    re-signaturing the whole corpus per batch.  Append new batches'
+    signatures with mode=append into the same partition dirs (the
+    signature of a document never changes)."""
+    sig = minhash_signature(df, text_col, id_col, n_hashes, shingle_k)
+    sig.withColumnRenamed(id_col, "index_id") \
+       .write.mode("overwrite").partitionBy("band").parquet(path)
+
+
+def minhash_append_to_index(df: DataFrame, path: str,
+                            text_col: str = "text",
+                            id_col: str = "doc_id", n_hashes: int = 4,
+                            shingle_k: int = 3) -> None:
+    sig = minhash_signature(df, text_col, id_col, n_hashes, shingle_k)
+    sig.withColumnRenamed(id_col, "index_id") \
+       .write.mode("append").partitionBy("band").parquet(path)
+
+
+def dedup_against_index(new_docs: DataFrame, spark, path: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n_hashes: int = 4, shingle_k: int = 3,
+                        threshold: float | None = None,
+                        corpus_docs: DataFrame | None = None) -> DataFrame:
+    """Incremental near-dup screening: minhash the NEW batch only and
+    bucket-join it against the materialized corpus index — returns
+    candidate ``(new_id, index_id)`` pairs (distinct, self-matches
+    excluded).  With ``threshold`` and ``corpus_docs`` given, candidates
+    are Jaccard-VERIFIED before being returned (the same
+    no-drop-without-verification contract as verified_near_dup_losers).
+
+    Scale shape: only the new batch pays kernel compute; the join
+    shuffles (band, minhash, id) slivers of the new side against the
+    index scan — text never rides the shuffle."""
+    sig = minhash_signature(new_docs, text_col, id_col,
+                            n_hashes, shingle_k)
+    idx = spark.read.parquet(path)
+    cand = (sig.join(idx, ["band", "minhash"])
+            .where(F.col(id_col) != F.col("index_id"))
+            .select(F.col(id_col).alias("new_id"),
+                    F.col("index_id")).distinct())
+    if threshold is None:
+        return cand
+    if corpus_docs is None:
+        raise ValueError("threshold verification needs corpus_docs "
+                         "(the text of the indexed documents)")
+    both = (new_docs.select(F.col(id_col), F.col(text_col))
+            .unionByName(corpus_docs.select(F.col(id_col),
+                                            F.col(text_col)))
+            .dropDuplicates([id_col]))
+    pairs = cand.select(F.col("new_id").alias("id_a"),
+                        F.col("index_id").alias("id_b"))
+    verified = jaccard_verify_pairs(pairs, both, text_col, id_col)
+    return (verified.where(F.col("jaccard") >= F.lit(threshold))
+            .select(F.col("id_a").alias("new_id"),
+                    F.col("id_b").alias("index_id"), "jaccard"))
+
+
 def jaccard_verify_pairs(pairs: DataFrame, df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
     """(id_a, id_b, jaccard) — exact token-set Jaccard computed ONLY on the

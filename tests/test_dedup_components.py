@@ -85,3 +85,44 @@ def test_star_raises_on_round_exhaustion(spark):
     df = _pairs(spark, edges)
     with pytest.raises(dedup.ComponentsNotConverged):
         dedup.connected_components_star(df, max_iters=1)
+
+
+# -- incremental dedup against the materialized minhash index ------------
+
+
+def test_dedup_against_index_finds_known_dups(spark, tmp_path):
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps near the warm stove in the kitchen every single day")
+    corpus = spark.createDataFrame(
+        [(0, base), (1, base.replace("kitchen", "garden")),
+         (2, "completely different content about spark shuffle behavior")],
+        "doc_id long, text string")
+    path = str(tmp_path / "mh_index")
+    dedup.minhash_write_index(corpus, path)
+    # new batch: one exact dup of doc 0, one novel doc
+    new = spark.createDataFrame(
+        [(100, base), (101, "fresh novel text about adaptive execution")],
+        "doc_id long, text string")
+    cand = {(r["new_id"], r["index_id"]) for r in
+            dedup.dedup_against_index(new, spark, path).collect()}
+    assert (100, 0) in cand
+    assert not any(n == 101 for n, _ in cand)
+    # verified path: exact dup passes threshold, near-dup of 1 too
+    ver = {(r["new_id"], r["index_id"]): r["jaccard"] for r in
+           dedup.dedup_against_index(new, spark, path, threshold=0.8,
+                                     corpus_docs=corpus).collect()}
+    assert ver[(100, 0)] == 1.0
+    # appending the new batch makes IT findable by the next batch
+    dedup.minhash_append_to_index(new, path)
+    nxt = spark.createDataFrame([(200, base)], "doc_id long, text string")
+    cand2 = {(r["new_id"], r["index_id"]) for r in
+             dedup.dedup_against_index(nxt, spark, path).collect()}
+    assert (200, 0) in cand2 and (200, 100) in cand2
+
+
+def test_dedup_against_index_requires_corpus_for_verify(spark, tmp_path):
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    path = str(tmp_path / "mh2")
+    dedup.minhash_write_index(docs, path)
+    with pytest.raises(ValueError):
+        dedup.dedup_against_index(docs, spark, path, threshold=0.5)
