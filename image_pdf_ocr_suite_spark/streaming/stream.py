@@ -130,6 +130,71 @@ def dedup_within_watermark_batch(df: DataFrame, delay_sec: int,
     return ordered.mapInPandas(thin, schema=schema)
 
 
+ANCHOR_STATE_SCHEMA = "anchor long"
+THIN_OUTPUT_SCHEMA = "user_id bigint, ts timestamp, event_id bigint"
+
+
+def dedup_events_stream_exact(events_stream, delay_sec: int = 3600,
+                              watermark: str = "1 hour",
+                              key: str = "user_id"):
+    """STREAMING greedy anchor thinning — the ``applyInPandasWithState``
+    twin of :func:`dedup_within_watermark_batch`, with the EXACT anchor
+    semantics (state timestamp never renewed by duplicates) rather than
+    ``dropDuplicatesWithinWatermark``'s per-key first-only state.
+
+    Per-key state is ONE anchor timestamp; an event is emitted iff
+    strictly more than ``delay_sec`` after the stored anchor (then
+    becomes the anchor).  Within a micro-batch events sort by
+    (ts, event_id), so an event-time-ordered stream converges to the
+    batch replay row-for-row.  The event-time timeout expires anchors
+    once the watermark passes anchor + delay — semantics-preserving for
+    in-watermark arrivals (anything later is > delay past the anchor
+    and would be kept anyway), which keeps state bounded at crawl
+    scale."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    delay_us = int(delay_sec) * 1_000_000
+
+    def fn(keyv, pdfs, state):
+        import pandas as pd
+        (uid,) = keyv
+        if state.hasTimedOut:
+            state.remove()
+        else:
+            events = []
+            for pdf in pdfs:
+                for t, eid in zip(pd.to_datetime(pdf["ts"]),
+                                  pdf["event_id"]):
+                    events.append((int(t.value // 1000), int(eid)))
+            events.sort()
+            anchor = state.get[0] if state.exists else None
+            kept = []
+            for t, eid in events:
+                if anchor is None or t > anchor + delay_us:
+                    kept.append((t, eid))
+                    anchor = t
+            if anchor is not None:
+                state.update((anchor,))
+                state.setTimeoutTimestamp((anchor + delay_us) // 1000)
+            if kept:
+                out = pd.DataFrame(kept, columns=["t", "event_id"])
+                yield pd.DataFrame({
+                    "user_id": uid,
+                    "ts": pd.to_datetime(out["t"], unit="us"),
+                    "event_id": out["event_id"],
+                })
+
+    return (events_stream
+            .withWatermark("ts", watermark)
+            .groupBy(key)
+            .applyInPandasWithState(
+                fn,
+                outputStructType=THIN_OUTPUT_SCHEMA,
+                stateStructType=ANCHOR_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
 def read_pages_stream(spark: SparkSession, input_dir: str,
                       max_files_per_trigger: int = 8) -> DataFrame:
     return (spark.readStream.schema(PAGES_SCHEMA)

@@ -200,3 +200,47 @@ def test_dedup_within_watermark_batch_semantics(spark):
     kept = sorted(r["event_id"] for r in
                   dedup_within_watermark_batch(df, delay_sec=10).collect())
     assert kept == [100, 102, 200, 300, 401]
+
+
+def test_streaming_anchor_thinning_matches_batch_replay(spark, tmp_path):
+    """dedup_events_stream_exact over event-time-ordered micro-batches
+    emits exactly the batch replay's kept set (greedy anchor semantics,
+    state never renewed by duplicates)."""
+    import datetime as dt
+
+    from image_pdf_ocr_suite_spark.streaming.stream import (
+        dedup_events_stream_exact, dedup_within_watermark_batch)
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    batches = [
+        # user 1: anchors at 0 and 25 (10 dup, 20 kept? no: 20-0>10 kept,
+        # 25-20 dup); user 2 single
+        [(1, t0, 100), (1, t0 + 10 * s, 101), (2, t0, 200)],
+        [(1, t0 + 20 * s, 102), (1, t0 + 25 * s, 103)],
+        # later watermark-advancing traffic
+        [(3, t0 + dt.timedelta(hours=5), 300)],
+        [(4, t0 + dt.timedelta(hours=6), 400)],
+    ]
+    input_dir = str(tmp_path / "in")
+    for b in batches:
+        spark.createDataFrame(
+            b, "user_id long, ts timestamp, event_id long") \
+            .coalesce(1).write.mode("append").parquet(input_dir)
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp, event_id long")
+              .option("maxFilesPerTrigger", "1").parquet(input_dir))
+    q = (dedup_events_stream_exact(stream, delay_sec=10, watermark="1 hour")
+         .writeStream.format("memory").queryName("thinned")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.awaitTermination(180)
+    streamed = sorted(r["event_id"] for r in
+                      spark.sql("select * from thinned").collect())
+    all_rows = [r for b in batches for r in b]
+    batch_df = spark.createDataFrame(
+        all_rows, "user_id long, ts timestamp, event_id long")
+    replay = sorted(r["event_id"] for r in
+                    dedup_within_watermark_batch(
+                        batch_df, delay_sec=10).collect())
+    assert streamed == replay == [100, 102, 200, 300, 400]
