@@ -245,3 +245,47 @@ def test_progressive_equals_baseline_any_shape(w, h, gray, seed):
     prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(arr))
     base = jpeg.decode_jpeg(jpeg.encode_jpeg(arr))
     assert (prog == base).all()
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 500)),
+                min_size=1, max_size=40),
+       st.lists(st.tuples(st.integers(0, 3), st.integers(0, 500),
+                          st.integers(0, 99)),
+                min_size=1, max_size=25),
+       st.sampled_from([7.0, 60.0, 1000.0]))
+def test_asof_bucketed_equals_plain_reference(left_rows, right_rows, width):
+    """Bucketed as-of must equal the plain per-key backward search for
+    ANY data — driver-side reference replica of both plans' contract
+    (the Spark-level equivalence is pinned separately in test_asof)."""
+    # unique right (k, ts): the operator's caller contract
+    seen, uniq = set(), {}
+    for k, ts, v in right_rows:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            uniq.setdefault(k, []).append((ts, float(v)))
+    for lst in uniq.values():
+        lst.sort()
+
+    def plain(k, t):
+        best = None
+        for ts, v in uniq.get(k, []):
+            if ts <= t:
+                best = v
+        return best
+
+    def bucketed(k, t):
+        # within-bucket backward search, else latest tail of any
+        # earlier bucket — the same decomposition asof.py materializes
+        b = int(t // width)
+        cands = [(ts, v) for ts, v in uniq.get(k, [])
+                 if ts <= t and int(ts // width) == b]
+        if cands:
+            return cands[-1][1]
+        tails = [(ts, v) for ts, v in uniq.get(k, [])
+                 if int(ts // width) < b]
+        return tails[-1][1] if tails else None
+
+    for k, t in left_rows:
+        assert plain(k, t) == bucketed(k, t), (k, t, width)
