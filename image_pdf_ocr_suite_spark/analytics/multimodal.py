@@ -3,9 +3,9 @@
 Images/audio/video are carried as ``binary`` columns with typed metadata
 extracted by Arrow-batched ``mapInPandas`` kernels.  Image decode is REAL
 for uncompressed BMP, binary PPM/PGM, 8-bit PNG (stdlib zlib +
-per-scanline unfiltering) and JPEG — baseline and progressive (full
-T.81 decoder, analytics/jpeg.py); WebP/AVIF, 16-bit/Adam7
-PNG and video frame sampling stay behind a clearly-marked
+per-scanline unfiltering, Adam7 de-interlacing) and JPEG — baseline
+and progressive (full T.81 decoder, analytics/jpeg.py); WebP/AVIF,
+16-bit PNG and video frame sampling stay behind a clearly-marked
 ``NotImplementedError`` seam where production binds
 Pillow/libvips/ffmpeg.  The Spark-side plumbing — schema, batch shape,
 partitioning, UDF signature — is real and tested end-to-end.
@@ -126,6 +126,10 @@ def _decode_ppm(payload: bytes):
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# Adam7 interlace passes: (x-offset, y-offset, x-stride, y-stride)
+ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
 
 def _png_unfilter(raw, h: int, stride: int, bpp: int):
     """Reverse the per-scanline PNG filters (spec §9: None/Sub/Up/Average/
@@ -172,9 +176,10 @@ def _png_unfilter(raw, h: int, stride: int, bpp: int):
 def _decode_png(payload: bytes):
     """PNG decode on the stdlib only (public spec, RFC 2083 / ISO 15948):
     chunk walk with CRC verification, zlib inflate, per-scanline
-    unfiltering, palette expansion.  Supports bit depth 8, color types
-    0/2/3/4/6, non-interlaced — the overwhelming bulk of web PNGs.
-    16-bit and Adam7 stay behind the NotImplementedError seam."""
+    unfiltering, palette expansion, Adam7 de-interlacing (each pass an
+    independently-filtered sub-image scattered back by the spec's
+    offsets/strides).  Supports bit depth 8, color types 0/2/3/4/6;
+    16-bit stays behind the NotImplementedError seam."""
     import struct
     import zlib as _z
 
@@ -204,9 +209,8 @@ def _decode_png(payload: bytes):
     w, h, depth, color, comp, filt, interlace = ihdr
     if w <= 0 or h <= 0 or comp != 0 or filt != 0:
         raise ValueError(f"invalid PNG header {w}x{h}/{comp}/{filt}")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported "
-                                  "(bind Pillow/libvips for interlaced)")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if depth != 8:
         raise NotImplementedError(f"only 8-bit PNG decodes here "
                                   f"(got depth={depth})")
@@ -217,7 +221,14 @@ def _decode_png(payload: bytes):
         raise ValueError(f"PNG dimensions {w}x{h} exceed the decode "
                          f"kernel's 64 MP bound")
     stride = w * nch
-    expected = h * (stride + 1)
+    if interlace == 0:
+        expected = h * (stride + 1)
+    else:
+        # Adam7: each pass is an independently-filtered sub-image
+        expected = sum(
+            ((w - x0 + dx - 1) // dx * nch + 1) * ((h - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in ADAM7
+            if (w - x0 + dx - 1) // dx > 0 and (h - y0 + dy - 1) // dy > 0)
     try:
         # bounded inflate: a crafted stream must not expand past the
         # header-declared size (zip-bomb guard for untrusted crawl data)
@@ -227,7 +238,27 @@ def _decode_png(payload: bytes):
         raise ValueError(f"corrupt PNG pixel stream: {exc}") from exc
     if len(raw) != expected:
         raise ValueError("PNG pixel data length mismatch")
-    arr = _png_unfilter(raw, h, stride, nch)
+    if interlace == 0:
+        arr = _png_unfilter(raw, h, stride, nch)
+    else:
+        import numpy as np
+        full = np.zeros((h, w * nch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * nch
+            size = ph * (pstride + 1)
+            sub = _png_unfilter(raw[off:off + size], ph, pstride, nch)
+            off += size
+            sub = sub.reshape(ph, pw, nch)
+            ys = np.arange(y0, h, dy)
+            xs = np.arange(x0, w, dx)
+            view = full.reshape(h, w, nch)
+            view[np.ix_(ys, xs)] = sub
+        arr = full
     if color == 3:                                     # palette -> RGB
         if plte is None or len(plte) % 3:
             raise ValueError("paletted PNG without a valid PLTE")

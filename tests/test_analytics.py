@@ -237,7 +237,8 @@ def test_png_decode_palette_and_errors():
     bad[20] ^= 0xFF
     with pytest.raises(ValueError):
         multimodal.decode_image(bytes(bad))
-    # 16-bit and interlaced stay behind the seam
+    # 16-bit stays behind the seam; a WRONG-SIZED interlaced stream is
+    # corrupt (Adam7 decodes for real — see test_png_adam7_interlaced)
     ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
     p16 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
            + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b""))
@@ -246,8 +247,44 @@ def test_png_decode_palette_and_errors():
     ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
     p_i = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i)
            + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         multimodal.decode_image(p_i)
+
+
+def _png_encode_adam7(arr):
+    """Test-side Adam7 writer: each pass is the sub-image at the spec's
+    offsets/strides, filter-0 scanlines, all passes in one zlib stream."""
+    import struct
+    import zlib
+
+    import numpy as np
+    h, w = arr.shape[:2]
+    nch = 1 if arr.ndim == 2 else arr.shape[2]
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    a3 = arr.reshape(h, w, nch)
+    raw = bytearray()
+    for x0, y0, dx, dy in multimodal.ADAM7:
+        sub = a3[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.astype(np.uint8).tobytes()
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+def test_png_adam7_interlaced():
+    rng = np.random.RandomState(17)
+    for shape in [(8, 8, 3), (13, 9), (5, 4, 4), (1, 1), (3, 17, 2)]:
+        arr = rng.randint(0, 256, shape, dtype=np.uint8)
+        got = multimodal.decode_image(_png_encode_adam7(arr))
+        assert got.shape == arr.shape and (got == arr).all(), shape
 
 
 def test_jaccard_verify_pairs(spark, docs):
