@@ -253,21 +253,34 @@ def pgm_solid(width: int, height: int, gray: int) -> bytes:
     return b"P5 %d %d 255\n" % (width, height) + bytes([gray]) * (width * height)
 
 
-def png_solid(width: int, height: int, *channels: int) -> bytes:
-    """8-bit non-interlaced PNG filled with one color — gray (color type
-    0) for one channel value, RGB (type 2) for three.  Filter-0
-    scanlines, stdlib zlib, CRC-correct chunks."""
+def png_solid(width: int, height: int, *channels: int,
+              interlaced: bool = False) -> bytes:
+    """8-bit PNG filled with one color — gray (color type 0) for one
+    channel value, RGB (type 2) for three; optionally Adam7-interlaced
+    (solid color → every pass is the same color, decode is exact either
+    way, so both variants share one oracle row).  Filter-0 scanlines,
+    stdlib zlib, CRC-correct chunks."""
     import struct
     import zlib
     color = 0 if len(channels) == 1 else 2
     px = bytes(channels)
-    raw = (b"\x00" + px * width) * height
+    if not interlaced:
+        raw = (b"\x00" + px * width) * height
+    else:
+        from image_pdf_ocr_suite_spark.analytics.multimodal import ADAM7
+        raw = b""
+        for x0, y0, dx, dy in ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                raw += (b"\x00" + px * pw) * ph
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (struct.pack(">I", len(body)) + ctype + body
                 + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0,
+                       1 if interlaced else 0)
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
 
@@ -349,7 +362,10 @@ def image_payload_for(doc_id: int) -> bytes | None:
     if m == 4:
         return pgm_solid(MEDIA_DIM, MEDIA_DIM, gray)
     if m == 5:
-        return png_solid(MEDIA_DIM, MEDIA_DIM, gray)
+        # doc_id % 16 == 13 -> Adam7-interlaced variant, same decoded
+        # pixels, same oracle row
+        return png_solid(MEDIA_DIM, MEDIA_DIM, gray,
+                         interlaced=doc_id % 16 == 13)
     if m == 6:
         return jpeg_solid_gray(MEDIA_DIM, MEDIA_DIM, gray,
                                progressive=doc_id % 16 == 14)
