@@ -3,9 +3,9 @@
 Images/audio/video are carried as ``binary`` columns with typed metadata
 extracted by Arrow-batched ``mapInPandas`` kernels.  Image decode is REAL
 for uncompressed BMP, binary PPM/PGM, 8-bit PNG (stdlib zlib +
-per-scanline unfiltering, Adam7 de-interlacing) and JPEG — baseline
-and progressive (full T.81 decoder, analytics/jpeg.py); WebP/AVIF,
-16-bit PNG and video frame sampling stay behind a clearly-marked
+per-scanline unfiltering, Adam7 de-interlacing, 8/16-bit) and JPEG —
+baseline and progressive (full T.81 decoder, analytics/jpeg.py);
+WebP/AVIF and video frame sampling stay behind a clearly-marked
 ``NotImplementedError`` seam where production binds
 Pillow/libvips/ffmpeg.  The Spark-side plumbing — schema, batch shape,
 partitioning, UDF signature — is real and tested end-to-end.
@@ -85,7 +85,8 @@ def _decode_bmp(payload: bytes):
 
 
 def _decode_ppm(payload: bytes):
-    """Binary PPM (P6, RGB) / PGM (P5, grayscale), maxval <= 255."""
+    """Binary PPM (P6, RGB) / PGM (P5, grayscale); 16-bit maxvals decode
+    via the big-endian high byte (standard 8-bit presentation)."""
     import numpy as np
     magic = payload[:2]
     fields: list[int] = []
@@ -115,11 +116,16 @@ def _decode_ppm(payload: bytes):
     width, height, maxval = fields
     if width <= 0 or height <= 0 or maxval <= 0:
         raise ValueError(f"invalid PNM dimensions {width}x{height}/{maxval}")
-    if maxval > 255:
-        raise NotImplementedError("16-bit PNM not supported")
+    if maxval > 65535:
+        raise ValueError(f"invalid PNM maxval {maxval}")
     nch = 3 if magic == b"P6" else 1
-    arr = np.frombuffer(payload, dtype=np.uint8,
-                        count=width * height * nch, offset=i)
+    if maxval > 255:                          # 16-bit: big-endian samples
+        arr = np.frombuffer(payload, dtype=np.uint8,
+                            count=width * height * nch * 2, offset=i)
+        arr = arr.reshape(-1, 2)[:, 0]        # high byte: 8-bit view
+    else:
+        arr = np.frombuffer(payload, dtype=np.uint8,
+                            count=width * height * nch, offset=i)
     return arr.reshape(height, width, 3).copy() if nch == 3 \
         else arr.reshape(height, width).copy()
 
@@ -178,8 +184,8 @@ def _decode_png(payload: bytes):
     chunk walk with CRC verification, zlib inflate, per-scanline
     unfiltering, palette expansion, Adam7 de-interlacing (each pass an
     independently-filtered sub-image scattered back by the spec's
-    offsets/strides).  Supports bit depth 8, color types 0/2/3/4/6;
-    16-bit stays behind the NotImplementedError seam."""
+    offsets/strides).  Supports bit depths 8 and 16 (16-bit presents
+    the high byte — the standard 8-bit view), color types 0/2/3/4/6."""
     import struct
     import zlib as _z
 
@@ -211,22 +217,26 @@ def _decode_png(payload: bytes):
         raise ValueError(f"invalid PNG header {w}x{h}/{comp}/{filt}")
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
-    if depth != 8:
-        raise NotImplementedError(f"only 8-bit PNG decodes here "
+    if depth not in (8, 16):
+        raise NotImplementedError(f"only 8/16-bit PNG decodes here "
                                   f"(got depth={depth})")
+    if depth == 16 and color == 3:
+        raise ValueError("PNG palette entries are always 8-bit")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if nch is None:
         raise ValueError(f"invalid PNG color type {color}")
     if w * h > 64_000_000:
         raise ValueError(f"PNG dimensions {w}x{h} exceed the decode "
                          f"kernel's 64 MP bound")
-    stride = w * nch
+    sampw = depth // 8                                 # bytes per sample
+    stride = w * nch * sampw
     if interlace == 0:
         expected = h * (stride + 1)
     else:
         # Adam7: each pass is an independently-filtered sub-image
         expected = sum(
-            ((w - x0 + dx - 1) // dx * nch + 1) * ((h - y0 + dy - 1) // dy)
+            ((w - x0 + dx - 1) // dx * nch * sampw + 1)
+            * ((h - y0 + dy - 1) // dy)
             for x0, y0, dx, dy in ADAM7
             if (w - x0 + dx - 1) // dx > 0 and (h - y0 + dy - 1) // dy > 0)
     try:
@@ -239,7 +249,10 @@ def _decode_png(payload: bytes):
     if len(raw) != expected:
         raise ValueError("PNG pixel data length mismatch")
     if interlace == 0:
-        arr = _png_unfilter(raw, h, stride, nch)
+        arr = _png_unfilter(raw, h, stride, nch * sampw)
+        if depth == 16:
+            # high byte == value >> 8: the standard 8-bit presentation
+            arr = arr.reshape(h, w * nch, 2)[:, :, 0].copy()
     else:
         import numpy as np
         full = np.zeros((h, w * nch), dtype=np.uint8)
@@ -249,10 +262,13 @@ def _decode_png(payload: bytes):
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            pstride = pw * nch
+            pstride = pw * nch * sampw
             size = ph * (pstride + 1)
-            sub = _png_unfilter(raw[off:off + size], ph, pstride, nch)
+            sub = _png_unfilter(raw[off:off + size], ph, pstride,
+                                nch * sampw)
             off += size
+            if depth == 16:
+                sub = sub.reshape(ph, pw * nch, 2)[:, :, 0]
             sub = sub.reshape(ph, pw, nch)
             ys = np.arange(y0, h, dy)
             xs = np.arange(x0, w, dx)

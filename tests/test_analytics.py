@@ -237,13 +237,15 @@ def test_png_decode_palette_and_errors():
     bad[20] ^= 0xFF
     with pytest.raises(ValueError):
         multimodal.decode_image(bytes(bad))
-    # 16-bit stays behind the seam; a WRONG-SIZED interlaced stream is
-    # corrupt (Adam7 decodes for real — see test_png_adam7_interlaced)
+    # 16-bit decodes via the high-byte presentation; a WRONG-SIZED
+    # interlaced stream is corrupt (Adam7 decodes for real)
     ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    # big-endian 16-bit samples 0xAB01 x4: high byte 0xAB
+    row16 = b"\x00" + b"\xab\x01" * 2
     p16 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
-           + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(p16)
+           + chunk(b"IDAT", zlib.compress(row16 * 2)) + chunk(b"IEND", b""))
+    g16 = multimodal.decode_image(p16)
+    assert g16.shape == (2, 2) and (g16 == 0xAB).all()
     ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
     p_i = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i)
            + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b""))
@@ -797,3 +799,29 @@ def test_audio_spectrum_pure_tone_and_edges(spark):
     assert got["b"]["err"] == "NotImplementedError"
     assert got["c"]["err"] == "null_payload"
     assert got["d"]["dominant_bin"] == 0         # constant signal -> DC
+
+
+def test_png_and_pnm_16bit_high_byte():
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    # 16-bit RGB PNG: per-pixel (0x10zz, 0x20zz, 0x30zz) -> (16, 32, 48)
+    px = b"\x10\xff\x20\x00\x30\x7f"
+    raw = (b"\x00" + px * 3) * 2
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 16, 2, 0, 0, 0)
+    p = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+         + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    got = multimodal.decode_image(p)
+    assert got.shape == (2, 3, 3) and (got == [0x10, 0x20, 0x30]).all()
+    # 16-bit PGM (maxval 65535, big-endian)
+    pgm = b"P5 2 2 65535\n" + b"\x40\x01" * 4
+    g = multimodal.decode_image(pgm)
+    assert g.shape == (2, 2) and (g == 0x40).all()
+    # 16-bit PPM
+    ppm = b"P6 2 1 65535\n" + b"\x11\x00\x22\x00\x33\x00" * 2
+    c = multimodal.decode_image(ppm)
+    assert c.shape == (1, 2, 3) and (c == [0x11, 0x22, 0x33]).all()
