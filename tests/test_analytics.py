@@ -825,3 +825,27 @@ def test_png_and_pnm_16bit_high_byte():
     ppm = b"P6 2 1 65535\n" + b"\x11\x00\x22\x00\x33\x00" * 2
     c = multimodal.decode_image(ppm)
     assert c.shape == (1, 2, 3) and (c == [0x11, 0x22, 0x33]).all()
+
+
+def test_png_16bit_adam7_combination():
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    vals = np.arange(9, dtype=np.uint16).reshape(3, 3) * 16
+    raw = bytearray()
+    for x0, y0, dx, dy in multimodal.ADAM7:
+        sub = vals[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + b"".join(
+                struct.pack(">H", (int(v) << 8) | 0x5A) for v in row)
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 16, 0, 0, 0, 1)
+    p = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+         + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    got = multimodal.decode_image(p)
+    assert got.shape == (3, 3) and (got == vals.astype(np.uint8)).all()
