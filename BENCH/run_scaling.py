@@ -73,31 +73,42 @@ def _materialize_pages(sf_dir: str, replicate: int) -> str:
     return path
 
 
-def _run_level(cpus: int, pages_path: str, runs: int = RUNS_PER_LEVEL) -> dict:
-    best = None
-    for _ in range(runs):
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "BENCH", "extract_once.py"),
-             str(cpus), pages_path],
-            capture_output=True, text=True, cwd=REPO, timeout=3600)
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        r = json.loads(line)
-        if best is None or r["sec"] < best["sec"]:
-            best = r
-    return best
+def _run_once(cpus: int, pages_path: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "BENCH", "extract_once.py"),
+         str(cpus), pages_path],
+        capture_output=True, text=True, cwd=REPO, timeout=3600)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
 
 
 def measure_corpus(sf_dir: str, replicate: int) -> dict:
+    """PAIRED measurement (round-4 methodology, CLAUDE.md): host
+    throughput drifts ±25-30% across hours, so efficiency — a ratio —
+    must take both legs inside ONE noise window.  Each pair runs the N
+    level then immediately the 4N level (fresh JVM each); the reported
+    efficiency is the MEDIAN of per-pair ratios, never a ratio of bests
+    drawn from different windows (that produced a spurious 0.705 on a
+    configuration whose paired ratios measure 0.83-0.94)."""
     pages_path = _materialize_pages(sf_dir, replicate)
-    r_n = _run_level(N_CPUS, pages_path)
-    r_4n = _run_level(N4_CPUS, pages_path)
-    efficiency = round(r_4n["docs_per_sec"] / (4.0 * r_n["docs_per_sec"]), 3)
+    pairs = []
+    for _ in range(RUNS_PER_LEVEL):
+        r_n = _run_once(N_CPUS, pages_path)
+        r_4n = _run_once(N4_CPUS, pages_path)
+        pairs.append({
+            "n": r_n, "n4": r_4n,
+            "eff": round(r_4n["docs_per_sec"]
+                         / (4.0 * r_n["docs_per_sec"]), 3)})
+    effs = sorted(p["eff"] for p in pairs)
+    efficiency = effs[len(effs) // 2]
+    best_pair = max(pairs, key=lambda p: p["n"]["docs_per_sec"])
     result = {
         "metric": "scaling_efficiency_N_to_4N",
         "value": efficiency,
         "unit": "ratio",
+        "pair_efficiencies": effs,
         "replicate": replicate,
-        "n": r_n, "n4": r_4n,
+        "n": best_pair["n"], "n4": best_pair["n4"],
         "sf_dir": sf_dir,
         "pass_0_8_gate": efficiency >= 0.8,
         "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
