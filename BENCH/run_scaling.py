@@ -141,9 +141,10 @@ def main() -> None:
 
 ## Extraction scaling run {results[-1]['measured_at']}
 
-Input `{sf_dir}`, fixed 64-way task graph, fresh JVM per level,
-best-of-{RUNS_PER_LEVEL} walls, slots <= cores/2 at both levels (see
-methodology above).
+Input `{sf_dir}`, fixed 64-way task graph, {RUNS_PER_LEVEL} interleaved
+pairs (N leg then 4N leg back-to-back, fresh JVM each — efficiency is
+the MEDIAN per-pair ratio; the table shows the fastest pair's legs),
+slots <= cores/2 at both levels (see methodology above).
 
 | corpus | level | cores | wall sec | docs/sec |
 |---|---|---|---|---|
