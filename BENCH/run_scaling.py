@@ -14,9 +14,11 @@ Methodology notes:
   BOTH levels leaves the JVM side uncontended at both levels — the same
   isolation a real cluster gets from executor sizing that reserves cores
   for the JVM.  The scaled variable is purely the worker count.
-- best-of-RUNS wall per level: the sandbox shows 1.5-2x run-to-run noise
-  from outside interference; minimum wall is the least-interfered
-  measurement.
+- PAIRED runs (SCALING_RUNS pairs): host throughput drifts ±25-30%
+  across hours, so each pair takes the N and 4N legs back-to-back in one
+  noise window and the reported efficiency is the median per-pair ratio
+  (CLAUDE.md round-4 measurement rule — ratios of bests from different
+  windows once produced a spurious sub-gate number).
 - Corpus sizes come from SCALING_REPLICATES (default "64", ~320k docs at
   sf0.1; pass "64,200" to add the ~1M-doc point): per-job fixed costs
   (stage scheduling, plan compilation, worker spin-up) are ~4-5 s
