@@ -230,7 +230,14 @@ def dedup_against_index(new_docs: DataFrame, spark, path: str,
 
     Scale shape: only the new batch pays kernel compute; the join
     shuffles (band, minhash, id) slivers of the new side against the
-    index scan — text never rides the shuffle."""
+    index scan — text never rides the shuffle.
+
+    Id contract: an equal id on both sides is treated as the SAME
+    document (the re-probe-after-append workflow) and excluded as a
+    self-match.  When a new-batch id collides with a *different* corpus
+    document's id, verification still scores each side against its own
+    text — the union is namespace-prefixed internally (ADVICE r4), never
+    deduped across the two id spaces."""
     sig = minhash_signature(new_docs, text_col, id_col,
                             n_hashes, shingle_k)
     idx = spark.read.parquet(path)
@@ -243,16 +250,27 @@ def dedup_against_index(new_docs: DataFrame, spark, path: str,
     if corpus_docs is None:
         raise ValueError("threshold verification needs corpus_docs "
                          "(the text of the indexed documents)")
-    both = (new_docs.select(F.col(id_col), F.col(text_col))
-            .unionByName(corpus_docs.select(F.col(id_col),
-                                            F.col(text_col)))
-            .dropDuplicates([id_col]))
-    pairs = cand.select(F.col("new_id").alias("id_a"),
-                        F.col("index_id").alias("id_b"))
+    # Disambiguate the two id namespaces before the union (ADVICE r4): if
+    # a new-batch id collided with a DIFFERENT corpus document's id, the
+    # old dropDuplicates([id_col]) picked an arbitrary text and silently
+    # mis-verified the candidate.  Prefixing keeps verification exact even
+    # when the namespaces overlap; the prefixes never leave this function.
+    both = (new_docs.select(F.concat(F.lit("n:"), F.col(id_col))
+                            .alias(id_col), F.col(text_col))
+            .unionByName(
+                corpus_docs.select(F.concat(F.lit("c:"), F.col(id_col))
+                                   .alias(id_col), F.col(text_col))))
+    pairs = cand.select(
+        F.concat(F.lit("n:"), F.col("new_id")).alias("id_a"),
+        F.concat(F.lit("c:"), F.col("index_id")).alias("id_b"))
+    id_type = dict(cand.dtypes)["new_id"]    # restore the caller's id dtype
     verified = jaccard_verify_pairs(pairs, both, text_col, id_col)
     return (verified.where(F.col("jaccard") >= F.lit(threshold))
-            .select(F.col("id_a").alias("new_id"),
-                    F.col("id_b").alias("index_id"), "jaccard"))
+            .select(F.substring("id_a", 3, 2 ** 30).cast(id_type)
+                    .alias("new_id"),
+                    F.substring("id_b", 3, 2 ** 30).cast(id_type)
+                    .alias("index_id"),
+                    "jaccard"))
 
 
 def jaccard_verify_pairs(pairs: DataFrame, df: DataFrame, text_col: str = "text",

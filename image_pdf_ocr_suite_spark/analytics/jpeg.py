@@ -291,6 +291,24 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 scan.append({**comp, "ci": ci, "dc": tt >> 4,
                              "ac": tt & 0xF})
             if not frame["progressive"]:
+                # Guard the quarantine contract (ADVICE r4): a legal
+                # non-interleaved multi-scan baseline file (each SOS covers
+                # a subset of the frame components) would otherwise decode
+                # only the first scan silently; and a single-component scan
+                # with h/v > 1 walks the component's raster block grid
+                # (T.81 A.2.2), not the interleaved MCU grid _decode_scan
+                # implements.  Bad/unsupported input must surface as an
+                # error, never as wrong pixels.
+                if ns < len(frame["comps"]):
+                    raise NotImplementedError(
+                        "non-interleaved baseline JPEG (scan covers "
+                        f"{ns}/{len(frame['comps'])} components) needs the "
+                        "per-component block-grid walk; codec binding seam")
+                if ns == 1 and (scan[0]["h"] > 1 or scan[0]["v"] > 1):
+                    raise NotImplementedError(
+                        "single-component baseline scan with sampling "
+                        "factors > 1 uses the component raster block grid "
+                        "(T.81 A.2.2), not the MCU grid; codec binding seam")
                 return _decode_scan(payload, pos + seglen, frame, scan, qt,
                                     huff_dc, huff_ac, restart_interval)
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]

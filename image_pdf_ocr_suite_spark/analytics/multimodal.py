@@ -120,12 +120,19 @@ def _decode_ppm(payload: bytes):
         raise ValueError(f"invalid PNM maxval {maxval}")
     nch = 3 if magic == b"P6" else 1
     if maxval > 255:                          # 16-bit: big-endian samples
-        arr = np.frombuffer(payload, dtype=np.uint8,
-                            count=width * height * nch * 2, offset=i)
-        arr = arr.reshape(-1, 2)[:, 0]        # high byte: 8-bit view
+        raw = np.frombuffer(payload, dtype=">u2",
+                            count=width * height * nch, offset=i)
+        # scale to the 8-bit view by maxval (ADVICE r4: the raw high byte
+        # is only correct for maxval=65535 — for e.g. maxval=1023 a sample
+        # of 999 would read as 3); round-half-up like the other kernels
+        arr = ((raw.astype(np.float64) * 255.0 / maxval) + 0.5) \
+            .astype(np.uint8)
     else:
         arr = np.frombuffer(payload, dtype=np.uint8,
                             count=width * height * nch, offset=i)
+        if maxval != 255:                     # sub-255 maxval: same scaling
+            arr = ((arr.astype(np.float64) * 255.0 / maxval) + 0.5) \
+                .astype(np.uint8)
     return arr.reshape(height, width, 3).copy() if nch == 3 \
         else arr.reshape(height, width).copy()
 

@@ -383,6 +383,11 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
     for t in query_terms:
         if t not in terms:
             terms.append(t)
+    if not terms:
+        # guard early (ADVICE r4): an empty term list would build
+        # contrib(0) against a nonexistent __tf_0 column and surface as
+        # an opaque AnalysisException at execution time
+        raise ValueError("query_terms must be non-empty")
     toks = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
                     lambda x: x != "")
 

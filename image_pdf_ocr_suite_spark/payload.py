@@ -43,6 +43,13 @@ class EncryptedPayloadError(PayloadError):
     (≈ reference PDFPasswordRemovalError, ocr.py:227-233)."""
 
 
+class EmptyDocumentError(PayloadError):
+    """Valid document with zero pages — peek_dims has no page-0 geometry
+    to report, but the payload itself is NOT corrupt (decode() returns an
+    empty Document for it).  Subclasses PayloadError so quarantine paths
+    that catch the base class keep working."""
+
+
 @dataclass
 class Word:
     """One ground-truth word box in Tesseract TSV shape (ocr.py:82-87).
@@ -178,7 +185,8 @@ def peek_dims(payload: bytes, password: str | None = None) -> tuple[int, int]:
 
     Raises the same taxonomy as :func:`decode` — ``PayloadError`` for
     non-SPDF/corrupt input, ``EncryptedPayloadError`` for missing/wrong
-    password.
+    password (including the stored+encrypted path, verified against the
+    JSON head), ``EmptyDocumentError`` for a valid zero-page document.
     """
     global _DIMS_RE
     if _DIMS_RE is None:
@@ -196,6 +204,11 @@ def peek_dims(payload: bytes, password: str | None = None) -> tuple[int, int]:
         body = _xor(body, password)
     if flags & FLAG_STORED:
         head = body[:160]
+        # the stored path has no zlib round-trip to catch a wrong XOR
+        # password — verify the decrypted head is a pages object so the
+        # taxonomy matches decode() (ADVICE r4)
+        if (flags & FLAG_ENCRYPTED) and not head.startswith(b'{"pages"'):
+            raise EncryptedPayloadError("wrong password")
     else:
         try:
             head = zlib.decompressobj().decompress(body, 160)
@@ -205,6 +218,11 @@ def peek_dims(payload: bytes, password: str | None = None) -> tuple[int, int]:
             raise PayloadError(f"corrupt SPDF body: {exc}") from exc
     m = _DIMS_RE.match(head)
     if m is None:
+        # a zero-page document ({"pages":[]}) is VALID for decode(); keep
+        # peek_dims' taxonomy aligned — it has no page 0, which is a
+        # caller-level condition, not payload corruption (ADVICE r4)
+        if head.startswith(b'{"pages":[]'):
+            raise EmptyDocumentError("document has no pages")
         raise PayloadError("SPDF body has no page-0 geometry header")
     return int(m.group(3)), int(m.group(1))
 

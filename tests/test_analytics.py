@@ -849,3 +849,29 @@ def test_png_16bit_adam7_combination():
          + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
     got = multimodal.decode_image(p)
     assert got.shape == (3, 3) and (got == vals.astype(np.uint8)).all()
+
+
+def test_pnm_nonstandard_maxval_scales():
+    """ADVICE r4: for 255 < maxval < 65535 the raw high byte is wrong
+    (999/1023 would read as 3); samples must scale by 255/maxval.  Sub-255
+    maxvals had the analogous unscaled-presentation bug."""
+    # 16-bit with maxval 1023: value 999 -> round(999*255/1023) = 249
+    pgm = b"P5 2 1 1023\n" + (999).to_bytes(2, "big") + (0).to_bytes(2, "big")
+    got = multimodal.decode_image(pgm)
+    assert got.tolist() == [[249, 0]]
+    # full-scale stays full-scale at any maxval
+    pgm = b"P5 1 1 1023\n" + (1023).to_bytes(2, "big")
+    assert multimodal.decode_image(pgm).tolist() == [[255]]
+    # 8-bit sub-255 maxval: 15/15 -> 255, 7/15 -> round(119) = 119
+    pgm = b"P5 2 1 15\n" + bytes([15, 7])
+    assert multimodal.decode_image(pgm).tolist() == [[255, 119]]
+    # maxval 65535 keeps matching the documented behavior (test above)
+    pgm = b"P5 1 1 65535\n" + b"\x40\x01"
+    assert multimodal.decode_image(pgm).tolist() == [[64]]
+
+
+def test_bm25_empty_query_terms_raises(spark):
+    from image_pdf_ocr_suite_spark.analytics import text as textops
+    df = spark.createDataFrame([(0, "a b")], "id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        textops.bm25_scores(df, [])

@@ -126,3 +126,34 @@ def test_dedup_against_index_requires_corpus_for_verify(spark, tmp_path):
     dedup.minhash_write_index(docs, path)
     with pytest.raises(ValueError):
         dedup.dedup_against_index(docs, spark, path, threshold=0.5)
+
+
+def test_dedup_against_index_id_collision_verifies_correct_text(spark, tmp_path):
+    """ADVICE r4: when a new-batch id collides with a DIFFERENT corpus
+    document's id, verification must still run against the right text on
+    each side (the old union+dropDuplicates picked one arbitrarily)."""
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps near the warm stove in the kitchen every single day")
+    # corpus doc 3 is the near-dup target; corpus doc 7 is UNRELATED but
+    # its id collides with the new batch's id 7.  Under the old
+    # union+dropDuplicates([doc_id]) the verification of pair (7 -> 3)
+    # could resolve id 7 to corpus-7's unrelated text and mis-score (or
+    # silently drop) a genuine near-dup.
+    corpus = spark.createDataFrame(
+        [(3, base),
+         (7, "unrelated words entirely about jvm gc tuning and the "
+             "runtime stack nothing shared with the probe text at all")],
+        "doc_id long, text string")
+    path = str(tmp_path / "mh_collide")
+    dedup.minhash_write_index(corpus, path)
+    new = spark.createDataFrame(
+        [(7, base + " with a tiny tail")], "doc_id long, text string")
+    ver = {(r["new_id"], r["index_id"]): r["jaccard"] for r in
+           dedup.dedup_against_index(new, spark, path, threshold=0.5,
+                                     corpus_docs=corpus).collect()}
+    # the genuine near-dup pair survives with the RIGHT jaccard: base has
+    # 19 distinct tokens, the new text adds 4 -> 19/23
+    assert (7, 3) in ver
+    assert abs(ver[(7, 3)] - 19 / 23) < 1e-12
+    # id dtype must round-trip through the namespace prefixes
+    assert all(isinstance(n, int) and isinstance(i, int) for n, i in ver)

@@ -206,3 +206,36 @@ def test_subsampled_422_decode_path():
     ly = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
     oy = 0.299 * out[..., 0] + 0.587 * out[..., 1] + 0.114 * out[..., 2]
     assert np.abs(ly - oy).max() <= 16
+
+
+def test_baseline_multiscan_and_oversampled_single_scan_are_seams():
+    """ADVICE r4: a legal non-interleaved multi-scan baseline JPEG (each
+    SOS covers a subset of the frame components) must surface as
+    NotImplementedError, never silently decode only the first scan; a
+    single-component baseline scan with h/v > 1 uses the component raster
+    block grid (T.81 A.2.2) the interleaved walk doesn't implement."""
+    import struct
+
+    def sof0(comps):
+        body = bytes([8]) + struct.pack(">HH", 16, 16) + bytes([len(comps)])
+        for cid, hv in comps:
+            body += bytes([cid, hv, 0])
+        return b"\xff\xc0" + struct.pack(">H", len(body) + 2) + body
+
+    def sos(comp_ids):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([0, 63, 0])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    # 3-component frame, first SOS covers only component 1
+    multiscan = (b"\xff\xd8" + sof0([(1, 0x22), (2, 0x11), (3, 0x11)])
+                 + sos([1]))
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(multiscan)
+    # 1-component frame whose only component has h=v=2: the scan walks
+    # the raster block grid, not the 2x2 MCU grid
+    oversampled = b"\xff\xd8" + sof0([(1, 0x22)]) + sos([1])
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(oversampled)

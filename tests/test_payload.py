@@ -97,5 +97,15 @@ def test_peek_dims_error_taxonomy():
         spdf.peek_dims(b"whatever")
     with pytest.raises(spdf.PayloadError):
         spdf.peek_dims(b"SPDF" + bytes([1, 0]) + b"nonsense")
-    with pytest.raises(spdf.PayloadError):
+    # zero-page document is VALID for decode() — peek_dims surfaces the
+    # dedicated subclass, not generic corruption (ADVICE r4)
+    with pytest.raises(spdf.EmptyDocumentError):
         spdf.peek_dims(spdf.encode(Document(pages=[])))
+    with pytest.raises(spdf.EmptyDocumentError):
+        spdf.peek_dims(spdf.encode(Document(pages=[]), level=0))
+    # stored+encrypted with a wrong password must be EncryptedPayloadError
+    # even though the stored path has no zlib round-trip (ADVICE r4)
+    stored_enc = spdf.encode(doc, password="pw", level=0)
+    assert spdf.peek_dims(stored_enc, password="pw") == (100, 60)
+    with pytest.raises(spdf.EncryptedPayloadError):
+        spdf.peek_dims(stored_enc, password="wrong")
