@@ -2,7 +2,8 @@
 
 Prints ONE JSON line:
   {"metric": "extract_docs_per_sec", "value": N, "unit": "docs/sec",
-   "queries": {<name>: sec, ...}, "sf": <sf>}
+   "queries": {<name>: sec, ...}, "reps": {<name>: [sec, ...]},
+   "load1": {<name>: load_avg}, "sf": <sf>}
 
 The headline metric is end-to-end extraction throughput (scan → payload
 synthesis → decode/explode → adaptive OCR → assembly → noop sink) in
@@ -12,6 +13,14 @@ other operator families (dedup, similarity, sessionize, relational).
 Each timed query is forced with a noop-format write (full evaluation, no
 driver collect).  Scaling runs (BENCH/run_scaling.py) execute this same
 module at two parallelism levels.
+
+Throttle defense (round 5): the sandbox host throttles unpredictably (up
+to 3× — BENCH_r04 recorded a spurious 2.8× "regression" that a quiet-host
+rerun of the same binaries refuted).  Each leg therefore runs
+best-of-$SPARK_GRAFT_BENCH_REPS (default 3) WITHIN one process, and the
+JSON carries the per-rep arrays plus the 1-minute load average sampled at
+each leg so the artifact self-adjudicates: wide rep spread or high load1
+⇒ read the min, not the mean, and distrust cross-run comparisons.
 """
 
 from __future__ import annotations
@@ -33,16 +42,36 @@ import __spark_entry__ as entrymod  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+# per-leg telemetry, filled by time_query
+REP_TIMES: dict[str, list[float]] = {}
+LOAD1: dict[str, float] = {}
 
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def time_query(fn) -> float:
-    t0 = time.perf_counter()
-    fn()
-    return round(time.perf_counter() - t0, 3)
+def time_query(fn, name: str | None = None, reps: int = REPS) -> float:
+    """Best-of-``reps`` wall time, all reps inside this one process.
+
+    A single-shot timing on this host conflates the plan with whatever
+    the hypervisor is doing that second; the min over consecutive reps is
+    the least-throttled observation of the same physical plan.  Per-rep
+    times and the load average land in REP_TIMES/LOAD1 for the JSON."""
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(round(time.perf_counter() - t0, 3))
+    if name is not None:
+        REP_TIMES[name] = times
+        try:
+            LOAD1[name] = round(os.getloadavg()[0], 2)
+        except OSError:
+            pass
+    return min(times)
 
 
 def main() -> None:
@@ -82,7 +111,7 @@ def main() -> None:
         res = extract_pages(pages_table, cfg, run_id="bench")
         _force(res.text)
         res.unpersist()
-    queries["ocr_extract"] = time_query(run_extract)
+    queries["ocr_extract"] = time_query(run_extract, "ocr_extract")
 
     # the production MULTI-OUTPUT shape (extract_job --mode all): ONE OCR
     # pass stages the kernel rows, text + spans both derive from the
@@ -103,7 +132,7 @@ def main() -> None:
         _force(assemble_documents(staged))
         _force(emit_spans(
             staged.where((F.col("kind") == "spdf") & (F.col("page") > 0)), cfg))
-    queries["ocr_all_staged"] = time_query(run_all_staged)
+    queries["ocr_all_staged"] = time_query(run_all_staged, "ocr_all_staged")
 
     def run_spans():
         # incremental spans over an already-staged table (no OCR re-run);
@@ -113,20 +142,20 @@ def main() -> None:
         staged = spark.read.parquet(staged_path)
         _force(emit_spans(
             staged.where((F.col("kind") == "spdf") & (F.col("page") > 0)), cfg))
-    queries["ocr_spans"] = time_query(run_spans)
+    queries["ocr_spans"] = time_query(run_spans, "ocr_spans")
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    queries["minhash_lsh"] = time_query(lambda: _force(dedup.lsh_buckets(docs)))
-    queries["exact_dedup"] = time_query(lambda: _force(dedup.exact_dedup(docs)))
-    queries["simhash"] = time_query(lambda: _force(dedup.simhash64(docs)))
+    queries["minhash_lsh"] = time_query(lambda: _force(dedup.lsh_buckets(docs)), "minhash_lsh")
+    queries["exact_dedup"] = time_query(lambda: _force(dedup.exact_dedup(docs)), "exact_dedup")
+    queries["simhash"] = time_query(lambda: _force(dedup.simhash64(docs)), "simhash")
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()[1]]
     queries["cosine_topk"] = time_query(
-        lambda: similarity.cosine_topk(emb, qvec, k=20).collect())
+        lambda: similarity.cosine_topk(emb, qvec, k=20).collect(), "cosine_topk")
     queries["ann_lsh_topk"] = time_query(
         lambda: similarity.lsh_cosine_topk(emb, qvec, k=20, n_planes=12,
-                                           max_hamming=3).collect())
+                                           max_hamming=3).collect(), "ann_lsh_topk")
 
     # materialize the P3 images input once (untimed) — the north-rule
     # input is a TABLE; the leg times the pipeline, not fixture synthesis
@@ -138,32 +167,32 @@ def main() -> None:
     images_table = spark.read.parquet(images_path)
     queries["images_to_pdf"] = time_query(
         lambda: _force(images_to_searchable_pdf(images_table, cfg)
-                       .select("group", "n_images", F.length("pdf"))))
+                       .select("group", "n_images", F.length("pdf"))), "images_to_pdf")
     queries["sessionize"] = time_query(
-        lambda: _force(entrymod.q_sessionize(spark, SF_DIR)))
+        lambda: _force(entrymod.q_sessionize(spark, SF_DIR)), "sessionize")
     queries["tpch_q1"] = time_query(
-        lambda: _force(entrymod.q_tpch_q1_exactstats(spark, SF_DIR)))
+        lambda: _force(entrymod.q_tpch_q1_exactstats(spark, SF_DIR)), "tpch_q1")
     queries["doc_assembly"] = time_query(
-        lambda: _force(entrymod.q_doc_assembly(spark, SF_DIR)))
+        lambda: _force(entrymod.q_doc_assembly(spark, SF_DIR)), "doc_assembly")
 
     # corpus-prep family (round 3): decontamination probe, cross-corpus
     # line dedup, context-window packing — the LM-pipeline hygiene legs
     queries["decontaminate"] = time_query(
-        lambda: _force(entrymod.q_decontaminate(spark, SF_DIR)))
+        lambda: _force(entrymod.q_decontaminate(spark, SF_DIR)), "decontaminate")
     queries["line_dedup"] = time_query(
-        lambda: _force(entrymod.q_line_dedup(spark, SF_DIR)))
+        lambda: _force(entrymod.q_line_dedup(spark, SF_DIR)), "line_dedup")
     queries["pack_chunks"] = time_query(
-        lambda: _force(entrymod.q_pack_chunks(spark, SF_DIR)))
+        lambda: _force(entrymod.q_pack_chunks(spark, SF_DIR)), "pack_chunks")
 
     # round-4 legs: watermark-dedup batch replay (stateful anchor
     # thinning), as-of join (union + last-non-null window), multimodal
     # feature extraction with the REAL codec decoders (BMP/PNG/JPEG)
     queries["watermark_dedup"] = time_query(
-        lambda: _force(entrymod.q_watermark_dedup(spark, SF_DIR)))
+        lambda: _force(entrymod.q_watermark_dedup(spark, SF_DIR)), "watermark_dedup")
     queries["asof_join"] = time_query(
-        lambda: _force(entrymod.q_asof_join_views(spark, SF_DIR)))
+        lambda: _force(entrymod.q_asof_join_views(spark, SF_DIR)), "asof_join")
     queries["image_features"] = time_query(
-        lambda: _force(entrymod.q_image_features(spark, SF_DIR)))
+        lambda: _force(entrymod.q_image_features(spark, SF_DIR)), "image_features")
 
     docs_per_sec = round(n_docs / queries["ocr_extract"], 2)
     print(json.dumps({
@@ -171,10 +200,13 @@ def main() -> None:
         "value": docs_per_sec,
         "unit": "docs/sec",
         "queries": queries,
+        "reps": REP_TIMES,
+        "load1": LOAD1,
+        "bench_reps": REPS,
         "sf": sf,
         "n_docs": n_docs,
         "cpus": CPUS,
-        "total_sec": round(sum(queries.values()), 3),
+        "total_sec": round(sum(sum(v) for v in REP_TIMES.values()), 3),
     }))
     spark.stop()
 
