@@ -97,7 +97,9 @@ def q_searchable_pdf_stats(spark, sf_dir):
     — trailer → xref → objects → streams, per the PDF 1.4 spec, no writer
     internals) and return (url, n_pages, n_text_ops).  Oracle = golden
     facts from the payload page count + the span-model word list filtered
-    to WinAnsi-encodable text.  A wrong page tree, a lost word, or a
+    to BMP-encodable text (cp1252 words on the WinAnsi /F1 layer, other
+    BMP words — the reference's Japanese case — on the Identity-H /F2
+    layer with a ToUnicode CMap).  A wrong page tree, a lost word, or a
     visible (non-``3 Tr``) text layer all hash-mismatch."""
     from image_pdf_ocr_suite_spark.goldens import SEARCHABLE_LIMIT
     from image_pdf_ocr_suite_spark.kernels.pdfsink import emit_searchable_pdfs

@@ -59,14 +59,13 @@ GOLDEN_QUERIES = ("ocr_extract_text", "ocr_spans", "ocr_quarantine",
 SEARCHABLE_LIMIT = 100
 
 
-def _cp1252_ok(s: str) -> bool:
-    """The PDF sink's documented per-word encode-skip (WinAnsi font;
-    ≈ the reference's per-word RuntimeError swallow, ocr.py:509-511)."""
-    try:
-        s.encode("cp1252")
-        return True
-    except UnicodeEncodeError:
-        return False
+def _renderable(s: str) -> bool:
+    """The PDF sink's documented per-word encode-skip (round 5): cp1252
+    words go to the WinAnsi /F1 layer, every OTHER BMP word — the
+    reference's Japanese use case — to the Identity-H /F2 layer; only
+    non-BMP text (code points > U+FFFF) is skipped, mirroring the
+    reference's per-word RuntimeError swallow (ocr.py:509-511)."""
+    return all(ord(c) <= 0xFFFF for c in s)
 
 
 def golden_html_main_text(doc_id: int, text: str) -> str:
@@ -159,14 +158,16 @@ IMAGES_LIMIT, IMAGES_GROUPS = 80, 8
 def _rendered_word_count(frame: pd.DataFrame, cfg: ExtractConfig) -> int:
     """Words the P2/P3 invisible text layer must contain, per the
     reference semantics (conf>=50 filter, strip-empty skip, NaN
-    coordinate guard, ocr.py:487-511) plus the WinAnsi encode-skip."""
+    coordinate guard, ocr.py:487-511) plus the non-BMP encode-skip
+    (cp1252 words render via /F1, other BMP words via the Identity-H
+    /F2 CJK layer)."""
     filtered = refmodel.filter_frame_by_confidence(
         frame, cfg.render_conf_threshold)
     filtered = filtered[filtered["level"] == 5]
     n = 0
     for _, row in filtered.iterrows():
         text = str(row.get("text", "")).strip()
-        if not text or not _cp1252_ok(text):
+        if not text or not _renderable(text):
             continue
         try:
             vals = (float(row["left"]), float(row["top"]), float(row["height"]))
@@ -275,9 +276,9 @@ def build_golden_frames(sf_dir: str, cfg: ExtractConfig | None = None
         span_rows.extend(doc_spans)
         if doc_id < SEARCHABLE_LIMIT:
             # what the P2 sink must render: the span word list minus
-            # WinAnsi-unencodable text (the documented encode-skip)
+            # non-BMP text (the documented encode-skip; CJK renders now)
             pdf_rows.append((url, len(doc.pages),
-                             sum(1 for sp in doc_spans if _cp1252_ok(sp[11]))))
+                             sum(1 for sp in doc_spans if _renderable(sp[11]))))
 
     return {
         "ocr_extract_text": pd.DataFrame(

@@ -7,13 +7,22 @@ words as an INVISIBLE text layer (``3 Tr`` = text render mode 3, the
 reference's ``render_mode=3``, ocr.py:507) at baseline ``(x, y+h)`` with
 ``fontsize = h * 0.8`` (ocr.py:506).  The output is a real, viewable PDF.
 
+Fonts (round 5 — the reference's core capability is JAPANESE searchable
+PDFs; it resolves a CJK font via env vars + OS font dirs precisely for
+this, ocr.py:244-355, and inserts jpn text at ocr.py:506):
+- /F1: built-in Helvetica (WinAnsi) for cp1252-encodable words;
+- /F2: a non-embedded CIDFontType0 with /Encoding /Identity-H and a
+  /ToUnicode CMap for everything else (CJK and any other BMP text).
+  Because the layer is invisible (``3 Tr``) no glyph program is ever
+  painted, so the font needs NO embedded font file — the CID of each
+  character is its Unicode code point and the ToUnicode CMap is the
+  identity over the BMP, which is exactly what a text extractor reads.
+  Pure PDF 1.4 spec work (ISO 32000 §9.7, §9.10.3).
+
 Deviations from the reference, pinned deliberately:
-- font is the built-in Helvetica (WinAnsi) instead of a resolved CJK font
-  file (ocr.py:244-355): the sandbox has no font files to embed, and the
-  text layer is invisible; production swaps in a CID font program shipped
-  via spark.files (see artifacts.py).  Words whose text cannot be encoded
-  in WinAnsi are skipped — mirroring the reference's per-word RuntimeError
-  swallow (ocr.py:509-511).
+- words containing non-BMP characters (code points > U+FFFF, e.g. emoji
+  or CJK extension B) are skipped — mirroring the reference's per-word
+  RuntimeError swallow (ocr.py:509-511); Tesseract jpn output is BMP.
 - PDF coordinates are bottom-up; boxes are flipped (y_pdf = H - y - h).
 
 Spark mapping: a kernel stage producing a ``pdf:binary`` column — an
@@ -44,13 +53,27 @@ def _esc(s: str) -> bytes:
         .replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
+def _cid_hex(s: str) -> bytes:
+    """Identity-H string for the CJK layer: each BMP character's CID is
+    its Unicode code point, written as a 2-byte hex string.  Raises for
+    non-BMP input (documented per-word skip)."""
+    if any(ord(c) > 0xFFFF for c in s):
+        raise UnicodeEncodeError("identity-h", s, 0, len(s),
+                                 "non-BMP code point")
+    return "".join(f"{ord(c):04X}" for c in s).encode("ascii")
+
+
 def _page_content(img, words: pd.DataFrame, w_pt: float, h_pt: float) -> bytes:
     """Content stream: draw the raster full-page, then the invisible text.
     Vectorized filtering (trim-empty drop ocr.py:495-497, NaN coordinate
-    guard ocr.py:152-165); per-word encode failures are skipped like the
-    reference's RuntimeError swallow (ocr.py:509-511)."""
+    guard ocr.py:152-165).  cp1252-encodable words use /F1 (WinAnsi
+    literal strings); all other BMP words — the reference's Japanese use
+    case — use /F2 (Identity-H hex strings, CID = code point); only
+    non-BMP words are skipped like the reference's per-word RuntimeError
+    swallow (ocr.py:509-511)."""
     ops = [f"q {w_pt:.2f} 0 0 {h_pt:.2f} 0 0 cm /Im0 Do Q".encode()]
     ops.append(b"BT 3 Tr /F1 1 Tf")  # render mode 3 = invisible (ocr.py:507)
+    cur_font = b"F1"
     if len(words):
         t = words["text"].astype(str).str.strip()
         x = pd.to_numeric(words["left"], errors="coerce")
@@ -62,11 +85,19 @@ def _page_content(img, words: pd.DataFrame, w_pt: float, h_pt: float) -> bytes:
         y_pt = (h_pt - (y + h) * PT_PER_PX)[keep]  # baseline (x, y+h), flipped
         for text, f_, xp, yp in zip(t[keep], fs, x_pt, y_pt):
             try:
-                enc = _esc(text)
+                show = b"(" + _esc(text) + b") Tj"
+                font = b"F1"
             except UnicodeEncodeError:
-                continue  # ≈ per-word RuntimeError swallow (ocr.py:509-511)
+                try:
+                    show = b"<" + _cid_hex(text) + b"> Tj"
+                    font = b"F2"
+                except UnicodeEncodeError:
+                    continue  # non-BMP: per-word swallow (ocr.py:509-511)
+            if font != cur_font:
+                ops.append(b"/" + font + b" 1 Tf")
+                cur_font = font
             ops.append(f"{f_:.3f} 0 0 {f_:.3f} {xp:.2f} {yp:.2f} Tm".encode()
-                       + b" (" + enc + b") Tj")
+                       + b" " + show)
     ops.append(b"ET")
     return b"\n".join(ops)
 
@@ -92,8 +123,41 @@ def ocr_page_bundle(img: backends.FakeImage, cfg: ExtractConfig) -> tuple:
     return (w_px, h_px, imgdata, content)
 
 
+def _identity_bmp_cmap() -> bytes:
+    """ToUnicode CMap mapping every 2-byte CID to the SAME Unicode code
+    point (ISO 32000 §9.10.3).  bfrange rows may not cross a low-byte
+    boundary, so the BMP takes 256 rows of <XX00> <XXFF> <XX00>, chunked
+    into blocks of <=100 ranges as the CMap spec requires.  Content-
+    independent, so built once and shared by every PDF."""
+    lines = [b"/CIDInit /ProcSet findresource begin",
+             b"12 dict begin", b"begincmap",
+             b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) "
+             b"/Supplement 0 >> def",
+             b"/CMapName /Adobe-Identity-UCS def", b"/CMapType 2 def",
+             b"1 begincodespacerange", b"<0000> <FFFF>",
+             b"endcodespacerange"]
+    rows = [b"<%02X00> <%02XFF> <%02X00>" % (hi, hi, hi)
+            for hi in range(256)]
+    for at in range(0, 256, 100):
+        chunk = rows[at:at + 100]
+        lines.append(b"%d beginbfrange" % len(chunk))
+        lines.extend(chunk)
+        lines.append(b"endbfrange")
+    lines += [b"endcmap",
+              b"CMapName currentdict /CMap defineresource pop",
+              b"end", b"end"]
+    return b"\n".join(lines)
+
+
+_CMAP_FLATE = zlib.compress(_identity_bmp_cmap(), 9)
+
+
 def assemble_pdf(bundles: list[tuple]) -> bytes:
-    """Page bundles -> one PDF 1.4 byte string (shared by P2 and P3)."""
+    """Page bundles -> one PDF 1.4 byte string (shared by P2 and P3).
+
+    The CJK font trio (Type0 + CIDFontType0 descendant + ToUnicode CMap)
+    is emitted only when some page actually shows an /F2 string, so
+    ASCII-only documents pay zero extra bytes."""
     objects: list[bytes] = []   # 1-based object bodies
 
     def add(body: bytes) -> int:
@@ -102,8 +166,33 @@ def assemble_pdf(bundles: list[tuple]) -> bytes:
 
     font_id = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
                   b"/Encoding /WinAnsiEncoding >>")
+    needs_cjk = any(b"/F2 " in content for _, _, _, content in bundles)
+    cjk_id = None
+    if needs_cjk:
+        # Non-embedded CID font: render mode 3 never paints glyphs, so no
+        # font program is required — extractors read /ToUnicode (identity
+        # over the BMP; CID = code point, ISO 32000 §9.7.4, §9.10.3).
+        cmap_id = add(b"<< /Filter /FlateDecode /Length %d >>\nstream\n"
+                      % len(_CMAP_FLATE) + _CMAP_FLATE + b"\nendstream")
+        desc_id = add(b"<< /Type /FontDescriptor /FontName /NotoSansCJK "
+                      b"/Flags 4 /FontBBox [0 -150 1000 850] "
+                      b"/ItalicAngle 0 /Ascent 850 /Descent -150 "
+                      b"/CapHeight 700 /StemV 80 >>")
+        cidfont_id = add(b"<< /Type /Font /Subtype /CIDFontType0 "
+                         b"/BaseFont /NotoSansCJK /CIDSystemInfo "
+                         b"<< /Registry (Adobe) /Ordering (Identity) "
+                         b"/Supplement 0 >> /FontDescriptor %d 0 R "
+                         b"/DW 1000 >>" % desc_id)
+        cjk_id = add(b"<< /Type /Font /Subtype /Type0 "
+                     b"/BaseFont /NotoSansCJK /Encoding /Identity-H "
+                     b"/DescendantFonts [%d 0 R] /ToUnicode %d 0 R >>"
+                     % (cidfont_id, cmap_id))
     page_ids = []
     kids_placeholder = add(b"")  # pages node, filled later
+
+    font_res = f"/F1 {font_id} 0 R"
+    if cjk_id is not None:
+        font_res += f" /F2 {cjk_id} 0 R"
 
     for w_px, h_px, imgdata, content in bundles:
         w_pt, h_pt = w_px * PT_PER_PX, h_px * PT_PER_PX
@@ -119,7 +208,7 @@ def assemble_pdf(bundles: list[tuple]) -> bytes:
             f"<< /Type /Page /Parent {kids_placeholder} 0 R "
             f"/MediaBox [0 0 {w_pt:.2f} {h_pt:.2f}] "
             f"/Resources << /XObject << /Im0 {im_id} 0 R >> "
-            f"/Font << /F1 {font_id} 0 R >> >> "
+            f"/Font << {font_res} >> >> "
             f"/Contents {ct_id} 0 R >>".encode())
         page_ids.append(pg_id)
 

@@ -9,12 +9,18 @@ formatting beyond the PDF 1.4 spec.  Extracted facts:
 - ``n_pages``: count of ``/Type /Page`` dictionaries (not the /Pages node,
   not the writer's own page counter);
 - ``n_text_ops``: text-show (``Tj``) operators inside UNFILTERED content
-  streams — one per rendered invisible-layer word (the sink never splits
-  or merges words; tokens are whitespace-split so ``) Tj`` cannot occur
-  inside a string literal, where ``)`` is always escaped);
+  streams — one per rendered invisible-layer word, counting BOTH literal
+  strings (``) Tj``; ``)`` is always escaped inside literals) AND
+  Identity-H hex strings (``> Tj``; hex strings contain only hex digits,
+  so ``>`` is unambiguous) — the latter are the CJK-layer words;
 - ``invisible``: every content stream that shows text sets text render
   mode 3 (``3 Tr``, the reference's render_mode=3, ocr.py:507) before any
-  Tj.
+  Tj;
+- ``extract_invisible_text``: the full text of the invisible layer,
+  decoding WinAnsi literals directly and Identity-H hex strings through
+  the Type0 font's /ToUnicode CMap (bfrange parse, ISO 32000 §9.10.3) —
+  proving a Japanese word inserted by the sink round-trips to Unicode the
+  way any conforming text extractor would read it.
 
 This turns the binary PDF sink into a driver-checkable query: the parsed
 facts have an independent golden (payload page count + the span-model
@@ -121,18 +127,111 @@ def pdf_stats(pdf: bytes) -> dict:
             raise PdfStructureError("no EOL after stream keyword")
         data = body[nl_at + 1: nl_at + 1 + int(lm.group(1))]
         if b"/Filter" in head:
-            continue  # image XObject (Flate) — not a content stream
-        ops = data.count(b") Tj")
+            continue  # image XObject / CMap (Flate) — not a content stream
+        ops = data.count(b") Tj") + data.count(b"> Tj")
         if ops:
             any_text = True
             n_text_ops += ops
             # render mode 3 must be set BEFORE the first text-show op —
             # '3 Tr' after a Tj means that word already rendered visibly
             tr = re.search(rb"\b3 Tr\b", data)
-            if not tr or tr.start() > data.find(b") Tj"):
+            firsts = [p for p in (data.find(b") Tj"), data.find(b"> Tj"))
+                      if p >= 0]
+            if not tr or tr.start() > min(firsts):
                 invisible = False
     return {"n_pages": n_pages, "n_text_ops": n_text_ops,
             "invisible": invisible if any_text else True}
+
+
+def _tounicode_ranges(pdf: bytes) -> list[tuple[int, int, int]]:
+    """bfrange rows ``(lo, hi, dst_start)`` of the FIRST Type0 font's
+    /ToUnicode CMap, inflating the stream if it carries /FlateDecode.
+    Returns [] when the PDF has no Type0 font (ASCII-only documents)."""
+    import zlib
+    for start, end in _object_spans(pdf):
+        body = pdf[start:end]
+        if b"/Subtype /Type0" not in body and b"/Subtype/Type0" not in body:
+            continue
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body)
+        if not tm:
+            raise PdfStructureError("Type0 font without /ToUnicode")
+        target = int(tm.group(1))
+        # locate the CMap object by its number in the live-object set
+        # (spans start at the "N G obj" header line)
+        for s2, e2 in _object_spans(pdf):
+            m3 = re.match(rb"(\d+)\s+\d+\s+obj", pdf[s2:s2 + 32])
+            if not m3 or int(m3.group(1)) != target:
+                continue
+            cbody = pdf[s2:e2]
+            sa = cbody.find(b"stream")
+            if sa < 0:
+                raise PdfStructureError("/ToUnicode is not a stream")
+            lm = re.search(rb"/Length\s+(\d+)", cbody[:sa])
+            nl = cbody.find(b"\n", sa)
+            data = cbody[nl + 1: nl + 1 + int(lm.group(1))]
+            if b"/FlateDecode" in cbody[:sa]:
+                data = zlib.decompress(data)
+            ranges = []
+            for block in re.finditer(
+                    rb"beginbfrange(.*?)endbfrange", data, re.S):
+                for row in re.finditer(
+                        rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+                        rb"<([0-9A-Fa-f]+)>", block.group(1)):
+                    ranges.append((int(row.group(1), 16),
+                                   int(row.group(2), 16),
+                                   int(row.group(3), 16)))
+            return ranges
+    return []
+
+
+def _unescape_literal(raw: bytes) -> str:
+    """PDF literal string body -> text (WinAnsi/cp1252; the writer only
+    escapes backslash and parens)."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        b = raw[i]
+        if b == 0x5C and i + 1 < len(raw):          # backslash escape
+            out.append(raw[i + 1])
+            i += 2
+        else:
+            out.append(b)
+            i += 1
+    return out.decode("cp1252")
+
+
+def extract_invisible_text(pdf: bytes) -> list[str]:
+    """Every text-show string of the invisible layer, in content-stream
+    order: literal strings decoded as WinAnsi, hex strings decoded as
+    2-byte CIDs mapped through the Type0 font's /ToUnicode bfranges —
+    exactly how a conforming text extractor recovers the Japanese words
+    the reference exists to make searchable (ocr.py:506)."""
+    ranges = _tounicode_ranges(pdf)
+
+    def cid_to_uni(cid: int) -> str:
+        for lo, hi, dst in ranges:
+            if lo <= cid <= hi:
+                return chr(dst + (cid - lo))
+        raise PdfStructureError(f"CID {cid} outside every bfrange")
+
+    words: list[str] = []
+    for start, end in _object_spans(pdf):
+        body = pdf[start:end]
+        stream_at = body.find(b"stream")
+        if stream_at < 0 or b"/Filter" in body[:stream_at]:
+            continue
+        lm = re.search(rb"/Length\s+(\d+)", body[:stream_at])
+        nl = body.find(b"\n", stream_at)
+        data = body[nl + 1: nl + 1 + int(lm.group(1))]
+        for m in re.finditer(
+                rb"\(((?:[^()\\]|\\.)*)\) Tj|<([0-9A-Fa-f]*)> Tj", data):
+            if m.group(1) is not None:
+                words.append(_unescape_literal(m.group(1)))
+            else:
+                hx = m.group(2)
+                cids = [int(hx[i:i + 4], 16) for i in range(0, len(hx), 4)]
+                words.append("".join(cid_to_uni(c) for c in cids))
+    return words
 
 
 def searchable_pdf_stats(pdf_df, pdf_col: str = "pdf", url_col: str = "url"):

@@ -128,3 +128,44 @@ def test_pdfverify_follows_prev_chain():
     assert (offs[2], body.find(b"endobj", offs[2])) in spans
     st = pdfverify.pdf_stats(body)
     assert st["n_pages"] == 2                    # page 3 via /Prev, page 4 new
+
+
+def test_cjk_text_layer_roundtrips_through_tounicode():
+    """Round 5: Japanese words — the reference's entire use case
+    (ocr.py:244-355 resolves a CJK font precisely for this, inserts jpn
+    text at ocr.py:506) — land in the invisible layer via a non-embedded
+    Identity-H CIDFontType0 with a ToUnicode CMap, and round-trip through
+    the INDEPENDENT structural parser the way any conforming text
+    extractor reads them."""
+    from image_pdf_ocr_suite_spark.kernels.pdfverify import (
+        extract_invisible_text, pdf_stats)
+    doc = Document(pages=[Page(200, 60, [
+        Word(1, 1, 1, 1, 10, 12, 30, 10, 80.0, 0, "日本語"),
+        Word(1, 1, 1, 2, 50, 12, 30, 10, 85.0, 0, "テスト"),
+        Word(1, 1, 1, 3, 90, 12, 20, 10, 90.0, 0, "latin"),
+        Word(1, 1, 1, 4, 120, 12, 20, 10, 90.0, 0, "café"),   # cp1252
+        Word(1, 1, 1, 5, 150, 12, 20, 10, 90.0, 0, "\U0001F389"),  # non-BMP
+    ])])
+    pdf = build_searchable_pdf(spdf.encode(doc), CFG)
+    st = pdf_stats(pdf)
+    # 4 words render (the emoji is the documented non-BMP skip), all
+    # invisible; two of them are CJK hex-string ops
+    assert st["n_pages"] == 1
+    assert st["n_text_ops"] == 4
+    assert st["invisible"] is True
+    words = extract_invisible_text(pdf)
+    assert words == ["日本語", "テスト", "latin", "café"]
+    # the CJK trio is present: Type0 + Identity-H + CIDFontType0 + CMap
+    assert b"/Encoding /Identity-H" in pdf
+    assert b"/Subtype /CIDFontType0" in pdf
+    assert b"/ToUnicode" in pdf
+
+
+def test_ascii_only_pdf_has_no_cjk_objects():
+    """ASCII documents must not pay the CJK font/CMap bytes."""
+    from image_pdf_ocr_suite_spark.kernels.pdfverify import (
+        extract_invisible_text, pdf_stats)
+    pdf = build_searchable_pdf(spdf.encode(_doc()), CFG)
+    assert b"/Identity-H" not in pdf and b"/ToUnicode" not in pdf
+    assert pdf_stats(pdf)["n_text_ops"] == 2
+    assert extract_invisible_text(pdf) == ["visible", "second"]
