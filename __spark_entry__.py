@@ -398,6 +398,91 @@ def q_ann_lsh_topk_from_index(spark, sf_dir):
         .select("vec_id")
 
 
+_MH_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_dedup_against_index(spark, sf_dir):
+    """Incremental dedup against the MATERIALIZED minhash index (round-4
+    flagship scale feature, first driver row in round 5): the corpus
+    slice (doc_id % 10 != 0) is signatured ONCE into a band-partitioned
+    index; the "daily batch" (doc_id % 10 == 0) minhashes only itself,
+    bucket-joins the index, and Jaccard-VERIFIES candidates at 0.2
+    before anything may be dropped.  Oracle replays the identical
+    shingle/md5/band scheme over both slices in DuckDB; jaccard is
+    int/int division → identical IEEE doubles."""
+    import tempfile
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    path = _MH_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="mh_index_") + "/index"
+        dedup.minhash_write_index(corpus, path)
+        _MH_INDEX_CACHE[sf_dir] = path
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    return dedup.dedup_against_index(new, spark, path, threshold=0.2,
+                                     corpus_docs=corpus)
+
+
+_IVF_APPEND_CACHE: dict[str, str] = {}
+
+
+def q_ivf_append_probe(spark, sf_dir):
+    """Incremental IVF maintenance in the hard signal (round-4 flagship,
+    first driver row in round 5): build the index on the initial slice
+    (vec_id % 10 != 0), APPEND the rest with the index's own sidecar
+    quantizer (never retrained — old and new rows must agree on list
+    boundaries), then serve top-k from the combined partitioned layout.
+    Oracle retrains the slice-trained centroids driver-side (same numpy
+    code on the same float64 sample) and searches the full table."""
+    import tempfile
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    path = _IVF_APPEND_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivf_append_") + "/index"
+        similarity.ivf_write_index(emb.where(F.col("vec_id") % 10 != 0),
+                                   path, n_lists=16)
+        similarity.ivf_append_to_index(emb.where(F.col("vec_id") % 10 == 0),
+                                       path)
+        _IVF_APPEND_CACHE[sf_dir] = path
+    return similarity.ivf_topk_from_index(
+        spark, path, [float(x) for x in qvec], k=10, n_probe=4) \
+        .select("vec_id")
+
+
+_SNAP_TT_CACHE: dict[str, tuple] = {}
+
+
+def q_snapshot_time_travel(spark, sf_dir):
+    """Snapshot time travel in the hard signal (tableio/snapshot.py
+    read_at, Iceberg ``VERSION AS OF`` semantics; first driver row in
+    round 5): commit v1 = documents slice (doc_id % 3 != 2), then v2 =
+    an upsert that REWRITES a third of v1's rows (n_chars + 1) and adds
+    the missing slice.  Reading AS OF v1 must replay the manifest chain
+    to the pre-upsert state — if time travel leaked the latest replace
+    snapshot, the rewritten values and the extra rows both hash-mismatch
+    against the plain slice oracle."""
+    import tempfile
+    from image_pdf_ocr_suite_spark.tableio.snapshot import SnapshotTable
+    cached = _SNAP_TT_CACHE.get(sf_dir)
+    if cached is None:
+        root = tempfile.mkdtemp(prefix="snap_tt_")
+        table = SnapshotTable(root)
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        s1 = table.append(docs.where(F.col("doc_id") % 3 != 2),
+                          run_id="tt-v1")
+        table.upsert(
+            docs.where(F.col("doc_id") % 3 == 2).unionByName(
+                docs.where(F.col("doc_id") % 3 == 0)
+                .withColumn("n_chars", F.col("n_chars") + F.lit(1))),
+            key_col="doc_id", run_id="tt-v2")
+        cached = (root, s1.snapshot_id)
+        _SNAP_TT_CACHE[sf_dir] = cached
+    root, s1_id = cached
+    return SnapshotTable(root).read_at(spark, s1_id)
+
+
 def q_simhash_groups(spark, sf_dir):
     return dedup.simhash_groups(_t(spark, sf_dir, "documents"))
 
@@ -919,14 +1004,18 @@ def q_line_dedup(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order matters: the driver's CORRECTNESS gate records
-    exactly the first 50 entries.  Window layout (round 4): the 5
+    exactly the first 50 entries.  Window layout (round 5): the 5
     golden-parquet flagships and both ``*_stats`` binary-sink twins stay
-    pinned, then the 20 queries that had never had a driver row through
-    round 3 (corpus-prep family, as-of join, media features, relational
-    extras, the two rotated-out TPC-H queries), then operators reworked
-    this round.  Long-stable §2.2 rows (green in r1-r3) rotate past 50;
-    they remain covered by tests/test_oracle_parity.py, which replicates
-    the gate over the FULL registry."""
+    pinned; then the 3 queries that have never had a driver row (the
+    round-4 flagship scale features: incremental minhash-index dedup,
+    IVF append, snapshot time travel); then every query whose NEWEST
+    driver row is r1-r3 (the §2.2 relational family and text-analysis
+    rows rotated out in r4) so no evidence ages past two rounds; the
+    remaining slots keep this round's most load-bearing r4-green rows
+    (the dedup/media/bm25 code touched in round 5 plus the staple
+    pipeline legs).  Everything past 50 is r4-driver-green and remains
+    covered by tests/test_oracle_parity.py, which replicates the gate
+    over the FULL registry."""
     return {
         # -- pinned: golden-parquet flagships + binary-sink stats twins --
         "ocr_extract_text": q_ocr_extract_text,
@@ -936,52 +1025,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_metadata": q_payload_metadata,
         "searchable_pdf_stats": q_searchable_pdf_stats,
         "images_to_pdf_stats": q_images_to_pdf_stats,
-        # -- never driver-checked before round 4 --
-        "tpch_q1_exactstats": q_tpch_q1_exactstats,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q14": q_tpch_q14,
-        "join_agg_segment": q_join_agg_segment,
-        "anti_join_customers": q_anti_join_customers,
-        "orders_rollup": q_orders_rollup,
-        "event_counts_wide": q_event_counts_wide,
-        "salted_user_stats": q_salted_user_stats,
-        "image_features": q_image_features,
-        "audio_features": q_audio_features,
-        "asof_join_views": q_asof_join_views,
-        "chunk_documents": q_chunk_documents,
-        "repetition_stats": q_repetition_stats,
-        "stratified_sample": q_stratified_sample,
-        "decontaminate": q_decontaminate,
-        "url_canonicalize": q_url_canonicalize,
-        "domain_stats": q_domain_stats,
-        "pii_redaction": q_pii_redaction,
-        "line_dedup": q_line_dedup,
-        "pack_chunks": q_pack_chunks,
-        "rare_token_ratio": q_rare_token_ratio,
-        "token_budget_sample": q_token_budget_sample,
-        # -- reworked / load-bearing this round --
-        "near_dup_components": q_near_dup_components,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "minhash_lsh_buckets": q_minhash_lsh_buckets,
-        "minhash_candidate_pairs": q_minhash_candidate_pairs,
-        "simhash_groups": q_simhash_groups,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "embedding_near_dup": q_embedding_near_dup,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_lsh_topk_from_index": q_ann_lsh_topk_from_index,
-        "ivf_topk": q_ivf_topk,
-        "ivf_topk_from_index": q_ivf_topk_from_index,
-        "corpus_clean": q_corpus_clean,
-        "corpus_clean_verified": q_corpus_clean_verified,
-        "sessionize": q_sessionize,
-        "windowed_event_counts": q_windowed_event_counts,
-        "watermark_dedup": q_watermark_dedup,
-        "bm25_scores": q_bm25_scores,
-        "video_frames": q_video_frames,
-        "audio_spectrum": q_audio_spectrum,
-        # ---- stable r1-r3 green rows, rotated past 50 as needed ----
+        # -- never driver-checked: new in round 5 --
+        "dedup_against_index": q_dedup_against_index,
+        "ivf_append_probe": q_ivf_append_probe,
+        "snapshot_time_travel": q_snapshot_time_travel,
+        # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
         "winnow_fingerprints": q_winnow_fingerprints,
         "topk_cosine": q_topk_cosine,
         "lang_id": q_lang_id,
@@ -992,9 +1040,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_assembly": q_doc_assembly,
         "span_offsets": q_span_offsets,
         "reading_order": q_reading_order,
-        # ---- position 51+: stable since r1/r2, pytest-parity only ----
-        "searchable_pdf": q_searchable_pdf,
-        "images_to_pdf": q_images_to_pdf,
         "conf_avg_valid": q_conf_avg_valid,
         "conf_threshold_filter": q_conf_threshold_filter,
         "validity_filter_count": q_validity_filter_count,
@@ -1013,6 +1058,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_median": q_value_median,
         "event_rollup_hourly": q_event_rollup_hourly,
         "text_nfc": q_text_nfc,
+        # -- r4-green rows kept in-window: code touched in round 5 or
+        #    load-bearing pipeline legs --
+        "near_dup_components": q_near_dup_components,
+        "minhash_candidate_pairs": q_minhash_candidate_pairs,
+        "bm25_scores": q_bm25_scores,
+        "image_features": q_image_features,
+        "audio_features": q_audio_features,
+        "asof_join_views": q_asof_join_views,
+        "watermark_dedup": q_watermark_dedup,
+        "sessionize": q_sessionize,
+        "decontaminate": q_decontaminate,
+        "corpus_clean_verified": q_corpus_clean_verified,
+        "ann_lsh_topk_from_index": q_ann_lsh_topk_from_index,
+        "ivf_topk_from_index": q_ivf_topk_from_index,
+        # ---- position 51+: r4-driver-green, pytest-parity only ----
+        "searchable_pdf": q_searchable_pdf,
+        "images_to_pdf": q_images_to_pdf,
+        "tpch_q1_exactstats": q_tpch_q1_exactstats,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q14": q_tpch_q14,
+        "join_agg_segment": q_join_agg_segment,
+        "anti_join_customers": q_anti_join_customers,
+        "orders_rollup": q_orders_rollup,
+        "event_counts_wide": q_event_counts_wide,
+        "salted_user_stats": q_salted_user_stats,
+        "chunk_documents": q_chunk_documents,
+        "repetition_stats": q_repetition_stats,
+        "stratified_sample": q_stratified_sample,
+        "url_canonicalize": q_url_canonicalize,
+        "domain_stats": q_domain_stats,
+        "pii_redaction": q_pii_redaction,
+        "line_dedup": q_line_dedup,
+        "pack_chunks": q_pack_chunks,
+        "rare_token_ratio": q_rare_token_ratio,
+        "token_budget_sample": q_token_budget_sample,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_buckets": q_minhash_lsh_buckets,
+        "simhash_groups": q_simhash_groups,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "corpus_clean": q_corpus_clean,
+        "windowed_event_counts": q_windowed_event_counts,
+        "video_frames": q_video_frames,
+        "audio_spectrum": q_audio_spectrum,
     }
 
 
@@ -1221,7 +1314,8 @@ _IVF_ORACLE_CACHE: dict[str, str] = {}
 
 
 def _ivf_topk_oracle(n_lists: int = 16, n_probe: int = 4, k: int = 10,
-                     sf_dir: str = "/root/testdata/sf0.01") -> str:
+                     sf_dir: str = "/root/testdata/sf0.01",
+                     train_filter: str = "") -> str:
     """DuckDB replication of ivf_cosine_topk at the driver's sf0.01 gate.
 
     The coarse quantizer is deterministic given the data (fixed seed/
@@ -1235,14 +1329,17 @@ def _ivf_topk_oracle(n_lists: int = 16, n_probe: int = 4, k: int = 10,
     import duckdb
     import numpy as np
 
-    if sf_dir in _IVF_ORACLE_CACHE:
-        return _IVF_ORACLE_CACHE[sf_dir]
+    cache_key = f"{sf_dir}|{train_filter}"
+    if cache_key in _IVF_ORACLE_CACHE:
+        return _IVF_ORACLE_CACHE[cache_key]
     con = duckdb.connect()
-    # the exact sample train_ivf_centroids takes: non-null, lowest ids
+    # the exact sample train_ivf_centroids takes: non-null, lowest ids —
+    # optionally restricted to the index's initial slice (append probe:
+    # the quantizer never retrains, so the oracle trains on the slice)
     rows = con.sql(
         f"SELECT CAST(embedding AS DOUBLE[]) FROM "
         f"'{sf_dir}/embeddings.parquet' WHERE embedding IS NOT NULL "
-        f"ORDER BY vec_id LIMIT 2048").fetchall()
+        f"{train_filter} ORDER BY vec_id LIMIT 2048").fetchall()
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     cent = similarity.train_centroids_np(X, n_lists=n_lists)
     qv = np.asarray(con.sql(
@@ -1272,7 +1369,7 @@ def _ivf_topk_oracle(n_lists: int = 16, n_probe: int = 4, k: int = 10,
         WHERE lst IN ({probe})
         ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
         LIMIT {k}"""
-    _IVF_ORACLE_CACHE[sf_dir] = sql
+    _IVF_ORACLE_CACHE[cache_key] = sql
     return sql
 
 
@@ -1566,6 +1663,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
                        / len(list_distinct(list_concat(a.tk, b.tk))) AS jaccard
             FROM toks a, toks b WHERE a.doc_id < b.doc_id""",
+        "dedup_against_index": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_transform(range(1, len(sp) - 1),
+                                      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) AS shingles
+                FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)),
+            bands AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS band),
+            sig AS (
+                SELECT doc_id, band,
+                       list_min(list_transform(shingles,
+                                s -> md5(s || '#' || CAST(band AS VARCHAR)))) AS minhash
+                FROM sh, bands),
+            cand AS (
+                SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS index_id
+                FROM sig n JOIN sig c
+                  ON n.band = c.band AND n.minhash = c.minhash
+                WHERE n.minhash IS NOT NULL
+                  AND n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0),
+            toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+                     FROM documents)
+            SELECT new_id, index_id,
+                   CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                       / len(list_distinct(list_concat(ta.tk, tb.tk))) AS jaccard
+            FROM cand
+            JOIN toks ta ON ta.doc_id = cand.new_id
+            JOIN toks tb ON tb.doc_id = cand.index_id
+            WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                      / len(list_distinct(list_concat(ta.tk, tb.tk))) >= 0.2""",
+        # append probe: quantizer trained on the INITIAL slice only (the
+        # sidecar is never retrained), search domain = the full table
+        "ivf_append_probe": _ivf_topk_oracle(
+            train_filter="AND vec_id % 10 <> 0"),
+        # AS OF v1 = the pre-upsert slice with its ORIGINAL values
+        "snapshot_time_travel": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id % 3 <> 2""",
         "ann_lsh_topk": _ann_lsh_topk_oracle(),
         # same planes/sketch/rerank served from the partitioned layout —
         # identical result set by construction
