@@ -298,9 +298,12 @@ def jaccard_verify_pairs(pairs: DataFrame, df: DataFrame, text_col: str = "text"
     return inter.select("id_a", "id_b", j.alias("jaccard"))
 
 
-# rounds taken by the most recent connected-components convergence
-# (diagnostics for the round-count tests/bench, not API)
+# rounds taken by the most recent connected-components convergence, and
+# (star only) the edge count after each round's small-star — the
+# monotone-collapse evidence (diagnostics for round-count tests/bench,
+# not API)
 _last_rounds: int = 0
+_last_edge_counts: list[int] = []
 
 
 class ComponentsNotConverged(RuntimeError):
@@ -388,6 +391,8 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
     superlinearly past ~18 rounds in a shared local JVM (measured,
     CLAUDE.md round-4 rules).  Raises ComponentsNotConverged when
     ``max_iters`` exhausts."""
+    global _last_edge_counts
+    _last_edge_counts = []
     ids = (pairs.select(F.col(id_a).alias("id"))
            .union(pairs.select(F.col(id_b).alias("id"))).distinct())
     edges = (pairs.where(F.col(id_a) != F.col(id_b))
@@ -416,7 +421,9 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
                  .distinct().localCheckpoint())
         # fixpoint = the round left the edge set unchanged (both sides are
         # distinct, so equal count + empty one-sided difference ⇒ equal)
-        if (small.count() == edges.count()
+        n_small = small.count()               # also the per-round evidence
+        _last_edge_counts.append(n_small)
+        if (n_small == edges.count()
                 and small.exceptAll(edges).limit(1).count() == 0):
             global _last_rounds
             _last_rounds = rnd + 1        # diagnostics for the round-count tests

@@ -157,3 +157,29 @@ def test_dedup_against_index_id_collision_verifies_correct_text(spark, tmp_path)
     assert abs(ver[(7, 3)] - 19 / 23) < 1e-12
     # id dtype must round-trip through the namespace prefixes
     assert all(isinstance(n, int) and isinstance(i, int) for n, i in ver)
+
+
+def test_star_powerlaw_rounds_and_edge_collapse(spark):
+    """r4 VERDICT item 5: on a label-shuffled random-attachment graph
+    (the BENCH/run_cc_scale.py generator at small scale) the star rounds
+    stay <= 8 and the edge set collapses monotonically after the warmup
+    rounds — the property that survives 100 TB graphs.  Full-scale
+    evidence: 10M edges -> 6 rounds, BENCH/BASELINE.md."""
+    import sys
+
+    from pyspark.sql import functions as F
+    sys.path.insert(0, "/root/repo/BENCH")
+    from run_cc_scale import shuffled_powerlaw_edges
+    edges = shuffled_powerlaw_edges(spark, 20_000).localCheckpoint()
+    comps = dedup.connected_components_star(edges, max_iters=10)
+    assert comps.count() > 0
+    assert dedup._last_rounds <= 8, dedup._last_rounds
+    counts = dedup._last_edge_counts
+    # monotone collapse: never grows after round 1
+    assert all(b <= a for a, b in zip(counts[1:], counts[2:])), counts
+    # converges to one star per component: edges ~= nodes - n_components
+    n_nodes = (edges.select(F.col("id_a").alias("id"))
+               .union(edges.select(F.col("id_b").alias("id")))
+               .distinct().count())
+    n_comps = comps.select("comp").distinct().count()
+    assert counts[-1] == n_nodes - n_comps
