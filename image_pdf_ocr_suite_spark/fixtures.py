@@ -450,3 +450,57 @@ def build_pages_pdf(doc_rows: list[tuple[int, str, str]]) -> pd.DataFrame:
     rows of (doc_id, text, lang)."""
     pdf = pd.DataFrame(doc_rows, columns=["doc_id", "text", "lang"])
     return _rows_to_pages(pdf, -1, 0)
+
+
+def adversarial_html_cases() -> list[tuple[str, str, str]]:
+    """(name, html, expected_main_text) — adversarial structures the
+    density stripper must classify correctly (r4 VERDICT item 7):
+    link-heavy tables, comment bombs, inline <script> JSON, nested
+    boilerplate, malformed markup, entity references.  Expectations are
+    GROUND TRUTH (what the block/density rules mandate for the authored
+    content), not parser output — tests/test_analytics.py drives both
+    this oracle and the Spark kernel path over them.  These cases are
+    deliberately NOT part of the driver corpus: build_html's output is
+    frozen under the byte-identity invariant (CLAUDE.md)."""
+    main_a = "this is the genuine long main content paragraph alpha here"
+    main_b = "and a second genuine paragraph beta with enough characters"
+    json_bomb = '{"items": [' + ", ".join(
+        f'{{"id": {i}, "blurb": "filler text value {i}"}}'
+        for i in range(30)) + "]}"
+    comment_bomb = "<!-- " + "hidden boilerplate words " * 40 + "-->"
+    nav_cells = "".join(f'<tr><td><a href="/s{i}">section {i}</a></td></tr>'
+                        for i in range(12))
+    return [
+        ("table_nav_heavy",
+         f"<html><body><table>{nav_cells}</table>"
+         f"<p>{main_a}</p></body></html>",
+         main_a),
+        ("comment_heavy",
+         f"<html><body>{comment_bomb}<p>{main_a}</p>"
+         f"{comment_bomb}{comment_bomb}</body></html>",
+         main_a),
+        ("inline_script_json",
+         f"<html><body><script>{json_bomb}</script>"
+         f"<style>p {{ color: red }}</style>"
+         f"<p>{main_a}</p>"
+         f"<script type='application/ld+json'>{json_bomb}</script>"
+         "</body></html>",
+         main_a),
+        ("nested_boilerplate",
+         f"<html><body><div><p>{main_a}</p>"
+         '<nav><a href="/1">one link</a> <a href="/2">two link</a> '
+         '<a href="/3">three link</a></nav>'
+         f"<p>{main_b}</p></div>"
+         '<footer><a href="/tos">terms of service</a></footer>'
+         "</body></html>",
+         main_a + "\n" + main_b),
+        ("malformed_unclosed",
+         # unclosed <p> at EOF and a stray </div>: the unclosed block's
+         # text must flush, the stray endtag must not crash
+         f"</div><html><body><p>{main_a}",
+         main_a),
+        ("entity_refs",
+         "<html><body><p>salt &amp; pepper &lt;tags&gt; cost "
+         "&quot;twenty&quot; &#8364; in the market today</p></body></html>",
+         'salt & pepper <tags> cost "twenty" € in the market today'),
+    ]

@@ -85,13 +85,19 @@ class _DensityParser(HTMLParser):
 
 
 def extract_main_text(html: str) -> str:
-    """Classify blocks by text/link density; return main content text."""
+    """Classify blocks by text/link density; return main content text.
+
+    Malformed input (round 5): blocks left unclosed at EOF are flushed —
+    real-web HTML routinely drops closing tags, and losing an unclosed
+    ``<p>``'s text silently would throw away main content."""
     parser = _DensityParser()
     try:
         parser.feed(html)
         parser.close()
     except Exception:
         return ""
+    while parser._stack:                      # flush unclosed blocks
+        parser.blocks.append(parser._stack.pop())
     kept: list[str] = []
     for b in parser.blocks:
         text = " ".join(b.parts)

@@ -875,3 +875,22 @@ def test_bm25_empty_query_terms_raises(spark):
     df = spark.createDataFrame([(0, "a b")], "id long, text string")
     with pytest.raises(ValueError, match="non-empty"):
         textops.bm25_scores(df, [])
+
+
+def test_adversarial_html_cases_local_and_spark(spark):
+    """r4 VERDICT item 7: adversarial HTML structures (link-heavy tables,
+    comment bombs, inline <script>/ld+json, nested boilerplate, unclosed
+    tags, entity refs) against GROUND-TRUTH expectations — both the bare
+    classifier and the Spark kernel path (strip_html) must agree.  The
+    driver corpus itself stays frozen (byte-identity invariant)."""
+    from image_pdf_ocr_suite_spark.fixtures import adversarial_html_cases
+    from image_pdf_ocr_suite_spark.kernels.html import (
+        extract_main_text, strip_html)
+    cases = adversarial_html_cases()
+    for name, html, expected in cases:
+        assert extract_main_text(html) == expected, name
+    df = spark.createDataFrame(
+        [(name, bytearray(html.encode("utf-8"))) for name, html, _ in cases],
+        "url string, page_payload binary")
+    got = {r["url"]: r["main_text"] for r in strip_html(df).collect()}
+    assert got == {name: exp for name, _, exp in cases}
