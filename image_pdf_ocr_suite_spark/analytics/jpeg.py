@@ -1,13 +1,15 @@
 """Baseline JPEG (JFIF) codec on stdlib + numpy — public spec only
 (ITU-T T.81 / ISO 10918-1; tables from Annex K).
 
-Decoder: baseline sequential DCT (SOF0/SOF1) and progressive (SOF2 —
-spectral selection + successive approximation, EOB runs, refinement
-correction bits), grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0
-sampling, restart intervals, byte-stuffing.  Arithmetic coding, 12-bit
-precision and hierarchical modes stay behind the NotImplementedError
-codec seam — exactly the split a production Pillow/libvips binding
-would replace.
+Decoder: baseline sequential DCT (SOF0/SOF1) — single-scan interleaved
+AND the legal multi-scan non-interleaved form (one SOS per component
+subset, raster block grid per A.2.2, decoded through the same
+coefficient store as progressive) — and progressive (SOF2 — spectral
+selection + successive approximation, EOB runs, refinement correction
+bits), grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart
+intervals, byte-stuffing.  Arithmetic coding, 12-bit precision and
+hierarchical modes stay behind the NotImplementedError codec seam —
+exactly the split a production Pillow/libvips binding would replace.
 
 Encoder: the minimal fixture writer (solid colors and small test rasters;
 quality expressed directly as quant tables — all-ones tables make the
@@ -291,26 +293,29 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 scan.append({**comp, "ci": ci, "dc": tt >> 4,
                              "ac": tt & 0xF})
             if not frame["progressive"]:
-                # Guard the quarantine contract (ADVICE r4): a legal
-                # non-interleaved multi-scan baseline file (each SOS covers
-                # a subset of the frame components) would otherwise decode
-                # only the first scan silently; and a single-component scan
-                # with h/v > 1 walks the component's raster block grid
-                # (T.81 A.2.2), not the interleaved MCU grid _decode_scan
-                # implements.  Bad/unsupported input must surface as an
-                # error, never as wrong pixels.
-                if ns < len(frame["comps"]):
-                    raise NotImplementedError(
-                        "non-interleaved baseline JPEG (scan covers "
-                        f"{ns}/{len(frame['comps'])} components) needs the "
-                        "per-component block-grid walk; codec binding seam")
-                if ns == 1 and (scan[0]["h"] > 1 or scan[0]["v"] > 1):
-                    raise NotImplementedError(
-                        "single-component baseline scan with sampling "
-                        "factors > 1 uses the component raster block grid "
-                        "(T.81 A.2.2), not the MCU grid; codec binding seam")
-                return _decode_scan(payload, pos + seglen, frame, scan, qt,
-                                    huff_dc, huff_ac, restart_interval)
+                # Fast path: the common single-scan file — one SOS
+                # interleaving every frame component (or a 1:1-sampled
+                # single-component frame, where the MCU grid and the
+                # raster block grid coincide).  Everything else is the
+                # legal multi-scan / non-interleaved form (T.81 A.2.2):
+                # a single-component scan walks the component's OWN
+                # raster block grid, not the MCU grid, so those scans
+                # decode at full precision into the same coefficient
+                # store the progressive path uses, with one
+                # reconstruction at EOI.  (ADVICE r4 flagged the old
+                # guard; this closes the seam instead.)
+                if ns == len(frame["comps"]) and (
+                        ns > 1 or (scan[0]["h"] == 1
+                                   and scan[0]["v"] == 1)):
+                    return _decode_scan(payload, pos + seglen, frame, scan,
+                                        qt, huff_dc, huff_ac,
+                                        restart_interval)
+                if coef_store is None:
+                    coef_store = _prog_init_store(frame)
+                pos = _baseline_scan_to_store(
+                    payload, pos + seglen, frame, scan, huff_dc, huff_ac,
+                    coef_store, restart_interval)
+                continue
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
             if coef_store is None:
@@ -321,7 +326,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 restart_interval)
             continue
         pos += seglen
-    if frame is not None and frame.get("progressive") and coef_store:
+    if frame is not None and coef_store is not None:
+        # progressive, or baseline multi-scan: one reconstruction at EOI
         return _prog_reconstruct(frame, coef_store, qt)
     raise ValueError("JPEG has no scan data")
 
@@ -563,8 +569,10 @@ def _prog_reconstruct(frame, store, qt):
                           hmax, vmax)
 
 
-def _decode_block(reader, dc_tbl, ac_tbl, quant, pred, ci):
-    coeffs = np.zeros(64, dtype=np.int32)
+def _decode_block_coefs(reader, dc_tbl, ac_tbl, pred, ci):
+    """Sequential (baseline) block decode to RAW quantized coefficients
+    in zigzag order (spec F.2.2) — dequant/IDCT happen at the caller."""
+    coeffs = np.zeros(64, dtype=np.int64)
     t = _huff_decode(reader, dc_tbl)
     diff = _extend(reader.read_bits(t), t)
     pred[ci] += diff
@@ -583,10 +591,51 @@ def _decode_block(reader, dc_tbl, ac_tbl, quant, pred, ci):
             raise ValueError("JPEG AC run past block end")
         coeffs[k] = _extend(reader.read_bits(s), s)
         k += 1
+    return coeffs
+
+
+def _decode_block(reader, dc_tbl, ac_tbl, quant, pred, ci):
+    coeffs = _decode_block_coefs(reader, dc_tbl, ac_tbl, pred, ci)
     dq = (coeffs * quant).astype(np.float64)
     block = np.zeros((8, 8))
     block.flat[ZIGZAG] = dq                      # de-zigzag
     return _C.T @ block @ _C                     # exact float IDCT
+
+
+def _baseline_scan_to_store(data, pos, frame, scan, huff_dc, huff_ac,
+                            store, dri):
+    """One baseline scan of a multi-scan file decoded at full precision
+    into the progressive-style coefficient store.  Unit order per T.81
+    A.2: the frame's MCU grid when the scan interleaves several
+    components, the component's OWN raster block grid when it has one
+    (sampling factors then only size the component, A.2.2).  Returns the
+    position of the next marker; reconstruction happens once at EOI."""
+    reader = _BitReader(data, pos)
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    if len(scan) > 1:
+        units = [[(c, my * c["v"] + by, mx * c["h"] + bx)
+                  for c in scan
+                  for by in range(c["v"])
+                  for bx in range(c["h"])]
+                 for my in range(mcuy) for mx in range(mcux)]
+    else:
+        bh, bw = _comp_block_grid(frame, scan[0])
+        units = [[(scan[0], by, bx)]
+                 for by in range(bh) for bx in range(bw)]
+    pred = [0] * len(scan)
+    pred_of = {c["ci"]: i for i, c in enumerate(scan)}
+    for u, blocks in enumerate(units):
+        if dri and u and u % dri == 0:
+            reader.sync_to_restart()
+            pred = [0] * len(scan)
+        try:
+            for c, by, bx in blocks:
+                store[c["ci"]][by, bx] = _decode_block_coefs(
+                    reader, huff_dc[c["dc"]], huff_ac[c["ac"]],
+                    pred, pred_of[c["ci"]])
+        except _RestartMarker:
+            raise ValueError("JPEG restart marker out of position")
+    return _next_marker_pos(data, reader.pos)
 
 
 # ---------------------------------------------------------------------------
@@ -654,11 +703,14 @@ def _encode_block(writer, block, quant, pred, ci, dc_enc, ac_enc):
 
 
 def encode_jpeg(arr: np.ndarray, quant_luma: int = 1, quant_chroma: int = 1,
-                subsample=False, restart_interval: int = 0) -> bytes:
+                subsample=False, restart_interval: int = 0,
+                interleaved: bool = True) -> bytes:
     """Minimal baseline encoder for fixtures/tests: grayscale (HxW) or
     RGB (HxWx3), flat quant tables (value ``quant_*`` everywhere — 1 =
     lossless up to DCT rounding), optional 4:2:0 subsampling and DRI
-    restart markers.  Standard Annex-K huffman tables."""
+    restart markers.  Standard Annex-K huffman tables.
+    ``interleaved=False`` emits the legal multi-scan form: one SOS per
+    component, blocks in the component's own raster grid (T.81 A.2.2)."""
     arr = np.asarray(arr, dtype=np.float64)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -703,31 +755,70 @@ def encode_jpeg(arr: np.ndarray, quant_luma: int = 1, quant_chroma: int = 1,
     dc_c = _build_encode_table(DC_CHR_BITS, DC_CHR_VALS)
     ac_c = _build_encode_table(AC_CHR_BITS, AC_CHR_VALS)
 
-    writer = _BitWriter()
-    pred = [0] * len(comps)
-    mcu_count = 0
-    rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                writer.flush()
-                writer.out += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                pred = [0] * len(comps)
-            for ci, p in enumerate(planes):
-                sh, sv = samp[ci]
-                quant = ql if ci == 0 else qc
-                dce = dc_l if ci == 0 else dc_c
-                ace = ac_l if ci == 0 else ac_c
-                for by in range(sv):
-                    for bx in range(sh):
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
-                        _encode_block(writer, p[y0:y0 + 8, x0:x0 + 8],
-                                      quant, pred, ci, dce, ace)
-            mcu_count += 1
-    writer.flush()
+    nc_total = len(comps)
+    scans = []                                   # (sos_body, entropy bytes)
+    if interleaved:
+        writer = _BitWriter()
+        pred = [0] * nc_total
+        mcu_count = 0
+        rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and \
+                        mcu_count % restart_interval == 0:
+                    writer.flush()
+                    writer.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    pred = [0] * nc_total
+                for ci, p in enumerate(planes):
+                    sh, sv = samp[ci]
+                    quant = ql if ci == 0 else qc
+                    dce = dc_l if ci == 0 else dc_c
+                    ace = ac_l if ci == 0 else ac_c
+                    for by in range(sv):
+                        for bx in range(sh):
+                            y0 = (my * sv + by) * 8
+                            x0 = (mx * sh + bx) * 8
+                            _encode_block(writer, p[y0:y0 + 8, x0:x0 + 8],
+                                          quant, pred, ci, dce, ace)
+                mcu_count += 1
+        writer.flush()
+        sos = bytes([nc_total])
+        for ci in range(nc_total):
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += bytes([0, 63, 0])
+        scans.append((sos, bytes(writer.out)))
+    else:
+        # non-interleaved: one scan per component, raster block grid
+        # sized by the component's true dimensions (T.81 A.2.2) — the
+        # MCU-padded plane may carry extra pad blocks that are NOT coded
+        for ci, p in enumerate(planes):
+            sh, sv = samp[ci]
+            cw = (w * sh + hmax - 1) // hmax
+            ch = (h * sv + vmax - 1) // vmax
+            bh, bw = (ch + 7) // 8, (cw + 7) // 8
+            quant = ql if ci == 0 else qc
+            dce = dc_l if ci == 0 else dc_c
+            ace = ac_l if ci == 0 else ac_c
+            writer = _BitWriter()
+            pred = [0] * nc_total
+            cnt = 0
+            rst = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and cnt and \
+                            cnt % restart_interval == 0:
+                        writer.flush()
+                        writer.out += bytes([0xFF, 0xD0 + rst])
+                        rst = (rst + 1) % 8
+                        pred = [0] * nc_total
+                    _encode_block(writer,
+                                  p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8],
+                                  quant, pred, ci, dce, ace)
+                    cnt += 1
+            writer.flush()
+            sos = bytes([1, ci + 1, 0x00 if ci == 0 else 0x11, 0, 63, 0])
+            scans.append((sos, bytes(writer.out)))
 
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -754,12 +845,9 @@ def encode_jpeg(arr: np.ndarray, quant_luma: int = 1, quant_chroma: int = 1,
         out += dht(1, 1, AC_CHR_BITS, AC_CHR_VALS)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([nc])
-    for ci in range(nc):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += writer.out
+    for sos_body, entropy in scans:
+        out += seg(0xDA, sos_body)
+        out += entropy
     out += b"\xff\xd9"
     return bytes(out)
 
