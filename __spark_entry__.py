@@ -1027,13 +1027,35 @@ def q_line_dedup(spark, sf_dir):
     return corpusprep.line_dedup_stats(lines)
 
 
+def q_substring_dup_spans(spark, sf_dir):
+    """Exact-substring dedup, span discovery (Lee et al. 2022
+    fixed-window approximation): maximal merged token spans of 20-gram
+    windows whose text repeats anywhere in the corpus, minus the single
+    corpus-wide keeper occurrence per window.  Digest-only shuffles —
+    (md5, id, pos) rows, never window text
+    (analytics/corpusprep.py::duplicate_spans)."""
+    return corpusprep.duplicate_spans(
+        _t(spark, sf_dir, "documents"), n=20)
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup, applied: documents with their duplicated
+    spans cut out (keeper copies survive), rebuilt on the shared
+    single-space token contract.  The cut is a map-only Catalyst
+    (tok, i) filter against per-doc span arrays
+    (analytics/corpusprep.py::cut_duplicate_spans)."""
+    return corpusprep.cut_duplicate_spans(
+        _t(spark, sf_dir, "documents"), n=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order matters: the driver's CORRECTNESS gate records
     exactly the first 50 entries.  Window layout (round 5): the 5
     golden-parquet flagships and both ``*_stats`` binary-sink twins stay
-    pinned; then the 3 queries that have never had a driver row (the
+    pinned; then the 5 queries that have never had a driver row (the
     round-4 flagship scale features: incremental minhash-index dedup,
-    IVF append, snapshot time travel); then every query whose NEWEST
+    IVF append, snapshot time travel; plus round 5's exact-substring
+    dedup pair); then every query whose NEWEST
     driver row is r1-r3 (the §2.2 relational family and text-analysis
     rows rotated out in r4) so no evidence ages past two rounds; the
     remaining slots keep this round's most load-bearing r4-green rows
@@ -1054,6 +1076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_index": q_dedup_against_index,
         "ivf_append_probe": q_ivf_append_probe,
         "snapshot_time_travel": q_snapshot_time_travel,
+        "substring_dup_spans": q_substring_dup_spans,
+        "substring_dedup": q_substring_dedup,
         # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
         "winnow_fingerprints": q_winnow_fingerprints,
         "topk_cosine": q_topk_cosine,
@@ -1092,12 +1116,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "asof_join_views": q_asof_join_views,
         "watermark_dedup": q_watermark_dedup,
-        "sessionize": q_sessionize,
         "decontaminate": q_decontaminate,
         "corpus_clean_verified": q_corpus_clean_verified,
         "ann_lsh_topk_banded": q_ann_lsh_topk_banded,
-        "ivf_topk_from_index": q_ivf_topk_from_index,
         # ---- position 51+: r4-driver-green, pytest-parity only ----
+        "sessionize": q_sessionize,
+        "ivf_topk_from_index": q_ivf_topk_from_index,
         "ann_lsh_topk_from_index": q_ann_lsh_topk_from_index,
         "searchable_pdf": q_searchable_pdf,
         "images_to_pdf": q_images_to_pdf,
@@ -2236,4 +2260,90 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_kept
             FROM r GROUP BY doc_id""",
+        "substring_dup_spans": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split(COALESCE(text, ''),
+                                          ' '), x -> x <> '') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+            g AS (SELECT doc_id, toks,
+                         unnest(CASE WHEN nt >= 20
+                                     THEN range(1, nt - 20 + 2)
+                                     ELSE [] END) AS i
+                  FROM s),
+            h AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                         md5(array_to_string(toks[i:i+19], ' ')) AS h
+                  FROM g),
+            r AS (SELECT doc_id, pos,
+                         COUNT(*) OVER (PARTITION BY h) AS c,
+                         ROW_NUMBER() OVER (PARTITION BY h
+                                            ORDER BY doc_id, pos) AS rn
+                  FROM h),
+            d AS (SELECT doc_id, pos FROM r WHERE c > 1 AND rn > 1),
+            i1 AS (SELECT doc_id, pos,
+                          CASE WHEN pos > COALESCE(
+                              MAX(pos + 20) OVER (PARTITION BY doc_id
+                                  ORDER BY pos ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND 1 PRECEDING), -1)
+                               THEN 1 ELSE 0 END AS nw
+                   FROM d),
+            i2 AS (SELECT doc_id, pos,
+                          SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                        ROWS UNBOUNDED PRECEDING) AS grp
+                   FROM i1)
+            SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+                   CAST(MAX(pos) + 20 AS INTEGER) AS span_end,
+                   CAST(MAX(pos) + 20 - MIN(pos) AS INTEGER) AS span_tokens
+            FROM i2 GROUP BY doc_id, grp""",
+        "substring_dedup": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split(COALESCE(text, ''),
+                                          ' '), x -> x <> '') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+            g AS (SELECT doc_id, toks,
+                         unnest(CASE WHEN nt >= 20
+                                     THEN range(1, nt - 20 + 2)
+                                     ELSE [] END) AS i
+                  FROM s),
+            h AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                         md5(array_to_string(toks[i:i+19], ' ')) AS h
+                  FROM g),
+            r AS (SELECT doc_id, pos,
+                         COUNT(*) OVER (PARTITION BY h) AS c,
+                         ROW_NUMBER() OVER (PARTITION BY h
+                                            ORDER BY doc_id, pos) AS rn
+                  FROM h),
+            d AS (SELECT doc_id, pos FROM r WHERE c > 1 AND rn > 1),
+            i1 AS (SELECT doc_id, pos,
+                          CASE WHEN pos > COALESCE(
+                              MAX(pos + 20) OVER (PARTITION BY doc_id
+                                  ORDER BY pos ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND 1 PRECEDING), -1)
+                               THEN 1 ELSE 0 END AS nw
+                   FROM d),
+            i2 AS (SELECT doc_id, pos,
+                          SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                        ROWS UNBOUNDED PRECEDING) AS grp
+                   FROM i1),
+            sp AS (SELECT doc_id, MIN(pos) AS span_start,
+                          MAX(pos) + 20 AS span_end
+                   FROM i2 GROUP BY doc_id, grp),
+            tok AS (SELECT doc_id, unnest(toks) AS tok,
+                           unnest(range(1, nt + 1)) AS j
+                    FROM s),
+            kept AS (SELECT k.doc_id, k.tok, k.j FROM tok k
+                     WHERE NOT EXISTS (
+                         SELECT 1 FROM sp
+                         WHERE sp.doc_id = k.doc_id
+                           AND k.j - 1 >= sp.span_start
+                           AND k.j - 1 < sp.span_end)),
+            agg AS (SELECT doc_id,
+                           string_agg(tok, ' ' ORDER BY j) AS clean_text,
+                           COUNT(*) AS nk
+                    FROM kept GROUP BY doc_id)
+            SELECT s.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+                   CAST(s.nt AS INTEGER) AS n_tokens,
+                   CAST(s.nt - COALESCE(a.nk, 0) AS INTEGER) AS n_removed
+            FROM s LEFT JOIN agg a ON s.doc_id = a.doc_id""",
     }

@@ -358,3 +358,151 @@ def line_dedup_stats(lines: DataFrame, id_col: str = "doc_id",
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.sum(F.when(F.col("__r") == 1, 1).otherwise(0))
          .cast("bigint").alias("n_kept"))
+
+
+def _positional_gram_hashes(df: DataFrame, n: int, text_col: str,
+                            id_col: str, impl: str = "arrow") -> DataFrame:
+    """``(id, pos, __h)`` rows: md5-hex of the word ``n``-gram window
+    STARTING at token index ``pos`` (0-based over the shared
+    single-space token contract, empties dropped).  Unlike
+    ``_ngram_hashes`` the window position is kept — exact-substring
+    dedup needs it to cut spans back out of the document.
+
+    Default is the same factorize→md5-per-unique→gather Arrow kernel
+    (repeated windows hash once per batch); ``impl="catalyst"`` keeps the
+    SQL-mirroring ``transform`` + ``posexplode`` spelling (interpreted
+    HOF — GC-bound at corpus scale, see ``_ngram_hashes_catalyst``)."""
+    if impl == "catalyst":
+        base = (df.select(F.col(id_col),
+                          token_array_expr(text_col).alias("__toks"))
+                  .select(F.col(id_col), F.col("__toks"),
+                          F.size("__toks").alias("__n")))
+        grams = F.when(
+            F.col("__n") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n") - (n - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("__toks"), i, n)))),
+        ).otherwise(F.array().cast("array<string>"))
+        return base.select(F.col(id_col),
+                           F.posexplode(grams).alias("pos", "__h"))
+
+    import numpy as np
+    import pandas as pd
+
+    from image_pdf_ocr_suite_spark.analytics.hashkernels import (
+        factorize_md5_hex, iter_flat_chunks)
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, gram_lists = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(t, str) or not t:
+                    continue
+                toks = [x for x in t.split(" ") if x]
+                if len(toks) < n:
+                    continue
+                gram_lists.append([" ".join(toks[j:j + n])
+                                   for j in range(len(toks) - n + 1)])
+                ids.append(i)
+            for cids, lens, flat in iter_flat_chunks(ids, gram_lists):
+                codes, uhex = factorize_md5_hex(flat)
+                pos = np.concatenate([np.arange(l, dtype=np.int32)
+                                      for l in lens]) if len(lens) else \
+                    np.array([], dtype=np.int32)
+                yield pd.DataFrame({id_col: np.repeat(np.array(cids), lens),
+                                    "pos": pos, "__h": uhex[codes]})
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, pos int, __h string")
+
+
+def duplicate_spans(df: DataFrame, n: int = 20, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    impl: str = "arrow") -> DataFrame:
+    """Exact-substring duplication spans (the fixed-window distributed
+    approximation of suffix-array training-data dedup, Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"): every
+    ``n``-token window whose exact text occurs MORE THAN ONCE in the
+    corpus — including repeats inside one document — is a duplicated
+    occurrence, EXCEPT the single keeper occurrence (minimal
+    ``(id, pos)`` per window text, so one copy of every duplicated
+    passage survives corpus-wide).  Overlapping/adjacent duplicated
+    windows per document merge into maximal token spans
+    (gaps-and-islands).  Returns ``(id, span_start, span_end,
+    span_tokens)`` with 0-based token indices, ``span_end`` exclusive.
+
+    Scale shape: the only data-sized exchange is the window-hash
+    aggregate, and it carries ``(16-byte digest, id, pos)`` rows — never
+    window text (one digest row per corpus token, the same order of
+    traffic as the tokenize stage itself; a count-min prefilter could
+    shrink it further but changes no semantics).  ``groupBy(__h)`` gets
+    map-side partial aggregation; the surviving duplicated-hash table is
+    the tiny fraction with count > 1, joined back hash-to-hash (AQE
+    picks broadcast when it fits).  The island merge windows over
+    DUPLICATED occurrences only, partitioned by document."""
+    occ = _positional_gram_hashes(df, n, text_col, id_col, impl=impl)
+    stats = (occ.groupBy("__h")
+                .agg(F.count(F.lit(1)).alias("__c"),
+                     F.min(F.struct(F.col(id_col), F.col("pos")))
+                      .alias("__keep"))
+                .filter(F.col("__c") > 1))
+    dup = (occ.join(stats, "__h")
+              .filter(~((F.col(id_col) == F.col("__keep")[id_col])
+                        & (F.col("pos") == F.col("__keep")["pos"])))
+              .select(id_col, "pos"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = dup.withColumn(
+        "__new", F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)),
+                        1).otherwise(0))
+    grp = isl.withColumn(
+        "__g", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding,
+                                                 0)))
+    return grp.groupBy(id_col, "__g").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        (F.max("pos") + n).cast("int").alias("span_end"),
+        (F.max("pos") + n - F.min("pos")).cast("int").alias("span_tokens"),
+    ).drop("__g")
+
+
+def cut_duplicate_spans(df: DataFrame, n: int = 20, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        impl: str = "arrow") -> DataFrame:
+    """Remove every duplicated span found by :func:`duplicate_spans`
+    from the document body, keeping the corpus-wide keeper copy intact.
+    Returns ``(id, clean_text, n_tokens, n_removed)`` — ``clean_text``
+    re-joins the surviving tokens with single spaces (the shared token
+    contract), every input document appears exactly once.
+
+    Scale shape: spans collapse to one small array per affected document
+    before rejoining, so the document text crosses no shuffle keyed on
+    anything but its own id — and the span side is the output of a
+    ``count > 1`` filter, which AQE broadcasts when it fits.  The token
+    cut itself is a map-only Catalyst ``filter((tok, i) -> ...)`` over
+    the materialized token array (two-parameter lambda = element, index;
+    spans per document are few, so the interpreted containment probe
+    stays cheap)."""
+    spans = duplicate_spans(df, n, text_col, id_col, impl=impl)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans"))
+    # null text tokenizes to [] (not null) so every document emits a row
+    toks = (df.select(F.col(id_col),
+                      F.filter(F.split(F.coalesce(F.col(text_col),
+                                                  F.lit("")), " "),
+                               lambda x: x != "").alias("__toks"))
+              .join(per_doc, id_col, "left"))
+    empty = F.array().cast("array<struct<span_start:int,span_end:int>>")
+    sp = F.coalesce(F.col("__spans"), empty)
+    kept = F.filter(
+        F.col("__toks"),
+        lambda x, i: ~F.exists(
+            sp, lambda s: (i >= s["span_start"]) & (i < s["span_end"])))
+    return toks.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("__toks").cast("int").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("int").alias("n_removed"))
