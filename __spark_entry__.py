@@ -25,7 +25,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from image_pdf_ocr_suite_spark import ExtractConfig, extract_pages
-from image_pdf_ocr_suite_spark.analytics import corpusprep, dedup, multimodal, similarity, text as textops
+from image_pdf_ocr_suite_spark.analytics import (
+    corpusprep, dedup, graph, multimodal, similarity, sketches,
+    text as textops)
 from image_pdf_ocr_suite_spark.fixtures import build_pages_df
 
 CFG = ExtractConfig()
@@ -1048,19 +1050,117 @@ def q_substring_dedup(spark, sf_dir):
         _t(spark, sf_dir, "documents"), n=20)
 
 
+_CM_PROBE_TOKENS = ["join", "hash", "row", "batch", "scan", "customer",
+                    "absent-token-a", "absent-token-b"]
+
+
+def _trigram_rows(spark, sf_dir):
+    """(lang, gram) rows: token trigrams on the shared single-space
+    contract — the high-cardinality value stream the KMV sketch
+    estimates (distinct TOKENS in the synthetic corpus number ~dozens;
+    trigrams number thousands, so the estimator path k<=n executes)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("lang", textops.token_array_expr("text").alias("__toks"))
+    grams = F.when(
+        F.size("__toks") >= 3,
+        F.transform(F.sequence(F.lit(1), F.size("__toks") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("__toks", i, 3)))
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select("lang", F.explode(grams).alias("gram"))
+
+
+def q_kmv_distinct_trigrams(spark, sf_dir):
+    """Per-language distinct-trigram estimate via the KMV bottom-k
+    sketch (analytics/sketches.py) — k=256 smallest distinct 48-bit md5
+    values; estimate = (k-1)*2^48 // kth_min, all-integer so the DuckDB
+    oracle matches bit-for-bit.  Partial sketches are built per
+    partition (Arrow kernel, <=k rows out per group per batch); only
+    bounded sketch rows shuffle, never the distinct-value stream."""
+    return sketches.kmv_distinct(_trigram_rows(spark, sf_dir), "gram",
+                                 k=256, group_cols=["lang"])
+
+
+def q_cm_token_counts(spark, sf_dir):
+    """Count-min sketch (depth 4 x width 1024, md5 row-hashes) built
+    over all document tokens, probed with a fixed token list:
+    (tok, est_count, true_count) — est >= true always (one-sided CM
+    guarantee; equality when no bucket collision).  The sketch build is
+    an ordinary map-side-combinable aggregation; the finished sketch is
+    depth*width rows, broadcast to the probes
+    (analytics/sketches.py::cm_build/cm_estimate)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(textops.token_array_expr("text")).alias("tok"))
+    sk = sketches.cm_build(tok, "tok", depth=4, width=1024)
+    probes = spark.createDataFrame([(t,) for t in _CM_PROBE_TOKENS],
+                                   "tok string")
+    est = sketches.cm_estimate(sk, probes, "tok", depth=4, width=1024)
+    truec = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    return (est.join(truec, "tok", "left")
+            .select("tok", "est_count",
+                    F.coalesce("true_count", F.lit(0)).cast("bigint")
+                     .alias("true_count")))
+
+
+def q_extract_links(spark, sf_dir):
+    """Hyperlink mining over the pages table: one row per <a href> on
+    html-classified payloads, with RFC-3986-resolved targets — the
+    link-graph source feeding analytics/graph.py.  Map-only Arrow
+    kernel, column-pruned (url, html) scan, zero shuffles
+    (kernels/html.py::extract_links)."""
+    from image_pdf_ocr_suite_spark.kernels.html import extract_links
+    return extract_links(build_pages_df(spark, sf_dir))
+
+
+def _synthetic_edges(spark, sf_dir):
+    """Deterministic web-graph stand-in over documents ids: doc i links
+    to (37*i + 101*j) % N for j in 1..1+(i%3), self-loops dropped —
+    the exact CTE the oracle spells, so graph results check exactly."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    e = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.sequence(F.lit(1),
+                             (F.col("doc_id") % 3 + 2) - 1)).alias("j"))
+    return (e.select("src", ((F.col("src") * 37 + F.col("j") * 101) % n)
+                     .alias("dst"))
+             .where(F.col("dst") != F.col("src")))
+
+
+def q_pagerank(spark, sf_dir):
+    """Integer-scaled PageRank (analytics/graph.py) over the
+    deterministic document link graph: (node, rank) BIGINT ranks in
+    1e-9 units after 5 damped rounds — floor-division arithmetic makes
+    the ranks bit-identical to the oracle's unrolled SQL iterations.
+    Per round: one src-colocated join of the 1-row-per-node rank table
+    against the checkpointed edge relation + one combinable sum."""
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id"))
+    return graph.pagerank(_synthetic_edges(spark, sf_dir),
+                          nodes=docs, n_iter=5)
+
+
+def q_link_degree_stats(spark, sf_dir):
+    """Per-node out/in degree of the document link graph — the cheap
+    graph-quality filter signals (analytics/graph.py::degree_stats):
+    two combinable counts + one node-keyed outer join."""
+    return graph.degree_stats(_synthetic_edges(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order matters: the driver's CORRECTNESS gate records
     exactly the first 50 entries.  Window layout (round 5): the 5
     golden-parquet flagships and both ``*_stats`` binary-sink twins stay
-    pinned; then the 5 queries that have never had a driver row (the
+    pinned; then the 10 queries that have never had a driver row (the
     round-4 flagship scale features: incremental minhash-index dedup,
     IVF append, snapshot time travel; plus round 5's exact-substring
-    dedup pair); then every query whose NEWEST
+    dedup pair, band-split ANN probe, KMV / count-min sketches, link
+    mining, and integer PageRank); then every query whose NEWEST
     driver row is r1-r3 (the §2.2 relational family and text-analysis
     rows rotated out in r4) so no evidence ages past two rounds; the
     remaining slots keep this round's most load-bearing r4-green rows
-    (the dedup/media/bm25 code touched in round 5 plus the staple
-    pipeline legs).  Everything past 50 is r4-driver-green and remains
+    (the dedup/bm25 code touched in round 5 plus the staple pipeline
+    legs).  Everything past 50 is r4-driver-green and remains
     covered by tests/test_oracle_parity.py, which replicates the gate
     over the FULL registry."""
     return {
@@ -1078,6 +1178,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_time_travel": q_snapshot_time_travel,
         "substring_dup_spans": q_substring_dup_spans,
         "substring_dedup": q_substring_dedup,
+        "kmv_distinct_trigrams": q_kmv_distinct_trigrams,
+        "cm_token_counts": q_cm_token_counts,
+        "extract_links": q_extract_links,
+        "pagerank": q_pagerank,
+        "link_degree_stats": q_link_degree_stats,
         # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
         "winnow_fingerprints": q_winnow_fingerprints,
         "topk_cosine": q_topk_cosine,
@@ -1110,16 +1215,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r4-green rows kept in-window: code touched in round 5 or
         #    load-bearing pipeline legs --
         "near_dup_components": q_near_dup_components,
-        "minhash_candidate_pairs": q_minhash_candidate_pairs,
         "bm25_scores": q_bm25_scores,
+        "watermark_dedup": q_watermark_dedup,
+        "decontaminate": q_decontaminate,
+        "ann_lsh_topk_banded": q_ann_lsh_topk_banded,
+        # ---- position 51+: r4-driver-green, pytest-parity only ----
+        "minhash_candidate_pairs": q_minhash_candidate_pairs,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "asof_join_views": q_asof_join_views,
-        "watermark_dedup": q_watermark_dedup,
-        "decontaminate": q_decontaminate,
         "corpus_clean_verified": q_corpus_clean_verified,
-        "ann_lsh_topk_banded": q_ann_lsh_topk_banded,
-        # ---- position 51+: r4-driver-green, pytest-parity only ----
         "sessionize": q_sessionize,
         "ivf_topk_from_index": q_ivf_topk_from_index,
         "ann_lsh_topk_from_index": q_ann_lsh_topk_from_index,
@@ -1259,6 +1364,39 @@ def _ann_lsh_topk_oracle(n_planes: int = 12, max_hamming: int = 3,
         WHERE bit_count(xor(sketch, qsketch)) <= {max_hamming}
         ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
         LIMIT {k}"""
+
+
+# Deterministic document link graph shared by the graph oracles — must
+# spell exactly the expressions of _synthetic_edges().
+_EDGES_ORACLE_CTE = """
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    e AS (SELECT doc_id AS src, (doc_id * 37 + j * 101) % nn.n AS dst
+          FROM documents, nn, unnest(range(1, doc_id % 3 + 2)) AS u(j)
+          WHERE (doc_id * 37 + j * 101) % nn.n <> doc_id)"""
+
+
+def _pagerank_oracle(n_iter: int = 5, damping_pct: int = 85,
+                     scale: int = 10 ** 9) -> str:
+    """Unrolled integer-PageRank iterations (analytics/graph.py::pagerank
+    semantics): every round is BIGINT floor arithmetic, so the unrolled
+    SQL reproduces the Spark ranks exactly — no float tolerance."""
+    base = ((100 - damping_pct) * scale) // 100
+    ctes = [f"""
+    nd AS (SELECT doc_id AS node FROM documents),
+    od AS (SELECT src, COUNT(*) AS c FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) AS "rank" FROM nd)"""]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""
+    r{i} AS (SELECT nd.node,
+                    CAST({base} + ({damping_pct} * COALESCE(s.s, 0)) // 100
+                         AS BIGINT) AS "rank"
+             FROM nd LEFT JOIN (
+                 SELECT e.dst AS node, SUM(r{i - 1}."rank" // od.c) AS s
+                 FROM e JOIN r{i - 1} ON e.src = r{i - 1}.node
+                        JOIN od ON e.src = od.src
+                 GROUP BY e.dst) s ON nd.node = s.node)""")
+    return (f"WITH {_EDGES_ORACLE_CTE}, {','.join(ctes)}\n"
+            f'    SELECT node, "rank" FROM r{n_iter}')
 
 
 def _media_oracles() -> dict[str, str]:
@@ -2346,4 +2484,92 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.nt AS INTEGER) AS n_tokens,
                    CAST(s.nt - COALESCE(a.nk, 0) AS INTEGER) AS n_removed
             FROM s LEFT JOIN agg a ON s.doc_id = a.doc_id""",
+        # KMV sketch contract (analytics/sketches.py): 48-bit hash =
+        # first 12 md5-hex chars; est = (k-1)*2^48 // kth (k=256,
+        # 255 * 2^48 = 71776119061217280) — all-integer, exact.
+        "kmv_distinct_trigrams": """
+            WITH t AS (SELECT lang,
+                              list_filter(string_split(text, ' '),
+                                          x -> x <> '') AS toks
+                       FROM documents WHERE text IS NOT NULL),
+            g AS (SELECT lang, array_to_string(toks[i:i+2], ' ') AS gram
+                  FROM t, unnest(CASE WHEN len(toks) >= 3
+                                      THEN range(1, len(toks) - 1)
+                                      ELSE [] END) AS u(i)),
+            h AS (SELECT DISTINCT lang,
+                         CAST('0x' || substr(md5(gram), 1, 12) AS BIGINT)
+                             AS h
+                  FROM g),
+            r AS (SELECT lang, h,
+                         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h)
+                             AS rn
+                  FROM h),
+            m AS (SELECT lang, COUNT(*) AS nm, MAX(h) AS kth
+                  FROM r WHERE rn <= 256 GROUP BY lang)
+            SELECT lang, CAST(nm AS INTEGER) AS n_minima,
+                   CASE WHEN nm < 256 THEN CAST(nm AS BIGINT)
+                        ELSE CAST(71776119061217280 AS BIGINT) // kth
+                   END AS est_distinct
+            FROM m""",
+        # Count-min contract: row-j bucket = 48-bit md5 of 'j:item' mod
+        # width (depth 4, width 1024); est = min over rows, 0 on an
+        # empty bucket (one-sided: est >= true).
+        "cm_token_counts": """
+            WITH tok AS (SELECT unnest(list_filter(
+                                    string_split(text, ' '),
+                                    x -> x <> '')) AS tok
+                         FROM documents WHERE text IS NOT NULL),
+            tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM tok GROUP BY tok),
+            b AS (SELECT tok, c, j,
+                         CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                              || tok), 1, 12) AS BIGINT) % 1024 AS bucket
+                  FROM tc, unnest([0, 1, 2, 3]) AS u(j)),
+            sk AS (SELECT j, bucket, CAST(SUM(c) AS BIGINT) AS cnt
+                   FROM b GROUP BY j, bucket),
+            probes(tok) AS (VALUES ('join'), ('hash'), ('row'), ('batch'),
+                            ('scan'), ('customer'), ('absent-token-a'),
+                            ('absent-token-b')),
+            pb AS (SELECT p.tok, j,
+                          CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                               || p.tok), 1, 12) AS BIGINT) % 1024
+                              AS bucket
+                   FROM probes p, unnest([0, 1, 2, 3]) AS u(j)),
+            est AS (SELECT pb.tok, MIN(COALESCE(sk.cnt, 0)) AS est_count
+                    FROM pb LEFT JOIN sk
+                      ON pb.j = sk.j AND pb.bucket = sk.bucket
+                    GROUP BY pb.tok)
+            SELECT est.tok, CAST(est_count AS BIGINT) AS est_count,
+                   CAST(COALESCE(tc.c, 0) AS BIGINT) AS true_count
+            FROM est LEFT JOIN tc ON est.tok = tc.tok""",
+        # Closed-form from the fixture dispatch (fixtures.py::build_html,
+        # doc_id % 29 = 23): 8 nav + 4 ad + 2 footer links per html page,
+        # root-relative hrefs resolve against https://example.com.
+        "extract_links": """
+            WITH ids AS (SELECT doc_id FROM documents
+                         WHERE doc_id % 29 = 23),
+            l(seq, href, anchor) AS (VALUES
+                (0, '/0', 'nav item 0'), (1, '/1', 'nav item 1'),
+                (2, '/2', 'nav item 2'), (3, '/3', 'nav item 3'),
+                (4, '/4', 'nav item 4'), (5, '/5', 'nav item 5'),
+                (6, '/6', 'nav item 6'), (7, '/7', 'nav item 7'),
+                (8, '/ad0', 'buy 0'), (9, '/ad1', 'buy 1'),
+                (10, '/ad2', 'buy 2'), (11, '/ad3', 'buy 3'),
+                (12, '/tos', 'terms'), (13, '/pp', 'privacy'))
+            SELECT 'https://example.com/doc/'
+                       || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+                   CAST(seq AS INTEGER) AS seq, href, anchor,
+                   'https://example.com' || href AS resolved
+            FROM ids, l""",
+        "pagerank": _pagerank_oracle(),
+        "link_degree_stats": f"""
+            WITH {_EDGES_ORACLE_CTE},
+            o AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg
+                  FROM e GROUP BY src),
+            i AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_deg
+                  FROM e GROUP BY dst)
+            SELECT COALESCE(o.node, i.node) AS node,
+                   CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
+                   CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg
+            FROM o FULL JOIN i ON o.node = i.node""",
     }

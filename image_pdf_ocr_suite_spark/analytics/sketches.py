@@ -1,0 +1,171 @@
+"""Mergeable cardinality / frequency sketches for corpus statistics.
+
+Two deterministic, cross-engine-checkable sketches a 100-TB corpus
+pipeline needs where exact answers are shuffle-prohibitive:
+
+- **KMV (k-minimum-values) distinct sketch** — distinct-count estimation
+  (Bar-Yossef et al. 2002; the theta-sketch bottom-k form).  The sketch
+  of a column is the ``k`` smallest *distinct* 48-bit hash values;
+  sketches merge by union-then-trim, so partitions combine associatively
+  and the estimate is ``(k-1) * 2^48 // kth_min`` — all integer
+  arithmetic, bit-identical in any engine.
+- **Count-min sketch** (Cormode & Muthukrishnan 2005) — frequency
+  estimation with one-sided error.  ``depth`` independent md5-derived
+  bucket rows of ``width`` counters; a point estimate is the min across
+  rows.  Counter updates are plain ``GROUP BY`` sums, so the build is a
+  map-side-combinable aggregation and the finished sketch is
+  ``depth*width`` rows regardless of corpus size.
+
+Hashing contract (shared with the SQL oracles — change BOTH or neither):
+48-bit value = first 12 hex chars of md5, i.e. Spark
+``conv(substr(md5(x), 1, 12), 16, 10)`` ==
+DuckDB ``CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)``; count-min row
+``j`` hashes ``md5(j || ':' || token)``.
+
+Reference scope note: the reference suite (Hiro-Chiba/image-pdf-ocr-suite)
+has no sketch layer — these are the task-mandated training-data-pipeline
+additions (SURVEY §2 LLM-pipeline family), built Spark-first.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+HASH_BITS = 48
+HASH_SPACE = 1 << HASH_BITS
+
+
+def hash48_expr(col):
+    """48-bit md5 hash of a (string-cast) column — small enough that all
+    sketch arithmetic stays exact in BIGINT on both engines."""
+    return (F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 12),
+                   16, 10).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+def kmv_minima(df: DataFrame, col: str, k: int = 256,
+               group_cols: Sequence[str] = ()) -> DataFrame:
+    """Per-group KMV sketch: ``(group..., minima array<bigint>)`` with the
+    ``<= k`` smallest distinct 48-bit hashes of ``col``, ascending.
+
+    Scale shape: a partition-level Arrow kernel emits at most ``k``
+    ``(group, hash)`` rows per group per batch (the partial sketch), so
+    the merge ``groupBy`` shuffles ``O(batches * k)`` rows per group —
+    never the distinct-value set itself.  The final union-trim is a
+    Catalyst ``collect_set -> array_sort -> slice`` over that bounded
+    input.  No text rides any shuffle — hashes only."""
+    import pandas as pd  # noqa: F401  (kernel-side)
+
+    gcols = list(group_cols)
+    hashed = df.select(*gcols, hash48_expr(col).alias("__h")).where(
+        F.col("__h").isNotNull())
+
+    out_schema = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in gcols]
+        + ["__h bigint"])
+
+    def partial(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            dedup = pdf.drop_duplicates()
+            dedup = dedup.sort_values([*gcols, "__h"], kind="mergesort")
+            if gcols:
+                yield dedup.groupby(gcols, sort=False).head(k)
+            else:
+                yield dedup.head(k)
+
+    partials = hashed.mapInPandas(partial, schema=out_schema)
+    agg = partials.groupBy(*gcols) if gcols else partials.groupBy()
+    return agg.agg(
+        F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("minima"))
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256,
+                 group_cols: Sequence[str] = ()) -> DataFrame:
+    """Per-group distinct-count estimate from the KMV sketch:
+    ``(group..., n_minima int, est_distinct bigint)``.
+
+    With fewer than ``k`` distinct hashes the sketch IS the distinct set
+    (exact count); at ``k`` the estimator is ``(k-1) * 2^48 // kth_min``
+    — integer division, so Spark and the SQL oracle agree bit-for-bit."""
+    sk = kmv_minima(df, col, k=k, group_cols=group_cols)
+    n = F.size("minima")
+    kth = F.element_at("minima", n)
+    est = F.when(n < k, n.cast("bigint")).otherwise(
+        F.expr(f"CAST({(k - 1) * HASH_SPACE} AS BIGINT) div "
+               f"element_at(minima, size(minima))"))
+    return sk.select(*group_cols, n.cast("int").alias("n_minima"),
+                     est.alias("est_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+def cm_bucket_expr(item_col: str, row: int, width: int):
+    """Bucket of ``item_col`` in count-min row ``row``:
+    48-bit md5 of ``row:item``, mod ``width``."""
+    tagged = F.concat(F.lit(f"{row}:"), F.col(item_col).cast("string"))
+    return (F.conv(F.substring(F.md5(tagged), 1, 12), 16, 10)
+             .cast("bigint") % width)
+
+
+def cm_build(items: DataFrame, item_col: str, count_col: str | None = None,
+             depth: int = 4, width: int = 1024) -> DataFrame:
+    """Build a count-min sketch table ``(row int, bucket bigint,
+    cnt bigint)`` from an item stream (or pre-counted ``(item, count)``
+    pairs via ``count_col``).
+
+    Scale shape: raw items are first reduced to ``(item, count)`` —
+    an ordinary map-side-combinable word count — and only the DISTINCT
+    items fan out ``depth`` bucket rows, so the sketch aggregation input
+    is ``depth * n_distinct`` rows and the finished sketch is
+    ``depth * width`` rows total: broadcastable, mergeable (sketches of
+    two corpora merge by summing counters bucket-wise)."""
+    if count_col is None:
+        counted = (items.groupBy(item_col)
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("__c")))
+        count_col = "__c"
+    else:
+        counted = items
+    rows = counted.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("row"),
+                     cm_bucket_expr(item_col, j, width).alias("bucket"))
+            for j in range(depth)])).alias("rb"),
+        F.col(count_col).alias("__c"))
+    return (rows.groupBy(F.col("rb.row").alias("row"),
+                         F.col("rb.bucket").alias("bucket"))
+                .agg(F.sum("__c").cast("bigint").alias("cnt")))
+
+
+def cm_estimate(sketch: DataFrame, probes: DataFrame, item_col: str,
+                depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-estimate counts for ``probes[item_col]`` against a built
+    sketch: ``(item, est_count bigint)`` with
+    ``est = min_j sketch[j][h_j(item)]`` (0 when a bucket is empty —
+    count-min's one-sided guarantee: ``est >= true``).
+
+    Scale shape: the probe side fans out ``depth`` rows per probe and
+    joins the ``depth*width``-row sketch — AQE broadcasts the sketch, so
+    probing never shuffles the corpus."""
+    probe_rows = probes.select(
+        F.col(item_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("row"),
+                     cm_bucket_expr(item_col, j, width).alias("bucket"))
+            for j in range(depth)])).alias("rb"))
+    joined = probe_rows.join(
+        sketch,
+        (F.col("rb.row") == sketch["row"])
+        & (F.col("rb.bucket") == sketch["bucket"]),
+        "left")
+    return (joined.groupBy(item_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                  .cast("bigint").alias("est_count")))

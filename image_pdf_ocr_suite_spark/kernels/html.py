@@ -134,3 +134,104 @@ def strip_html(page_df):
     utility; the main pipeline runs extract_main_text inside the unified
     extract kernel (kernels/ocr.py) so one Python stage serves all kinds."""
     return page_df.select("url", "page_payload").mapInPandas(html_kernel, schema=HTML_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Hyperlink extraction (link-graph source; analytics/graph.py consumes it)
+# ---------------------------------------------------------------------------
+
+class _LinkParser(HTMLParser):
+    """Collect ``(href, anchor_text)`` for every ``<a href=...>`` in
+    document order.  Nested/unclosed anchors: an ``<a>`` opening inside
+    an open link finalizes the outer one first (browsers auto-close),
+    and a link left open at EOF is flushed."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._parts: list[str] = []
+        self._skip_depth = 0
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            self.links.append((self._href, " ".join(" ".join(self._parts).split())))
+        self._href, self._parts = None, []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if tag == "a":
+            self._flush()
+            href = next((v for k, v in attrs if k == "href" and v), None)
+            if href is not None:
+                self._href = href
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None and not self._skip_depth:
+            self._parts.append(data)
+
+
+def extract_links_from_html(html: str) -> list[tuple[str, str]]:
+    """``[(href, anchor_text), ...]`` in document order; malformed input
+    yields what parsed before the failure (never raises)."""
+    parser = _LinkParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass
+    parser._flush()
+    return parser.links
+
+
+LINKS_SCHEMA = "url string, seq int, href string, anchor string, resolved string"
+
+
+def links_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(url, html) -> one row per ``<a href>`` on html-classified
+    payloads (payload.sniff contract — non-html payload kinds emit
+    nothing; quarantine is the extraction pipeline's job, not the link
+    miner's).  ``resolved`` is the stdlib-RFC 3986 join of href against
+    the page url; ``seq`` is the 0-based document-order index."""
+    from urllib.parse import urljoin
+
+    from image_pdf_ocr_suite_spark.payload import sniff
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        urls, seqs, hrefs, anchors, resolveds = [], [], [], [], []
+        for url, raw in zip(pdf["url"], pdf["html"]):
+            if raw is None or sniff(bytes(raw)) != "html":
+                continue
+            html = bytes(raw).decode("utf-8", errors="replace")
+            for seq, (href, anchor) in enumerate(extract_links_from_html(html)):
+                urls.append(url)
+                seqs.append(seq)
+                hrefs.append(href)
+                anchors.append(anchor)
+                try:
+                    resolveds.append(urljoin(url, href))
+                except ValueError:
+                    resolveds.append(href)
+        yield pd.DataFrame({"url": urls, "seq": pd.array(seqs, dtype="int32"),
+                            "href": hrefs, "anchor": anchors,
+                            "resolved": resolveds})
+
+
+def extract_links(page_df):
+    """Pages table ``(url, html, ...)`` -> ``(url, seq, href, anchor,
+    resolved)``.  Map-only Arrow kernel over a column-pruned scan — link
+    mining shuffles nothing; downstream graph construction
+    (analytics/graph.py) aggregates the edge list it needs."""
+    return page_df.select("url", "html").mapInPandas(
+        links_kernel, schema=LINKS_SCHEMA)

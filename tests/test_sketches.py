@@ -1,0 +1,115 @@
+"""KMV distinct sketch + count-min sketch: exactness below k, estimator
+accuracy, partition/merge invariance, and the count-min one-sided
+guarantee (analytics/sketches.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_pdf_ocr_suite_spark.analytics import sketches as sk
+
+
+def _h48(x: str) -> int:
+    return int(hashlib.md5(x.encode()).hexdigest()[:12], 16)
+
+
+def test_hash48_matches_python_md5(spark):
+    df = spark.createDataFrame([("abc",), ("xyz",)], "v string")
+    rows = {r.v: r.h for r in df.select("v", sk.hash48_expr("v").alias("h")).collect()}
+    assert rows == {"abc": _h48("abc"), "xyz": _h48("xyz")}
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame(
+        [(g, f"{g}-{i % 7}") for g in ("a", "b") for i in range(50)],
+        "grp string, v string")
+    out = {r.grp: r for r in
+           sk.kmv_distinct(df, "v", k=64, group_cols=["grp"]).collect()}
+    assert out["a"].n_minima == 7 and out["a"].est_distinct == 7
+    assert out["b"].est_distinct == 7
+
+
+def test_kmv_minima_are_true_k_smallest(spark):
+    vals = [f"item-{i}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    minima = sk.kmv_minima(df, "v", k=32).collect()[0].minima
+    expected = sorted({_h48(v) for v in vals})[:32]
+    assert list(minima) == expected
+
+
+def test_kmv_partition_invariance(spark):
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(3000)], "grp string, v string")
+    one = sk.kmv_distinct(df.repartition(1), "v", k=128,
+                          group_cols=["grp"]).collect()
+    many = sk.kmv_distinct(df.repartition(16), "v", k=128,
+                           group_cols=["grp"]).collect()
+    assert one == many
+
+
+def test_kmv_estimate_accuracy(spark):
+    n = 5000
+    df = spark.createDataFrame(
+        # duplicates must not move the estimate: 3 copies of each value
+        [(f"val-{i % n}",) for i in range(3 * n)], "v string")
+    est = sk.kmv_distinct(df, "v", k=256).collect()[0].est_distinct
+    assert abs(est - n) / n < 0.2      # ~1/sqrt(k) ≈ 6% expected error
+
+
+def test_kmv_nulls_and_empty(spark):
+    df = spark.createDataFrame([("a", None), ("a", "x"), ("b", None)],
+                               "grp string, v string")
+    out = {r.grp: r for r in
+           sk.kmv_distinct(df, "v", k=8, group_cols=["grp"]).collect()}
+    # nulls never hash into the sketch; an all-null group has no
+    # distinct values and emits no row (same as SQL GROUP BY over the
+    # null-filtered stream)
+    assert out["a"].est_distinct == 1
+    assert "b" not in out
+
+
+def test_cm_exact_without_collisions(spark):
+    rows = [("apple",)] * 5 + [("pear",)] * 3 + [("plum",)] * 1
+    df = spark.createDataFrame(rows, "v string")
+    sketch = sk.cm_build(df, "v", depth=4, width=4096)
+    probes = spark.createDataFrame(
+        [("apple",), ("pear",), ("plum",), ("absent",)], "v string")
+    est = {r.v: r.est_count
+           for r in sk.cm_estimate(sketch, probes, "v", depth=4,
+                                   width=4096).collect()}
+    assert est == {"apple": 5, "pear": 3, "plum": 1, "absent": 0}
+
+
+@pytest.mark.parametrize("width", [4, 64])
+def test_cm_one_sided_guarantee(spark, width):
+    rows = [(f"t{i % 40}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "v string")
+    sketch = sk.cm_build(df, "v", depth=4, width=width)
+    probes = spark.createDataFrame([(f"t{i}",) for i in range(40)],
+                                   "v string")
+    est = {r.v: r.est_count
+           for r in sk.cm_estimate(sketch, probes, "v", depth=4,
+                                   width=width).collect()}
+    assert all(est[f"t{i}"] >= 10 for i in range(40))   # est >= true
+
+
+def test_cm_precounted_equals_stream(spark):
+    stream = spark.createDataFrame(
+        [(f"w{i % 9}",) for i in range(90)], "v string")
+    counted = stream.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = sorted(map(tuple, sk.cm_build(stream, "v", depth=3,
+                                      width=128).collect()))
+    b = sorted(map(tuple, sk.cm_build(counted, "v", count_col="c", depth=3,
+                                      width=128).collect()))
+    assert a == b
+
+
+def test_cm_sketch_is_bounded(spark):
+    df = spark.createDataFrame([(f"u{i}",) for i in range(5000)],
+                               "v string")
+    sketch = sk.cm_build(df, "v", depth=4, width=256)
+    assert sketch.count() <= 4 * 256
