@@ -206,6 +206,15 @@ def main() -> None:
     queries["image_features"] = time_query(
         lambda: _force(entrymod.q_image_features(spark, SF_DIR)), "image_features")
 
+    # round-5 legs: exact-substring span dedup (Lee et al. 2022
+    # fixed-window form — positional-digest shuffle + island merge +
+    # token cut) and the KMV bottom-k distinct sketch over the trigram
+    # stream (partition-level partial sketches, bounded merge)
+    queries["substring_dedup"] = time_query(
+        lambda: _force(entrymod.q_substring_dedup(spark, SF_DIR)), "substring_dedup")
+    queries["kmv_distinct"] = time_query(
+        lambda: _force(entrymod.q_kmv_distinct_trigrams(spark, SF_DIR)), "kmv_distinct")
+
     docs_per_sec = round(n_docs / queries["ocr_extract"], 2)
     print(json.dumps({
         "metric": "extract_docs_per_sec",
