@@ -1103,6 +1103,28 @@ def q_cm_token_counts(spark, sf_dir):
                      .alias("true_count")))
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Published Gopher quality rules (Rae et al. 2021 app. A) as
+    integer-exact per-doc stats + composite verdict — every ratio rule
+    decided by integer cross-multiplication, map-only Catalyst over the
+    shared token contract (analytics/text.py::gopher_quality)."""
+    return textops.gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Per-language p50/p90/p99 of doc length via the mergeable
+    log-bucket histogram sketch (HdrHistogram layout,
+    analytics/sketches.py::histogram_sketch/histogram_quantiles):
+    one map-side-combinable GROUP BY ships <= 63*2^4 bucket rows per
+    language; quantiles read off the cumulative histogram with integer
+    thresholds (value error bound 2^-4 relative)."""
+    docs = _t(spark, sf_dir, "documents")
+    sk = sketches.histogram_sketch(docs, "n_chars", precision=4,
+                                   group_cols=["lang"])
+    return sketches.histogram_quantiles(sk, qs=(50, 90, 99),
+                                        group_cols=["lang"])
+
+
 def q_extract_links(spark, sf_dir):
     """Hyperlink mining over the pages table: one row per <a href> on
     html-classified payloads, with RFC-3986-resolved targets — the
@@ -1183,6 +1205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": q_extract_links,
         "pagerank": q_pagerank,
         "link_degree_stats": q_link_degree_stats,
+        "gopher_quality": q_gopher_quality,
+        "length_quantiles": q_length_quantiles,
         # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
         "winnow_fingerprints": q_winnow_fingerprints,
         "topk_cosine": q_topk_cosine,
@@ -1216,10 +1240,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    load-bearing pipeline legs --
         "near_dup_components": q_near_dup_components,
         "bm25_scores": q_bm25_scores,
-        "watermark_dedup": q_watermark_dedup,
-        "decontaminate": q_decontaminate,
         "ann_lsh_topk_banded": q_ann_lsh_topk_banded,
         # ---- position 51+: r4-driver-green, pytest-parity only ----
+        "watermark_dedup": q_watermark_dedup,
+        "decontaminate": q_decontaminate,
         "minhash_candidate_pairs": q_minhash_candidate_pairs,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
@@ -2542,6 +2566,91 @@ def oracle_sql() -> dict[str, str]:
             SELECT est.tok, CAST(est_count AS BIGINT) AS est_count,
                    CAST(COALESCE(tc.c, 0) AS BIGINT) AS true_count
             FROM est LEFT JOIN tc ON est.tok = tc.tok""",
+        # Gopher rules contract: single-space token split, chr(10) line
+        # split, every ratio rule decided by integer cross-multiplication
+        # (change BOTH sides or neither).
+        "gopher_quality": """
+            WITH b AS (
+                SELECT doc_id, COALESCE(text, '') AS t,
+                       list_filter(string_split(COALESCE(text, ''), ' '),
+                                   x -> x <> '') AS toks,
+                       string_split(COALESCE(text, ''), chr(10)) AS lines
+                FROM documents),
+            s AS (
+                SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   CAST(length(replace(t, ' ', '')) AS BIGINT)
+                       AS sum_word_len,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(list_filter(lines,
+                        l -> regexp_matches(l, '^[-•*] '))) AS BIGINT)
+                       AS n_bullet_lines,
+                   CAST(len(list_filter(lines,
+                        l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) AS BIGINT)
+                       AS n_ellipsis_lines,
+                   CAST(len(list_filter(toks,
+                        x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                       AS n_alpha_words,
+                   CAST((length(t) - length(replace(t, '#', '')))
+                      + (length(t) - length(replace(t, '...', ''))) // 3
+                      + (length(t) - length(replace(t, '…', '')))
+                        AS BIGINT) AS n_symbol_units,
+                   CAST((CASE WHEN list_contains(list_transform(toks,
+                              x -> lower(x)), 'the') THEN 1 ELSE 0 END)
+                      + (CASE WHEN list_contains(list_transform(toks,
+                              x -> lower(x)), 'be') THEN 1 ELSE 0 END)
+                      + (CASE WHEN list_contains(list_transform(toks,
+                              x -> lower(x)), 'to') THEN 1 ELSE 0 END)
+                      + (CASE WHEN list_contains(list_transform(toks,
+                              x -> lower(x)), 'of') THEN 1 ELSE 0 END)
+                      + (CASE WHEN list_contains(list_transform(toks,
+                              x -> lower(x)), 'and') THEN 1 ELSE 0 END)
+                      + (CASE WHEN list_contains(list_transform(toks,
+                              x -> lower(x)), 'that') THEN 1 ELSE 0 END)
+                      + (CASE WHEN list_contains(list_transform(toks,
+                              x -> lower(x)), 'have') THEN 1 ELSE 0 END)
+                      + (CASE WHEN list_contains(list_transform(toks,
+                              x -> lower(x)), 'with') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_stop_hits
+                FROM b)
+            SELECT s.*,
+                   CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                              AND 3 * n_words <= sum_word_len
+                              AND sum_word_len <= 10 * n_words
+                              AND 10 * n_symbol_units <= n_words
+                              AND 10 * n_bullet_lines <= 9 * n_lines
+                              AND 10 * n_ellipsis_lines <= 3 * n_lines
+                              AND 5 * n_alpha_words >= 4 * n_words
+                              AND n_stop_hits >= 2
+                         THEN 1 ELSE 0 END AS INTEGER) AS gopher_pass
+            FROM s""",
+        # Log-bucket histogram contract: e = length(bin(v)), shift =
+        # max(e-1-4, 0), bucket_lo = (v >> shift) << shift; quantile q =
+        # min bucket_lo with cum >= ceil(q*total/100) (integer ceil).
+        "length_quantiles": """
+            WITH v AS (SELECT lang,
+                              greatest(CAST(n_chars AS BIGINT), 0) AS x
+                       FROM documents),
+            b AS (SELECT lang,
+                         (x >> greatest(length(bin(x)) - 1 - 4, 0))
+                          << greatest(length(bin(x)) - 1 - 4, 0)
+                             AS bucket_lo
+                  FROM v),
+            h AS (SELECT lang, bucket_lo,
+                         CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM b GROUP BY lang, bucket_lo),
+            c AS (SELECT lang, bucket_lo,
+                         SUM(cnt) OVER (PARTITION BY lang
+                                        ORDER BY bucket_lo
+                                        ROWS UNBOUNDED PRECEDING) AS cum,
+                         SUM(cnt) OVER (PARTITION BY lang) AS total
+                  FROM h),
+            x AS (SELECT lang, bucket_lo, cum, total, q
+                  FROM c CROSS JOIN (VALUES (50), (90), (99)) qs(q))
+            SELECT lang, CAST(q AS INTEGER) AS q,
+                   CAST(MIN(bucket_lo) AS BIGINT) AS value
+            FROM x WHERE cum >= (total * q + 99) // 100
+            GROUP BY lang, q""",
         # Closed-form from the fixture dispatch (fixtures.py::build_html,
         # doc_id % 29 = 23): 8 nav + 4 ad + 2 footer links per html page,
         # root-relative hrefs resolve against https://example.com.

@@ -15,6 +15,14 @@ pipeline needs where exact answers are shuffle-prohibitive:
   rows.  Counter updates are plain ``GROUP BY`` sums, so the build is a
   map-side-combinable aggregation and the finished sketch is
   ``depth*width`` rows regardless of corpus size.
+- **Log-bucket histogram quantile sketch** (the HdrHistogram layout) —
+  rank statistics over non-negative integers with a ``2^-precision``
+  relative value error.  A value keeps its top ``precision+1``
+  significant bits; the sketch is an ordinary ``GROUP BY bucket`` count
+  (map-side combinable, ≤ ``63 * 2^precision`` buckets total no matter
+  the corpus size) and two sketches merge by summing counts bucket-wise.
+  Quantiles read off the cumulative histogram with pure integer
+  thresholds, so Spark and the SQL oracle agree bit-for-bit.
 
 Hashing contract (shared with the SQL oracles — change BOTH or neither):
 48-bit value = first 12 hex chars of md5, i.e. Spark
@@ -169,3 +177,69 @@ def cm_estimate(sketch: DataFrame, probes: DataFrame, item_col: str,
     return (joined.groupBy(item_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                   .cast("bigint").alias("est_count")))
+
+
+# ---------------------------------------------------------------------------
+# Log-bucket histogram quantile sketch (HdrHistogram layout)
+# ---------------------------------------------------------------------------
+
+def log_bucket_sql(col_sql: str, precision: int = 4) -> str:
+    """SQL expression for the log-bucket lower bound of a non-negative
+    integer: the value with all but its top ``precision+1`` significant
+    bits cleared.  ``e = length(bin(v))`` (significant-bit count),
+    ``shift = max(e - 1 - precision, 0)``, ``lo = (v >> shift) << shift``.
+    Every op is integer and both engines have ``bin``/``>>``/``<<``, so
+    the Spark spelling and the DuckDB oracle spelling are the same text
+    modulo shift syntax (``shiftright(v, s)`` vs ``v >> s``)."""
+    v = f"greatest(cast(({col_sql}) as bigint), 0)"
+    sh = f"greatest(length(bin({v})) - 1 - {precision}, 0)"
+    return f"shiftleft(shiftright({v}, {sh}), {sh})"
+
+
+def histogram_sketch(df: DataFrame, col: str, precision: int = 4,
+                     group_cols: Sequence[str] = ()) -> DataFrame:
+    """Per-group log-bucket histogram ``(group..., bucket_lo bigint,
+    cnt bigint)``.
+
+    Scale shape: one map-side-combinable ``GROUP BY`` — the shuffle
+    carries at most ``63 * 2^precision`` rows per group regardless of
+    corpus size, and sketches of two corpora merge by summing ``cnt``
+    per bucket.  This is the 100-TB path for length/latency/size
+    distributions where ``percentile_approx`` -style single-pass rank
+    stats are needed with a hard, provable value-error bound."""
+    gcols = list(group_cols)
+    b = F.expr(log_bucket_sql(col, precision)).alias("bucket_lo")
+    return (df.select(*gcols, b)
+              .groupBy(*gcols, "bucket_lo")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+
+
+def histogram_quantiles(sketch: DataFrame, qs: Sequence[int] = (50, 90, 99),
+                        group_cols: Sequence[str] = ()) -> DataFrame:
+    """Quantiles from a ``histogram_sketch``: ``(group..., q int,
+    value bigint)`` where ``value`` is the ``bucket_lo`` of the smallest
+    bucket whose cumulative count reaches ``ceil(q * total / 100)`` —
+    a lower bound of the true q-th percentile within ``2^-precision``
+    relative error.  All-integer thresholding (no float rank math), so
+    the SQL oracle matches exactly.
+
+    Scale shape: the window runs over the bounded sketch (≤ ``63 *
+    2^precision`` rows per group), never over the data."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    wcum = (Window.partitionBy(*gcols).orderBy("bucket_lo")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wtot = Window.partitionBy(*gcols)
+    cum = (sketch
+           .withColumn("__cum", F.sum("cnt").over(wcum))
+           .withColumn("__total", F.sum("cnt").over(wtot))
+           .select(*gcols, "bucket_lo", "__cum", "__total",
+                   F.explode(F.array(*[F.lit(int(q)) for q in qs]))
+                    .alias("q")))
+    reached = cum.where(
+        F.col("__cum") >= F.expr("CAST((__total * q + 99) AS BIGINT) div 100"))
+    return (reached.groupBy(*gcols, "q")
+                   .agg(F.min("bucket_lo").alias("value"))
+                   .select(*gcols, F.col("q").cast("int").alias("q"),
+                           F.col("value").cast("bigint").alias("value")))

@@ -113,3 +113,71 @@ def test_cm_sketch_is_bounded(spark):
                                "v string")
     sketch = sk.cm_build(df, "v", depth=4, width=256)
     assert sketch.count() <= 4 * 256
+
+
+# ---------------------------------------------------------------------------
+# log-bucket histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+def _bucket_lo(v: int, p: int = 4) -> int:
+    v = max(int(v), 0)
+    e = v.bit_length() if v else 1
+    sh = max(e - 1 - p, 0)
+    return (v >> sh) << sh
+
+
+def test_histogram_bucket_formula(spark):
+    vals = [0, 1, 7, 8, 15, 16, 31, 32, 100, 1023, 1024, 999_999,
+            123_456_789, (1 << 40) + 12345]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r.bucket_lo: r.cnt
+           for r in sk.histogram_sketch(df, "x", precision=4).collect()}
+    want = {}
+    for v in vals:
+        b = _bucket_lo(v)
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+
+
+def test_histogram_merge_is_bucketwise_sum(spark):
+    a = spark.range(0, 500).selectExpr("id * 37 % 9973 as x")
+    b = spark.range(500, 1200).selectExpr("id * 91 % 4451 as x")
+    ha = sk.histogram_sketch(a, "x", precision=4).collect()
+    hb = sk.histogram_sketch(b, "x", precision=4).collect()
+    merged = {}
+    for r in [*ha, *hb]:
+        merged[r.bucket_lo] = merged.get(r.bucket_lo, 0) + r.cnt
+    hu = {r.bucket_lo: r.cnt
+          for r in sk.histogram_sketch(a.union(b), "x",
+                                       precision=4).collect()}
+    assert hu == merged
+
+
+def test_histogram_quantiles_hit_true_rank_bucket(spark):
+    vals = [(i * 7919) % 100_000 for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long").repartition(7)
+    hist = sk.histogram_sketch(df, "x", precision=4)
+    out = {r.q: r.value
+           for r in sk.histogram_quantiles(hist, qs=(50, 90, 99)).collect()}
+    svals = sorted(vals)
+    for q in (50, 90, 99):
+        rank = -(-q * len(svals) // 100)  # ceil
+        true_elem = svals[rank - 1]
+        assert out[q] == _bucket_lo(true_elem), q
+        # bound: bucket_lo <= true element < bucket_lo * (1 + 2^-4) + 1
+        assert out[q] <= true_elem
+        assert true_elem <= out[q] + max(out[q] >> 4, 1)
+
+
+def test_histogram_grouped_and_partition_invariant(spark):
+    rows = [("a", i % 977) for i in range(800)] + \
+           [("b", (i * 13) % 31) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    q1 = sorted(map(tuple, sk.histogram_quantiles(
+        sk.histogram_sketch(df.coalesce(1), "x", group_cols=["g"]),
+        qs=(50, 99), group_cols=["g"]).collect()))
+    q8 = sorted(map(tuple, sk.histogram_quantiles(
+        sk.histogram_sketch(df.repartition(8), "x", group_cols=["g"]),
+        qs=(50, 99), group_cols=["g"]).collect()))
+    assert q1 == q8
+    assert {t[0] for t in q1} == {"a", "b"}
