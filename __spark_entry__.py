@@ -777,6 +777,157 @@ def q_tpch_q14(spark, sf_dir):
          / F.col("total_scaled").cast("double")).alias("promo_share"))
 
 
+def q_tpch_q4_semijoin(spark, sf_dir):
+    """TPC-H Q4-style order-priority checking: count orders per priority
+    that have at least one LATE lineitem.  The reference predicate
+    (l_commitdate < l_receiptdate) uses columns the synthetic tables
+    lack, so the late rule here is l_shipdate > o_orderdate + 60 days —
+    same shape: a correlated EXISTS that Spark plans as a LEFT SEMI join
+    (no fact-side duplication, no distinct)."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sel = o.join(
+        li, (li["l_orderkey"] == o["o_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi")
+    return sel.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"))
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 volume shipping between two nations: supplier-nation x
+    customer-nation flows for the (NATION_1, NATION_2) pair in either
+    direction, yearly revenue over exact cent integers.  Both nation dims
+    broadcast; the only data-sized shuffles are the two fact joins."""
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2"))
+    s_ = _t(spark, sf_dir, "supplier") \
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"]) \
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c = _t(spark, sf_dir, "customer") \
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"]) \
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem")
+    j = (li.join(F.broadcast(s_), li["l_suppkey"] == s_["s_suppkey"])
+         .join(o, li["l_orderkey"] == o["o_orderkey"])
+         .join(c, o["o_custkey"] == c["c_custkey"])
+         .where(F.col("supp_nation") != F.col("cust_nation")))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("l_year"))
+            .agg(F.sum(_cents("l_extendedprice")
+                       * (F.lit(100) - _cents("l_discount")))
+                 .alias("revenue_scaled"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 returned-item reporting: per-customer lost revenue from
+    flagged returns in one quarter, top 20.  Customer+nation dims
+    broadcast onto the filtered fact; revenue over exact cent integers
+    so the ranking and the hash are deterministic."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))) \
+        .select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cn = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]) \
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]) \
+        .join(F.broadcast(cn), o["o_custkey"] == cn["c_custkey"])
+    rev = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.sum(_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")))
+         .alias("revenue_scaled"))
+    return (rev.orderBy(F.desc("revenue_scaled"), F.asc("c_custkey"))
+            .limit(20))
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 customer order-count distribution: LEFT join so that
+    zero-order customers survive, per-customer count, then the histogram
+    of counts.  Two small-key shuffles; the second aggregates a table
+    already just one row per customer."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist"))
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 large-volume customers: orders whose total quantity
+    exceeds 300 (integral-double sums are exact), joined back to
+    customer.  The qty aggregate shuffles on the natural fact key; the
+    winner set is tiny, so the customer join broadcasts it."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .where(F.col("total_qty") > 300))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"]) \
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    return j.select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "total_qty")
+
+
+def q_tpch_q19_disjunct(spark, sf_dir):
+    """TPC-H Q19-style discounted revenue under a DISJUNCTION of
+    brand/size/quantity envelopes (the synthetic part table has no
+    container column, so the three arms pivot on p_size bands instead).
+    Catalyst pushes the shared part filter below the join and the
+    broadcast keeps the fact scan shuffle-free — one row out."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    arm1 = ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11))
+    arm2 = ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 20))
+    arm3 = ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(25, 50)
+            & F.col("l_quantity").between(20, 30))
+    f = j.where(arm1 | arm2 | arm3)
+    return f.agg(
+        F.sum(_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")))
+         .alias("revenue_scaled"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): spherical-k-means clusters over the
+    embedding column, within-cluster cosine near-dup search, min-id
+    representative per epsilon-neighborhood.  (vec_id, cluster, keep) for
+    every row.  The oracle retrains the identical centroids driver-side
+    (same numpy, same sample) and pins them as SQL literals; threshold
+    0.45 sits 6.3e-3 from the nearest same-cluster cosine on this data —
+    far beyond any cross-engine float divergence."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, n_clusters=16, threshold=0.45)
+
+
+def q_ann_recall_lsh(spark, sf_dir):
+    """Self-evaluating ANN quality gate: recall of the 12-plane
+    Hamming-3 LSH top-10 against the exact cosine top-10 for the vec_id-0
+    query — integer (k, hits), so the driver hash checks the recall
+    measurement itself, not just the candidate lists."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    exact = similarity.cosine_topk(emb, qvec, k=10).select("vec_id")
+    approx = similarity.lsh_cosine_topk(emb, qvec, k=10, n_planes=12,
+                                        max_hamming=3).select("vec_id")
+    return (exact.join(approx, "vec_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("hits"))
+            .select(F.lit(10).alias("k"), "hits"))
+
+
 def q_reorder_explicit(spark, sf_dir):
     """§2.2 manual reorder (GUI move up/down, ocr_desktop_app.py:1055-1089):
     explicit ordering by a user-supplied index column."""
@@ -1173,18 +1324,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order matters: the driver's CORRECTNESS gate records
     exactly the first 50 entries.  Window layout (round 5): the 5
     golden-parquet flagships and both ``*_stats`` binary-sink twins stay
-    pinned; then the 10 queries that have never had a driver row (the
+    pinned; then every query that has never had a driver row (the
     round-4 flagship scale features: incremental minhash-index dedup,
     IVF append, snapshot time travel; plus round 5's exact-substring
     dedup pair, band-split ANN probe, KMV / count-min sketches, link
-    mining, and integer PageRank); then every query whose NEWEST
-    driver row is r1-r3 (the §2.2 relational family and text-analysis
-    rows rotated out in r4) so no evidence ages past two rounds; the
-    remaining slots keep this round's most load-bearing r4-green rows
-    (the dedup/bm25 code touched in round 5 plus the staple pipeline
-    legs).  Everything past 50 is r4-driver-green and remains
-    covered by tests/test_oracle_parity.py, which replicates the gate
-    over the FULL registry."""
+    mining, integer PageRank, Gopher rules, histogram quantiles,
+    SemDeDup semantic dedup, the LSH recall self-measurement, and the
+    six new TPC-H legs Q4/Q7/Q10/Q13/Q18/Q19); then queries whose
+    NEWEST driver row is r1-r3 (text-analysis and most §2.2 relational
+    rows rotated out in r4) so evidence stays fresh; the remaining
+    slots keep this round's most load-bearing r4-green rows (the
+    dedup/bm25 code touched in round 5 plus the staple pipeline legs).
+    Eight trivially-stable §2.2 rows (r1-green filters/projections,
+    byte-identical since round 1) sit just past 50 to make room for
+    the new operators.  Everything past 50 is driver-green in a prior
+    round and remains covered by tests/test_oracle_parity.py, which
+    replicates the gate over the FULL registry."""
     return {
         # -- pinned: golden-parquet flagships + binary-sink stats twins --
         "ocr_extract_text": q_ocr_extract_text,
@@ -1207,6 +1362,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degree_stats": q_link_degree_stats,
         "gopher_quality": q_gopher_quality,
         "length_quantiles": q_length_quantiles,
+        "semantic_dedup": q_semantic_dedup,
+        "ann_recall_lsh": q_ann_recall_lsh,
+        "tpch_q4_semijoin": q_tpch_q4_semijoin,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19_disjunct": q_tpch_q19_disjunct,
         # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
         "winnow_fingerprints": q_winnow_fingerprints,
         "topk_cosine": q_topk_cosine,
@@ -1219,20 +1382,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_offsets": q_span_offsets,
         "reading_order": q_reading_order,
         "conf_avg_valid": q_conf_avg_valid,
-        "conf_threshold_filter": q_conf_threshold_filter,
-        "validity_filter_count": q_validity_filter_count,
-        "rescale_projection": q_rescale_projection,
         "top_docs_per_lang": q_top_docs_per_lang,
-        "nonempty_text_filter": q_nonempty_text_filter,
-        "max_extent": q_max_extent,
-        "page_header_format": q_page_header_format,
         "dedup_first_per_key": q_dedup_first_per_key,
         "token_count": q_token_count,
         "lang_id_script": q_lang_id_script,
-        "reorder_explicit": q_reorder_explicit,
         "top_tokens": q_top_tokens,
         "bigram_counts": q_bigram_counts,
-        "text_position_projection": q_text_position_projection,
         "value_median": q_value_median,
         "event_rollup_hourly": q_event_rollup_hourly,
         "text_nfc": q_text_nfc,
@@ -1242,6 +1397,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "ann_lsh_topk_banded": q_ann_lsh_topk_banded,
         # ---- position 51+: r4-driver-green, pytest-parity only ----
+        "rescale_projection": q_rescale_projection,
+        "conf_threshold_filter": q_conf_threshold_filter,
+        "validity_filter_count": q_validity_filter_count,
+        "nonempty_text_filter": q_nonempty_text_filter,
+        "max_extent": q_max_extent,
+        "page_header_format": q_page_header_format,
+        "reorder_explicit": q_reorder_explicit,
+        "text_position_projection": q_text_position_projection,
         "watermark_dedup": q_watermark_dedup,
         "decontaminate": q_decontaminate,
         "minhash_candidate_pairs": q_minhash_candidate_pairs,
@@ -1583,6 +1746,77 @@ def _ivf_topk_oracle(n_lists: int = 16, n_probe: int = 4, k: int = 10,
         LIMIT {k}"""
     _IVF_ORACLE_CACHE[cache_key] = sql
     return sql
+
+
+_SEMDEDUP_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _semantic_dedup_oracle(n_clusters: int = 16, threshold: float = 0.45,
+                           sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB replication of similarity.semantic_dedup at the driver's
+    sf0.01 gate: retrains the IDENTICAL spherical-k-means centroids
+    driver-side (same numpy code on the same float64 sample) and pins
+    them as repr() literals; cluster assignment is the same left-assoc
+    dot chain + first-argmax; the within-cluster pair search compares
+    list_cosine_similarity against the threshold — 0.45 sits 6.3e-3 from
+    the nearest same-cluster cosine on this data, far beyond any
+    cross-engine summation-order divergence."""
+    import duckdb
+    import numpy as np
+
+    if sf_dir in _SEMDEDUP_ORACLE_CACHE:
+        return _SEMDEDUP_ORACLE_CACHE[sf_dir]
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT CAST(embedding AS DOUBLE[]) FROM "
+        f"'{sf_dir}/embeddings.parquet' WHERE embedding IS NOT NULL "
+        f"ORDER BY vec_id LIMIT 2048").fetchall()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    cent = similarity.train_centroids_np(X, n_lists=n_clusters)
+    chains = []
+    for row in cent:
+        terms = " + ".join(f"v[{i + 1}]*{float(x)!r}"
+                           for i, x in enumerate(row))
+        chains.append(f"({terms})")
+    ds = "[" + ",\n                 ".join(chains) + "]"
+    sql = f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        d AS (SELECT vec_id, v, {ds} AS ds FROM v WHERE v IS NOT NULL),
+        a AS (SELECT vec_id, v,
+                     CAST(list_position(ds, list_max(ds)) AS INTEGER) - 1
+                       AS cluster
+              FROM d),
+        dup AS (SELECT DISTINCT hb.vec_id
+                FROM a ha JOIN a hb
+                  ON ha.cluster = hb.cluster AND ha.vec_id < hb.vec_id
+                WHERE list_cosine_similarity(ha.v, hb.v) >= {threshold!r})
+        SELECT e.vec_id, a.cluster, (dup.vec_id IS NULL) AS keep
+        FROM embeddings e
+        LEFT JOIN a ON e.vec_id = a.vec_id
+        LEFT JOIN dup ON e.vec_id = dup.vec_id"""
+    _SEMDEDUP_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
+def _ann_recall_oracle(k: int = 10) -> str:
+    """Recall of the LSH top-k against the exact top-k: intersect the two
+    id selects (each the same SQL the individual queries are checked by)
+    and count."""
+    exact = f"""
+        SELECT vec_id FROM (
+            SELECT vec_id, ROW_NUMBER() OVER (
+                ORDER BY list_cosine_similarity(
+                    CAST(embedding AS DOUBLE[]),
+                    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                     WHERE vec_id = 0)) DESC, vec_id) AS rn
+            FROM embeddings) t WHERE rn <= {k}"""
+    return f"""
+        SELECT {k} AS k, CAST(COUNT(*) AS INTEGER) AS hits FROM (
+            {exact}
+            INTERSECT
+            SELECT vec_id FROM ({_ann_lsh_topk_oracle(k=k)})
+        )"""
 
 
 def _lang_id_script_oracle() -> str:
@@ -2177,6 +2411,84 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus""",
+        "tpch_q4_semijoin": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate >
+                                o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority""",
+        "tpch_q7": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                            * (100 - CAST(FLOOR(l_discount*100 + 0.5)
+                                          AS BIGINT)))
+                        AS BIGINT) AS revenue_scaled,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey  = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+              AND cn.n_name IN ('NATION_1', 'NATION_2')
+              AND sn.n_name <> cn.n_name
+            GROUP BY sn.n_name, cn.n_name, YEAR(l_shipdate)""",
+        "tpch_q10": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                            * (100 - CAST(FLOOR(l_discount*100 + 0.5)
+                                          AS BIGINT)))
+                        AS BIGINT) AS revenue_scaled
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey  = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue_scaled DESC, c_custkey
+            LIMIT 20""",
+        "tpch_q13": """
+            WITH per_cust AS (
+              SELECT c_custkey,
+                     CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM per_cust GROUP BY c_count""",
+        "tpch_q18": """
+            WITH big AS (
+              SELECT l_orderkey, SUM(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(l_quantity) > 300)
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, total_qty
+            FROM orders
+            JOIN big      ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey  = c_custkey""",
+        "tpch_q19_disjunct": """
+            WITH f AS (
+              SELECT CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                     * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))
+                         AS rev
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                     AND l_quantity BETWEEN 1 AND 11)
+                 OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+                     AND l_quantity BETWEEN 10 AND 20)
+                 OR (p_brand = 'Brand#7' AND p_size BETWEEN 25 AND 50
+                     AND l_quantity BETWEEN 20 AND 30))
+            SELECT CAST(SUM(rev) AS BIGINT) AS revenue_scaled,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM f""",
+        "semantic_dedup": _semantic_dedup_oracle(),
+        "ann_recall_lsh": _ann_recall_oracle(),
         "join_agg_segment": """
             SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
                    MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price

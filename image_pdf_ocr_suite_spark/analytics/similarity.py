@@ -599,3 +599,51 @@ def lsh_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 20,
     emb = F.col(vec_col).cast("array<double>")
     scored = cand.select(F.col(id_col), cosine_expr(emb, q).alias("sim"))
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
+def semantic_dedup(df: DataFrame, n_clusters: int = 16,
+                   threshold: float = 0.92, vec_col: str = "embedding",
+                   id_col: str = "vec_id",
+                   centroids: np.ndarray | None = None, seed: int = 42,
+                   sample: int = 2048) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with the spherical-k-means
+    coarse quantizer and searching for near-duplicates ONLY within each
+    cluster — the cross-cluster pairs the quadratic search never looks at
+    are exactly the pairs k-means already separated.
+
+    Returns ``(id_col, cluster, keep)`` for EVERY input row:
+
+    - ``cluster`` — the argmax-dot coarse list (null for null vectors);
+    - ``keep`` — false iff some LOWER-id member of the same cluster has
+      cosine >= ``threshold`` (deterministic min-id representative per
+      epsilon-neighborhood; the paper keeps the member farthest from the
+      centroid — rank-free but order-dependent under ties — so this port
+      pins the reproducible rule instead).  Null-vector rows always keep.
+
+    Scale shape (100 TB): the assignment is ONE map-only pass (the
+    centroid matrix is a literal, same as ivf_list_expr); the pair search
+    shuffles (id, cluster, vector) once on ``cluster`` and is quadratic
+    only within a cluster, so cost is sum(c_i^2) — bounded by growing
+    ``n_clusters`` with the corpus (the paper used 50k clusters on LAION).
+    The dup-id set is a tiny distinct id column — Spark broadcasts the
+    left join back onto the corpus.  Nothing here is O(n^2) globally.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(df, n_clusters, vec_col, id_col,
+                                        sample=sample, seed=seed)
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        ivf_list_expr(vec_col, centroids).alias("cluster"))
+    a, b = base.alias("a"), base.alias("b")
+    dup_ids = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+               .where(cosine_expr(F.col("a.__v"), F.col("b.__v"))
+                      >= F.lit(threshold))
+               .select(F.col(f"b.{id_col}").alias(id_col))
+               .distinct()
+               .withColumn("__dup", F.lit(True)))
+    return (base.join(dup_ids, id_col, "left")
+            .select(F.col(id_col), F.col("cluster"),
+                    F.col("__dup").isNull().alias("keep")))
