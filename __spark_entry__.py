@@ -1120,6 +1120,57 @@ def q_decontaminate(spark, sf_dir):
     return corpusprep.decontaminate_ngrams(d, test, n=5)
 
 
+def q_warc_extract(spark, sf_dir):
+    """WARC source round-trip (tableio/warc.py): documents are wrapped
+    into conformant WARC/1.0 response records by the Catalyst writer
+    expression (octet-exact Content-Lengths), concatenated into
+    3-record archives (exercising the record walker), parsed back by
+    the Arrow kernel, and re-keyed from the target URI.  The oracle
+    computes every output field DIRECTLY from the documents table —
+    equality proves parse inverts write, envelope included
+    (record_id is the deterministic md5 urn)."""
+    from image_pdf_ocr_suite_spark.tableio import warc
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://example.org/doc/"), F.col("doc_id"))
+         .alias("uri"),
+        F.lit("2024-01-01T00:00:00Z").alias("wdate"),
+        F.col("text").alias("body"))
+    rec = warc.warc_record_expr("uri", "wdate", "body")
+    blobs = (d.select((F.col("doc_id") / 3).cast("long").alias("g"),
+                      F.struct(F.col("doc_id"), rec.alias("rec"))
+                       .alias("s"))
+             .groupBy("g")
+             .agg(F.encode(F.array_join(
+                 F.transform(F.array_sort(F.collect_list("s")),
+                             lambda x: x["rec"]), ""), "UTF-8")
+                 .alias("warc")))
+    parsed = warc.parse_warc(blobs, "warc")
+    return parsed.where(F.col("err").isNull()).select(
+        F.regexp_extract("target_uri", r"doc/(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        F.col("record_id"),
+        F.col("http_status"),
+        F.col("http_content_type"),
+        F.octet_length("body").alias("body_len"),
+        F.md5("body").alias("body_md5"))
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filtered decontamination (first-pass form): the held-out
+    5-gram set folds into a 2^18-bit mergeable sketch (<= 8192 rows)
+    and the corpus probes it with 4 broadcast map-side joins — n_maybe
+    counts distinct MAYBE-contaminated grams (one-sided: always >=
+    decontaminate's n_shared; the superset property is pytest-pinned
+    with a deliberately undersized filter).  The oracle replays the
+    same md5 double-hashing and BIT_OR words."""
+    d = _t(spark, sf_dir, "documents")
+    test = d.where(F.col("doc_id") % 97 == 0)
+    return corpusprep.bloom_decontaminate(d, test, n=5,
+                                          m_bits=1 << 18, k=4)
+
+
 def q_url_canonicalize(spark, sf_dir):
     """URL canonicalization (lowercase scheme+host, strip www./query/
     fragment/trailing slash) over a deterministic synthesized URL column.
@@ -1370,6 +1421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q18": q_tpch_q18,
         "tpch_q19_disjunct": q_tpch_q19_disjunct,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "warc_extract": q_warc_extract,
         # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
         "winnow_fingerprints": q_winnow_fingerprints,
         "topk_cosine": q_topk_cosine,
@@ -1384,10 +1437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conf_avg_valid": q_conf_avg_valid,
         "top_docs_per_lang": q_top_docs_per_lang,
         "dedup_first_per_key": q_dedup_first_per_key,
-        "token_count": q_token_count,
         "lang_id_script": q_lang_id_script,
         "top_tokens": q_top_tokens,
-        "bigram_counts": q_bigram_counts,
         "value_median": q_value_median,
         "event_rollup_hourly": q_event_rollup_hourly,
         "text_nfc": q_text_nfc,
@@ -1397,6 +1448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "ann_lsh_topk_banded": q_ann_lsh_topk_banded,
         # ---- position 51+: r4-driver-green, pytest-parity only ----
+        "token_count": q_token_count,
+        "bigram_counts": q_bigram_counts,
         "rescale_projection": q_rescale_projection,
         "conf_threshold_filter": q_conf_threshold_filter,
         "validity_filter_count": q_validity_filter_count,
@@ -2562,6 +2615,56 @@ def oracle_sql() -> dict[str, str]:
             FROM b ASOF LEFT JOIN v
               ON b.user_id = v.user_id AND b.ts >= v.ts""",
         # -- corpus-prep operators (analytics/corpusprep.py) ---------------
+        "warc_extract": """
+            SELECT doc_id,
+                   'urn:md5:' || md5(
+                       'https://example.org/doc/' || doc_id
+                       || chr(31) || '2024-01-01T00:00:00Z'
+                       || chr(31) || text) AS record_id,
+                   200 AS http_status,
+                   'text/html; charset=utf-8' AS http_content_type,
+                   CAST(strlen(text) AS INTEGER) AS body_len,
+                   md5(text) AS body_md5
+            FROM documents""",
+        "bloom_decontaminate": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x != '') AS toks
+                FROM documents),
+            g0 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(toks) - 4, 0) + 1),
+                           i -> md5(array_to_string(toks[i:i+4], ' ')))) AS h
+                FROM tok),
+            g AS (SELECT DISTINCT doc_id, h FROM g0),
+            t AS (SELECT DISTINCT h FROM g0 WHERE doc_id % 97 = 0),
+            th AS (SELECT CAST('0x' || substr(h, 1, 15) AS BIGINT) AS h1,
+                          CAST('0x' || substr(h, 16, 15) AS BIGINT) AS h2
+                   FROM t),
+            ks AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS i),
+            bloom AS (
+                SELECT CAST(((h1 + i*h2) % 262144) // 32 AS INTEGER)
+                           AS word_idx,
+                       BIT_OR(CAST(1 AS BIGINT)
+                              << CAST((h1 + i*h2) % 262144 % 32 AS INTEGER))
+                           AS bits
+                FROM th, ks GROUP BY 1),
+            gh AS (SELECT doc_id, h,
+                          CAST('0x' || substr(h, 1, 15) AS BIGINT) AS h1,
+                          CAST('0x' || substr(h, 16, 15) AS BIGINT) AS h2
+                   FROM g),
+            hits AS (
+                SELECT doc_id, h
+                FROM gh, ks
+                JOIN bloom ON CAST(((h1 + i*h2) % 262144) // 32 AS INTEGER)
+                              = bloom.word_idx
+                WHERE (bits & (CAST(1 AS BIGINT)
+                               << CAST((h1 + i*h2) % 262144 % 32 AS INTEGER)))
+                      <> 0
+                GROUP BY doc_id, h HAVING COUNT(*) = 4)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_maybe
+            FROM hits GROUP BY doc_id""",
         "decontaminate": """
             WITH tok AS (
                 SELECT doc_id,

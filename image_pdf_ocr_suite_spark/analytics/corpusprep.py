@@ -506,3 +506,38 @@ def cut_duplicate_spans(df: DataFrame, n: int = 20, text_col: str = "text",
         F.concat_ws(" ", kept).alias("clean_text"),
         F.size("__toks").cast("int").alias("n_tokens"),
         (F.size("__toks") - F.size(kept)).cast("int").alias("n_removed"))
+
+
+def bloom_decontaminate(corpus: DataFrame, test: DataFrame | None = None,
+                        n: int = 13, m_bits: int = 1 << 18, k: int = 4,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        impl: str = "arrow", *,
+                        test_grams: DataFrame | None = None) -> DataFrame:
+    """``decontaminate_ngrams`` through a Bloom filter: the held-out gram
+    set is folded into a <= ``m_bits/32``-row mergeable bit table
+    (sketches.bloom_build) and the corpus probes it with ``k`` broadcast
+    map-side joins — ``(id, n_maybe)`` counts the DISTINCT grams that
+    MAY be contaminated.
+
+    One-sided by construction: ``n_maybe >= n_shared`` per document (no
+    contaminated gram is ever missed; false positives at the classic
+    ``(1 - e^{-kn/m})^k`` rate).  Use it as the cheap first pass at
+    100 TB — the broadcast is O(m_bits) REGARDLESS of test-set size,
+    where the exact probe's broadcast grows with the held-out set — and
+    re-verify the flagged sliver with ``decontaminate_ngrams`` when
+    exactness matters.  Deterministic md5 double hashing end-to-end, so
+    the SQL oracle replays the sketch bit-for-bit."""
+    from image_pdf_ocr_suite_spark.analytics import sketches
+
+    if (test is None) == (test_grams is None):
+        raise ValueError("pass exactly one of test / test_grams")
+    tg = (test_grams if test_grams is not None
+          else test_gram_table(test, n, text_col, id_col, impl=impl))
+    bloom = sketches.bloom_build(tg, "__h", m_bits=m_bits, k=k, hashed=True)
+    cg = _ngram_hashes(corpus, n, text_col, id_col, impl=impl)
+    probed = sketches.bloom_maybe_contains(cg, bloom, "__h",
+                                           m_bits=m_bits, k=k, hashed=True)
+    return (probed.where(F.col("maybe"))
+            .select(F.col(id_col), F.col("__h")).distinct()
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_maybe")))

@@ -243,3 +243,89 @@ def histogram_quantiles(sketch: DataFrame, qs: Sequence[int] = (50, 90, 99),
                    .agg(F.min("bucket_lo").alias("value"))
                    .select(*gcols, F.col("q").cast("int").alias("q"),
                            F.col("value").cast("bigint").alias("value")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable membership sketch
+# ---------------------------------------------------------------------------
+
+def _bloom_halves(hex_col):
+    """Two independent positive 60-bit BIGINTs from an md5-hex column
+    (chars 1-15 and 16-30) — the double-hashing bases.  60 bits keeps
+    ``h1 + i*h2`` inside signed-64 range for i <= 6."""
+    h1 = F.conv(F.substring(hex_col, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hex_col, 16, 15), 16, 10).cast("long")
+    return h1, h2
+
+
+def bloom_build(df: DataFrame, col: str, m_bits: int = 1 << 18,
+                k: int = 4, hashed: bool = False) -> DataFrame:
+    """Build a Bloom filter over a string column as a MERGEABLE
+    ``(word_idx, bits)`` table: bit ``pos % 32`` of word ``pos // 32`` is
+    set for each of the ``k`` double-hashed positions
+    ``pos_i = (h1 + i*h2) mod m_bits`` (Kirsch & Mitzenmacher 2006) of
+    each item's md5.  32-bit words stored in BIGINTs keep every literal
+    and OR positive, so Spark and the SQL oracle agree bit-for-bit.
+
+    The build is one map-only position fan-out + a ``BIT_OR`` GROUP BY —
+    map-side combinable, and the finished sketch is at most
+    ``m_bits / 32`` rows NO MATTER the input size: that bound (8192 rows
+    at the 2^18 default) is the whole point — a held-out-set membership
+    structure that broadcasts for pennies at 100 TB where the raw
+    distinct-hash table might not.  Two builds over different slices
+    merge by ``GROUP BY word_idx -> BIT_OR(bits)``.
+
+    ``hashed=True`` means ``col`` already holds md5 hex (e.g. the
+    ``__h`` output of corpusprep.test_gram_table); otherwise the column
+    is md5-hashed here.  ``k`` is capped at 6 by the 60-bit half bound.
+    """
+    if not 0 < k <= 6:
+        raise ValueError("bloom k must be in 1..6 (60-bit halves)")
+    if m_bits < 32 or m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two >= 32")
+    hx = F.col(col) if hashed else F.md5(F.col(col))
+    h1, h2 = _bloom_halves(hx)
+    pos = F.explode(F.array(*[(h1 + F.lit(i) * h2) % F.lit(m_bits)
+                              for i in range(k)])).alias("__pos")
+    return (df.select(pos)
+            .select((F.col("__pos") / 32).cast("int").alias("word_idx"),
+                    F.call_function(
+                        "shiftleft", F.lit(1).cast("long"),
+                        (F.col("__pos") % 32).cast("int")).alias("__mask"))
+            .groupBy("word_idx")
+            .agg(F.bit_or("__mask").alias("bits")))
+
+
+def bloom_maybe_contains(df: DataFrame, bloom: DataFrame, col: str,
+                         m_bits: int = 1 << 18, k: int = 4,
+                         hashed: bool = False,
+                         out_col: str = "maybe") -> DataFrame:
+    """Append boolean ``out_col``: true iff ALL ``k`` positions of the
+    item's md5 are set in ``bloom`` (one-sided: never false for a truly
+    inserted item; false-positive rate ~(1-e^{-kn/m})^k).
+
+    Probe shape: ``k`` chained BROADCAST left joins of the <= m/32-row
+    sketch — entirely map-side, the probed data never shuffles.  This is
+    the Bloom trade at scale: k tiny hash joins instead of shipping the
+    full membership set."""
+    if not 0 < k <= 6:
+        raise ValueError("bloom k must be in 1..6 (60-bit halves)")
+    hx = F.col(col) if hashed else F.md5(F.col(col))
+    h1, h2 = _bloom_halves(hx)
+    out = df
+    checks = []
+    for i in range(k):
+        pos = (h1 + F.lit(i) * h2) % F.lit(m_bits)
+        w, b = f"__w{i}", f"__b{i}"
+        side = F.broadcast(bloom.select(F.col("word_idx").alias(w),
+                                        F.col("bits").alias(b)))
+        out = out.join(side, (pos / 32).cast("int") == F.col(w), "left")
+        mask = F.call_function("shiftleft", F.lit(1).cast("long"),
+                               (pos % 32).cast("int"))
+        checks.append(F.coalesce(F.col(b).bitwiseAND(mask) != 0,
+                                 F.lit(False)))
+    cond = checks[0]
+    for c in checks[1:]:
+        cond = cond & c
+    drop = [c for i in range(k) for c in (f"__w{i}", f"__b{i}")]
+    return out.withColumn(out_col, cond).drop(*drop)

@@ -1,0 +1,158 @@
+"""WARC/1.0 source format: a Catalyst record-writer expression and an
+Arrow parsing kernel for Common-Crawl-style web archive blobs.
+
+The north-rule input is an Iceberg table of Common-Crawl-style pages;
+upstream of that table sits the crawl's native interchange format —
+WARC (ISO 28500).  This module gives the engine both directions:
+
+- ``warc_record_expr``: a pure-Catalyst string expression assembling a
+  conformant ``WARC-Type: response`` record (version line, headers,
+  ``Content-Length`` in OCTETS via ``octet_length``, wrapped HTTP/1.1
+  response) — used to synthesize deterministic fixture archives and as
+  a sink projection.
+- ``parse_warc``: a ``mapInPandas`` Arrow kernel that walks a binary
+  column of concatenated records (a WARC file is exactly that) and
+  emits one row per record with the parsed envelope + HTTP payload.
+  Map-only: no shuffle, batches stream through the Python worker, and
+  a malformed tail lands in the ``err`` column of a best-effort row
+  instead of failing the task (the quarantine contract,
+  reference ocr.py:775-779's error-taxonomy analog).
+
+Reference scope note: the reference suite has no WARC layer — this is
+part of the task-mandated Common-Crawl source surface (SURVEY §2.1 /
+north_rule input), built Spark-first.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+_CRLF = "\r\n"
+
+
+def warc_record_expr(uri_col, date_col, body_col, record_id_col=None):
+    """String expression of one ``WARC-Type: response`` record wrapping
+    ``body_col`` (string) in a minimal ``HTTP/1.1 200 OK`` response.
+
+    Both ``Content-Length`` headers count OCTETS (``octet_length``), so
+    the record parses correctly for any UTF-8 body.  ``date_col`` must
+    already be formatted ``YYYY-MM-DDTHH:MM:SSZ`` (WARC-Date grammar);
+    ``record_id_col`` defaults to a urn built from the md5 of
+    (uri, date, body) — deterministic, so a rebuilt archive is
+    byte-identical."""
+    uri, date, body = F.col(uri_col), F.col(date_col), F.col(body_col)
+    rid = (F.col(record_id_col) if record_id_col is not None else
+           F.concat(F.lit("urn:md5:"),
+                    F.md5(F.concat_ws("\x1f", uri, date, body))))
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK" + _CRLF
+              + "Content-Type: text/html; charset=utf-8" + _CRLF
+              + "Content-Length: "),
+        F.octet_length(body).cast("string"), F.lit(_CRLF + _CRLF), body)
+    return F.concat(
+        F.lit("WARC/1.0" + _CRLF + "WARC-Type: response" + _CRLF
+              + "WARC-Record-ID: <"),
+        rid,
+        F.lit(">" + _CRLF + "WARC-Date: "), date,
+        F.lit(_CRLF + "WARC-Target-URI: "), uri,
+        F.lit(_CRLF + "Content-Type: application/http; msgtype=response"
+              + _CRLF + "Content-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit(_CRLF + _CRLF), http, F.lit(_CRLF + _CRLF))
+
+
+_PARSE_SCHEMA = ("record_id string, warc_type string, target_uri string, "
+                 "warc_date string, http_status int, http_content_type "
+                 "string, body binary, err string")
+
+
+def _parse_blob(blob: bytes):
+    """Yield one tuple per record in a concatenated-record blob."""
+    pos, n = 0, len(blob)
+    while pos < n:
+        if blob[pos:pos + 2] == b"\r\n":          # inter-record slack
+            pos += 2
+            continue
+        head_end = blob.find(b"\r\n\r\n", pos)
+        if not blob.startswith(b"WARC/", pos) or head_end < 0:
+            yield (None, None, None, None, None, None, None,
+                   f"malformed record header at offset {pos}")
+            return
+        headers = {}
+        lines = blob[pos:head_end].split(b"\r\n")
+        for ln in lines[1:]:
+            k, _, v = ln.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers[b"content-length"])
+        except (KeyError, ValueError):
+            yield (None, None, None, None, None, None, None,
+                   f"missing/invalid Content-Length at offset {pos}")
+            return
+        block = blob[head_end + 4:head_end + 4 + clen]
+        if len(block) < clen:
+            yield (None, None, None, None, None, None, None,
+                   f"truncated record at offset {pos}")
+            return
+        pos = head_end + 4 + clen
+        rid = headers.get(b"warc-record-id", b"").strip(b"<>").decode(
+            "utf-8", "replace") or None
+        wtype = headers.get(b"warc-type", b"").decode("utf-8",
+                                                      "replace") or None
+        uri = headers.get(b"warc-target-uri")
+        uri = uri.decode("utf-8", "replace") if uri is not None else None
+        wdate = headers.get(b"warc-date")
+        wdate = wdate.decode("ascii", "replace") if wdate is not None else None
+        status = ctype = body = None
+        if (headers.get(b"content-type", b"")
+                .startswith(b"application/http") and block[:5] == b"HTTP/"):
+            hh_end = block.find(b"\r\n\r\n")
+            hh_end = hh_end if hh_end >= 0 else len(block)
+            hlines = block[:hh_end].split(b"\r\n")
+            parts = hlines[0].split(b" ", 2)
+            if len(parts) >= 2 and parts[1].isdigit():
+                status = int(parts[1])
+            for ln in hlines[1:]:
+                k, _, v = ln.partition(b":")
+                if k.strip().lower() == b"content-type":
+                    ctype = v.strip().decode("utf-8", "replace")
+            body = block[hh_end + 4:] if hh_end + 4 <= len(block) else b""
+        else:
+            body = block
+        yield (rid, wtype, uri, wdate, status, ctype, body, None)
+
+
+def parse_warc(df: DataFrame, warc_col: str = "warc",
+               keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """One row per WARC record found in the binary column ``warc_col``
+    (each value may hold a whole multi-record archive).  Output columns:
+    ``record_id, warc_type, target_uri, warc_date, http_status,
+    http_content_type, body, err`` plus any ``keep_cols`` carried
+    through from the input row.  Malformed/truncated tails produce a
+    row with ``err`` set and the rest null — never a task failure."""
+    import pandas as pd
+
+    keep_types = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keep_cols)
+    schema = (keep_types + ", " if keep_types else "") + _PARSE_SCHEMA
+    cols = list(keep_cols) + [warc_col]
+
+    def kernel(batches) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for row in zip(*(pdf[c] for c in cols)):
+                keep, blob = row[:-1], row[-1]
+                if blob is None:
+                    out.append(keep + (None,) * 7 + ("null archive",))
+                    continue
+                blob = bytes(blob)
+                for rec in _parse_blob(blob):
+                    out.append(keep + rec)
+            names = list(keep_cols) + [
+                "record_id", "warc_type", "target_uri", "warc_date",
+                "http_status", "http_content_type", "body", "err"]
+            yield pd.DataFrame(out, columns=names)
+
+    return df.select(*cols).mapInPandas(kernel, schema=schema)

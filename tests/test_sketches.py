@@ -181,3 +181,75 @@ def test_histogram_grouped_and_partition_invariant(spark):
         qs=(50, 99), group_cols=["g"]).collect()))
     assert q1 == q8
     assert {t[0] for t in q1} == {"a", "b"}
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def _bloom_py(items, m_bits, k):
+    """Single-process replay of the double-hashing contract."""
+    words = {}
+    for it in items:
+        hx = hashlib.md5(it.encode()).hexdigest()
+        h1, h2 = int(hx[:15], 16), int(hx[15:30], 16)
+        for i in range(k):
+            pos = (h1 + i * h2) % m_bits
+            words[pos // 32] = words.get(pos // 32, 0) | (1 << (pos % 32))
+    return words
+
+
+def test_bloom_build_matches_python_replay(spark):
+    items = [f"item-{i}" for i in range(100)]
+    df = spark.createDataFrame([(x,) for x in items], "v string")
+    got = {r.word_idx: r.bits
+           for r in sk.bloom_build(df, "v", m_bits=1 << 12, k=4).collect()}
+    assert got == _bloom_py(items, 1 << 12, 4)
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    """Every inserted item probes true; at 2^16 bits / 500 items the
+    false-positive rate over 2000 absent items stays near the
+    theoretical (1-e^{-kn/m})^k ~ 1e-6 — pinned loosely at < 1%."""
+    inserted = [f"in-{i}" for i in range(500)]
+    absent = [f"out-{i}" for i in range(2000)]
+    ins = spark.createDataFrame([(x,) for x in inserted], "v string")
+    bloom = sk.bloom_build(ins, "v", m_bits=1 << 16, k=4)
+    probe = spark.createDataFrame(
+        [(x,) for x in inserted + absent], "v string")
+    out = {r.v: r.maybe for r in sk.bloom_maybe_contains(
+        probe, bloom, "v", m_bits=1 << 16, k=4).collect()}
+    assert all(out[x] for x in inserted)          # one-sided: no misses
+    fp = sum(out[x] for x in absent)
+    assert fp < 20
+
+
+def test_bloom_merge_is_bitwise_or(spark):
+    a = spark.createDataFrame([(f"a-{i}",) for i in range(80)], "v string")
+    b = spark.createDataFrame([(f"b-{i}",) for i in range(80)], "v string")
+    both = a.union(b)
+    merged = (sk.bloom_build(a, "v", m_bits=1 << 12, k=3)
+              .union(sk.bloom_build(b, "v", m_bits=1 << 12, k=3))
+              .groupBy("word_idx").agg(F.bit_or("bits").alias("bits")))
+    direct = sk.bloom_build(both, "v", m_bits=1 << 12, k=3)
+    assert ({(r.word_idx, r.bits) for r in merged.collect()}
+            == {(r.word_idx, r.bits) for r in direct.collect()})
+
+
+def test_bloom_decontaminate_supersets_exact(spark):
+    """With a deliberately TINY filter (2^8 bits) false positives are
+    forced, but the flagged set must still contain every exactly
+    contaminated doc and n_maybe >= n_shared on the overlap."""
+    from image_pdf_ocr_suite_spark.analytics import corpusprep as cp
+
+    docs = [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(12)))
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    test = df.where(F.col("doc_id") % 9 == 0)
+    exact = {r.doc_id: r.n_shared
+             for r in cp.decontaminate_ngrams(df, test, n=5).collect()}
+    loose = {r.doc_id: r.n_maybe
+             for r in cp.bloom_decontaminate(df, test, n=5,
+                                             m_bits=1 << 8, k=2).collect()}
+    assert set(exact) <= set(loose)
+    assert all(loose[d] >= n for d, n in exact.items())
