@@ -315,6 +315,45 @@ def q_near_dup_components(spark, sf_dir):
     return dedup.connected_components_star(verified)
 
 
+def q_c4_line_filter(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) over a
+    deterministically line-structured rebuild of the documents (the
+    synthetic corpus is single-line word soup, so the query folds each
+    doc's tokens into 6-word lines, terminal '.' on line i iff
+    (doc_id+i)%3 != 0 — the oracle replays the construction, then both
+    sides apply the same keep rules)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = textops.token_array_expr("text")
+    base = d.select("doc_id", toks.alias("__toks")) \
+        .where(F.size("__toks") > 0)
+    nl = F.ceil(F.size("__toks") / F.lit(6.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(F.col("__toks"), i * 6 + 1, 6), " "),
+            F.when((F.col("doc_id") + i) % 3 == 0, F.lit(""))
+             .otherwise(F.lit("."))))
+    built = base.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return textops.c4_line_filter(built)
+
+
+def q_dedup_recall_lsh(spark, sf_dir):
+    """Self-evaluating dedup quality gate (the twin of ann_recall_lsh):
+    recall of the MinHash-LSH candidate generator against the exact
+    token-Jaccard >= 0.2 pair set on the bounded id<60 slice — integer
+    (total_pairs, hits), so the driver hash checks the recall
+    measurement of the scale path's candidate stage itself."""
+    d = _t(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(d, threshold=0.2, max_id=60) \
+        .select("id_a", "id_b")
+    cand = dedup.lsh_candidate_pairs(d).where(
+        (F.col("id_a") < 60) & (F.col("id_b") < 60)) \
+        .withColumn("__c", F.lit(True))
+    joined = exact.join(cand, ["id_a", "id_b"], "left")
+    return joined.agg(F.count(F.lit(1)).alias("total_pairs"),
+                      F.count("__c").alias("hits"))
+
+
 def q_topk_cosine(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -1423,13 +1462,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_disjunct": q_tpch_q19_disjunct,
         "bloom_decontaminate": q_bloom_decontaminate,
         "warc_extract": q_warc_extract,
+        "dedup_recall_lsh": q_dedup_recall_lsh,
+        "c4_line_filter": q_c4_line_filter,
         # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
         "winnow_fingerprints": q_winnow_fingerprints,
         "topk_cosine": q_topk_cosine,
         "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
         "token_count_bpe": q_token_count_bpe,
-        "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "doc_assembly": q_doc_assembly,
         "span_offsets": q_span_offsets,
@@ -1448,6 +1487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "ann_lsh_topk_banded": q_ann_lsh_topk_banded,
         # ---- position 51+: r4-driver-green, pytest-parity only ----
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
         "token_count": q_token_count,
         "bigram_counts": q_bigram_counts,
         "rescale_projection": q_rescale_projection,
@@ -2139,6 +2180,66 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS min_id
             FROM sig WHERE minhash IS NOT NULL
             GROUP BY band, minhash HAVING COUNT(*) > 1""",
+        "c4_line_filter": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x != '') AS tk
+                FROM documents WHERE len(list_filter(string_split(text, ' '),
+                                                     x -> x != '')) > 0),
+            built AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(
+                           range(0, CAST(ceil(len(tk) / 6.0) AS INTEGER)),
+                           i -> array_to_string(tk[i*6+1:i*6+6], ' ')
+                                || CASE WHEN (doc_id + i) % 3 = 0
+                                        THEN '' ELSE '.' END),
+                           chr(10)) AS text
+                FROM tok),
+            kept AS (
+                SELECT doc_id, text,
+                       string_split(text, chr(10)) AS ls,
+                       list_filter(string_split(text, chr(10)),
+                           l -> right(l, 1) IN ('.', '!', '?', '"')
+                                AND len(list_filter(string_split(l, ' '),
+                                                    x -> x != '')) >= 5) AS ks
+                FROM built)
+            SELECT doc_id,
+                   array_to_string(ks, chr(10)) AS clean_text,
+                   CAST(len(ls) AS INTEGER) AS n_lines_total,
+                   CAST(len(ks) AS INTEGER) AS n_lines_kept,
+                   (len(ks) >= 3
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{')) AS keep
+            FROM kept""",
+        "dedup_recall_lsh": """
+            WITH toks AS (
+                SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+                FROM documents WHERE doc_id < 60),
+            ex AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM toks a, toks b
+                WHERE a.doc_id < b.doc_id
+                  AND CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.2),
+            sh AS (
+                SELECT doc_id,
+                       list_transform(range(1, len(sp) - 1),
+                                      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) AS shingles
+                FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)),
+            bands AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS band),
+            sig AS (
+                SELECT doc_id, band,
+                       list_min(list_transform(shingles,
+                                s -> md5(s || '#' || CAST(band AS VARCHAR)))) AS minhash
+                FROM sh, bands),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+                WHERE a.minhash IS NOT NULL AND a.doc_id < b.doc_id
+                  AND a.doc_id < 60 AND b.doc_id < 60)
+            SELECT CAST(COUNT(*) AS BIGINT) AS total_pairs,
+                   CAST(COUNT(c.id_a) AS BIGINT) AS hits
+            FROM ex LEFT JOIN cand c USING (id_a, id_b)""",
         "minhash_candidate_pairs": """
             WITH sh AS (
                 SELECT doc_id,

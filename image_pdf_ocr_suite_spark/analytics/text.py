@@ -506,3 +506,38 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
              & (5 * c("n_alpha_words") >= 4 * c("n_words"))
              & (c("n_stop_hits") >= 2))
     return s.withColumn("gopher_pass", gpass.cast("int"))
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_words: int = 5,
+                   min_kept_lines: int = 3) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2), the line-level
+    rules: keep only lines that end in terminal punctuation (``.!?"``)
+    AND have at least ``min_words`` words; a document survives iff at
+    least ``min_kept_lines`` lines remain and it mentions neither
+    ``lorem ipsum`` (case-insensitive) nor a ``{`` (code tell).
+
+    Returns ``(id, clean_text, n_lines_total, n_lines_kept, keep)``
+    with ``clean_text`` the kept lines re-joined by newline.  Map-only
+    Catalyst projection — string/integer ops throughout, so the SQL
+    oracle hashes it exactly; at 100 TB this is a free rider on the
+    extraction scan (no shuffle, prunes to two columns)."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def _is_kept(ln):
+        words = F.size(F.filter(F.split(ln, " "), lambda x: x != ""))
+        return (F.substring(ln, -1, 1).isin(".", "!", "?", '"')
+                & (words >= min_words))
+
+    base = df.select(
+        F.col(id_col), F.col(text_col).alias("__t"),
+        lines.alias("__lines"),
+        F.filter(lines, _is_kept).alias("__kraw"))
+    return base.select(
+        F.col(id_col),
+        F.array_join(F.col("__kraw"), "\n").alias("clean_text"),
+        F.size("__lines").alias("n_lines_total"),
+        F.size("__kraw").alias("n_lines_kept"),
+        ((F.size("__kraw") >= min_kept_lines)
+         & ~F.lower(F.col("__t")).contains("lorem ipsum")
+         & ~F.col("__t").contains("{")).alias("keep"))

@@ -169,3 +169,39 @@ def test_watermark_dedup_single_key_shuffle(spark):
     assert plan.count("Exchange") == 1, plan
     assert "MapInPandas" in plan, plan
     assert re.search(r"Sort \[user_id", plan), plan
+
+
+def test_bloom_probe_is_broadcast_map_side(spark):
+    """The Bloom probe must resolve as k BROADCAST hash joins of the
+    bounded word table — the probed gram stream itself never shuffles
+    (the only exchanges are the post-flag distinct + final id count,
+    carrying the flagged sliver)."""
+    plan = _plan(entrymod.q_bloom_decontaminate(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_semantic_dedup_shuffles_cluster_key_only(spark):
+    """SemDeDup's quadratic search must be confined within clusters: no
+    cartesian/nested-loop join anywhere — the pair join keys on the
+    cluster column."""
+    df = entrymod.q_semantic_dedup(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    # the pair join is an EQUI-join keyed on the cluster column (hash
+    # join — broadcast at this scale, shuffle-on-cluster at 100 TB)
+    fmt = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert re.search(r"Left keys \[1\]: \[cluster#\d+\]", fmt), fmt
+
+
+def test_warc_parse_is_map_only(spark):
+    """Writer expression + parser kernel: the record walk is a pure
+    mapInPandas stage — the only exchange is the blob-grouping
+    aggregate upstream of the writer."""
+    plan = _plan(entrymod.q_warc_extract(spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("Exchange") <= 2, plan
