@@ -215,6 +215,16 @@ def main() -> None:
     queries["kmv_distinct"] = time_query(
         lambda: _force(entrymod.q_kmv_distinct_trigrams(spark, SF_DIR)), "kmv_distinct")
 
+    # round-5b legs: SemDeDup semantic dedup (numpy assignment + one
+    # cluster-keyed shuffle + per-cluster gram matmul kernel) and the
+    # Bloom-filtered decontamination first pass (bounded-bit-table
+    # broadcast, k map-side probe joins)
+    queries["semantic_dedup"] = time_query(
+        lambda: _force(entrymod.q_semantic_dedup(spark, SF_DIR)), "semantic_dedup")
+    queries["bloom_decontaminate"] = time_query(
+        lambda: _force(entrymod.q_bloom_decontaminate(spark, SF_DIR)),
+        "bloom_decontaminate")
+
     docs_per_sec = round(n_docs / queries["ocr_extract"], 2)
     print(json.dumps({
         "metric": "extract_docs_per_sec",

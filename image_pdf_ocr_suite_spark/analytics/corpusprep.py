@@ -511,7 +511,7 @@ def cut_duplicate_spans(df: DataFrame, n: int = 20, text_col: str = "text",
 def bloom_decontaminate(corpus: DataFrame, test: DataFrame | None = None,
                         n: int = 13, m_bits: int = 1 << 18, k: int = 4,
                         text_col: str = "text", id_col: str = "doc_id",
-                        impl: str = "arrow", *,
+                        impl: str = "arrow", probe_impl: str = "arrow", *,
                         test_grams: DataFrame | None = None) -> DataFrame:
     """``decontaminate_ngrams`` through a Bloom filter: the held-out gram
     set is folded into a <= ``m_bits/32``-row mergeable bit table
@@ -534,10 +534,63 @@ def bloom_decontaminate(corpus: DataFrame, test: DataFrame | None = None,
     tg = (test_grams if test_grams is not None
           else test_gram_table(test, n, text_col, id_col, impl=impl))
     bloom = sketches.bloom_build(tg, "__h", m_bits=m_bits, k=k, hashed=True)
-    cg = _ngram_hashes(corpus, n, text_col, id_col, impl=impl)
-    probed = sketches.bloom_maybe_contains(cg, bloom, "__h",
-                                           m_bits=m_bits, k=k, hashed=True)
-    return (probed.where(F.col("maybe"))
-            .select(F.col(id_col), F.col("__h")).distinct()
+    if impl == "arrow" and probe_impl == "arrow":
+        # fused fast path: gram hashing AND the bloom test in ONE Python
+        # stage — only the flagged (id, gram) sliver ever re-enters the
+        # JVM (a separate probe stage costs a second Arrow round trip of
+        # the full gram stream; measured no better than the join form)
+        flagged = _bloom_flagged_grams_arrow(
+            corpus, sketches.bloom_bits_array(bloom, m_bits), n, m_bits,
+            k, text_col, id_col)
+    else:
+        cg = _ngram_hashes(corpus, n, text_col, id_col, impl=impl)
+        flagged = sketches.bloom_maybe_contains(
+            cg, bloom, "__h", m_bits=m_bits, k=k, hashed=True,
+            impl=probe_impl).where(F.col("maybe"))
+    return (flagged.select(F.col(id_col), F.col("__h")).distinct()
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_maybe")))
+
+
+def _bloom_flagged_grams_arrow(corpus: DataFrame, bits, n: int,
+                               m_bits: int, k: int, text_col: str,
+                               id_col: str) -> DataFrame:
+    """(id, __h) rows of MAYBE-contaminated grams only: the
+    _ngram_hashes kernel with the bounded bit array tested against each
+    DISTINCT gram's md5 before anything is emitted."""
+    import numpy as np
+    import pandas as pd
+
+    from image_pdf_ocr_suite_spark.analytics.hashkernels import (
+        factorize_md5_hex, iter_flat_chunks)
+    from image_pdf_ocr_suite_spark.analytics.sketches import hex_halves_np
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, gram_lists = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(t, str) or not t:
+                    continue
+                toks = [x for x in t.split(" ") if x]
+                if len(toks) < n:
+                    continue
+                gram_lists.append([" ".join(toks[j:j + n])
+                                   for j in range(len(toks) - n + 1)])
+                ids.append(i)
+            for cids, lens, flat in iter_flat_chunks(ids, gram_lists):
+                codes, uhex = factorize_md5_hex(flat)
+                h1, h2 = hex_halves_np(uhex)
+                ok = np.ones(len(uhex), dtype=bool)
+                for i in range(k):
+                    pos = (h1 + i * h2) % m_bits
+                    ok &= (bits[pos // 32]
+                           >> (pos % 32).astype(np.uint32)) & 1 == 1
+                keep = ok[codes]
+                yield pd.DataFrame(
+                    {id_col: np.repeat(np.array(cids), lens)[keep],
+                     "__h": uhex[codes][keep]})
+
+    return corpus.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, __h string")

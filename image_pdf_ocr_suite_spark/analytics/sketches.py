@@ -296,20 +296,64 @@ def bloom_build(df: DataFrame, col: str, m_bits: int = 1 << 18,
             .agg(F.bit_or("__mask").alias("bits")))
 
 
-def bloom_maybe_contains(df: DataFrame, bloom: DataFrame, col: str,
+def hex_halves_np(uhex):
+    """Vectorized ``(h1, h2)`` int64 arrays from an array of md5-hex
+    strings (chars 1-15 / 16-30) — nibble-decode + horner, no per-item
+    Python ``int(x, 16)`` (measured ~1 s/M uniques saved in the fused
+    decontamination kernel)."""
+    import numpy as np
+
+    if len(uhex) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    raw = np.array(uhex, dtype="S30").view(np.uint8).reshape(len(uhex), -1)
+    nib = np.where(raw >= ord("a"), raw - (ord("a") - 10),
+                   raw - ord("0")).astype(np.int64)
+    h1 = np.zeros(len(uhex), dtype=np.int64)
+    h2 = np.zeros(len(uhex), dtype=np.int64)
+    for j in range(15):
+        h1 = (h1 << 4) | nib[:, j]
+        h2 = (h2 << 4) | nib[:, 15 + j]
+    return h1, h2
+
+
+def bloom_bits_array(bloom: DataFrame, m_bits: int):
+    """Collect the word table into a dense uint32 array of ``m_bits/32``
+    entries — a BOUNDED driver collect (8 KiB per 2^18 bits, independent
+    of how much data built the filter; the same license as the IVF
+    training sample).  This array IS the classical Bloom filter — the
+    thing small enough to ship everywhere."""
+    import numpy as np
+
+    arr = np.zeros(m_bits // 32, dtype=np.uint32)
+    for r in bloom.collect():
+        arr[r["word_idx"]] = r["bits"]
+    return arr
+
+
+def bloom_maybe_contains(df: DataFrame, bloom, col: str,
                          m_bits: int = 1 << 18, k: int = 4,
-                         hashed: bool = False,
-                         out_col: str = "maybe") -> DataFrame:
+                         hashed: bool = False, out_col: str = "maybe",
+                         impl: str = "arrow") -> DataFrame:
     """Append boolean ``out_col``: true iff ALL ``k`` positions of the
     item's md5 are set in ``bloom`` (one-sided: never false for a truly
     inserted item; false-positive rate ~(1-e^{-kn/m})^k).
 
-    Probe shape: ``k`` chained BROADCAST left joins of the <= m/32-row
-    sketch — entirely map-side, the probed data never shuffles.  This is
-    the Bloom trade at scale: k tiny hash joins instead of shipping the
-    full membership set."""
+    ``impl="arrow"`` (default): the bounded bit array (``bloom`` may be
+    the word-table DataFrame or a ready ``bloom_bits_array`` result)
+    ships inside the probe kernel's closure — a single MAP-ONLY Python
+    stage, zero joins, the item stream never shuffles; repeated hashes
+    in a batch are factorized so each distinct md5 is position-tested
+    once (the Zipf trick from the gram kernels).  ``impl="catalyst"``
+    keeps the SQL-mirroring spelling — ``k`` chained broadcast left
+    joins of the word table — as the oracle/equivalence reference
+    (measured 2.6x the exact probe's wall at sf0.1; the kernel form
+    reclaims it)."""
     if not 0 < k <= 6:
         raise ValueError("bloom k must be in 1..6 (60-bit halves)")
+    if impl == "arrow":
+        return _bloom_probe_arrow(df, bloom, col, m_bits, k, hashed,
+                                  out_col)
     hx = F.col(col) if hashed else F.md5(F.col(col))
     h1, h2 = _bloom_halves(hx)
     out = df
@@ -329,3 +373,36 @@ def bloom_maybe_contains(df: DataFrame, bloom: DataFrame, col: str,
         cond = cond & c
     drop = [c for i in range(k) for c in (f"__w{i}", f"__b{i}")]
     return out.withColumn(out_col, cond).drop(*drop)
+
+
+def _bloom_probe_arrow(df: DataFrame, bloom, col: str, m_bits: int,
+                       k: int, hashed: bool, out_col: str) -> DataFrame:
+    """Map-only vectorized probe: factorize the batch's hex values, test
+    each DISTINCT md5's k positions against the in-closure bit array,
+    gather back."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bits = (bloom if isinstance(bloom, np.ndarray)
+            else bloom_bits_array(bloom, m_bits))
+
+    def _fn(s):
+        codes, uniq = pd.factorize(s, use_na_sentinel=True)
+        if len(uniq) == 0:
+            return pd.Series([None] * len(s), dtype="boolean")
+        hexes = (uniq if hashed else
+                 [hashlib.md5(str(x).encode()).hexdigest() for x in uniq])
+        h1, h2 = hex_halves_np(np.asarray(hexes, dtype=object))
+        ok = np.ones(len(uniq), dtype=bool)
+        for i in range(k):
+            pos = (h1 + i * h2) % m_bits
+            ok &= (bits[pos // 32] >> (pos % 32).astype(np.uint32)) & 1 == 1
+        # null items probe False — the same verdict the join spelling's
+        # coalesce(..., False) produces
+        out = np.where(codes >= 0, ok[np.maximum(codes, 0)], False)
+        return pd.Series(out, dtype="boolean")
+
+    return df.withColumn(out_col, pandas_udf(_fn, "boolean")(F.col(col)))

@@ -253,3 +253,21 @@ def test_bloom_decontaminate_supersets_exact(spark):
                                              m_bits=1 << 8, k=2).collect()}
     assert set(exact) <= set(loose)
     assert all(loose[d] >= n for d, n in exact.items())
+
+
+def test_bloom_probe_arrow_equals_catalyst(spark):
+    """The kernel probe and the join spelling agree item-for-item,
+    nulls included (both verdict False)."""
+    ins = spark.createDataFrame([(f"in-{i}",) for i in range(200)],
+                                "v string")
+    bloom = sk.bloom_build(ins, "v", m_bits=1 << 10, k=3)
+    probe = spark.createDataFrame(
+        [(i, f"in-{i}" if i < 100 else f"out-{i}") for i in range(300)]
+        + [(999, None)], "pid long, v string")
+    kw = dict(m_bits=1 << 10, k=3)
+    a = {r.pid: r.maybe for r in sk.bloom_maybe_contains(
+        probe, bloom, "v", impl="arrow", **kw).collect()}
+    c = {r.pid: r.maybe for r in sk.bloom_maybe_contains(
+        probe, bloom, "v", impl="catalyst", **kw).collect()}
+    assert a == c
+    assert a[999] is False
