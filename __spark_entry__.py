@@ -1196,6 +1196,34 @@ def q_warc_extract(spark, sf_dir):
         F.md5("body").alias("body_md5"))
 
 
+def q_robots_allowed(spark, sf_dir):
+    """Crawl-policy probe (kernels/robots.py): deterministic per-doc
+    robots.txt files (a '*' group with a Disallow/Allow pair + a
+    'fetcher' group the '*' probe must ignore) are parsed by the rules
+    kernel, then four synthetic paths per doc run the longest-match
+    allow/deny probe — incl. the allow-beats-disallow tie, the
+    non-boundary prefix match ('/p3rivate' IS blocked by '/p3'), and
+    the unmatched default-allow.  The oracle rebuilds the rule table
+    directly and replays the generic longest-match window."""
+    from image_pdf_ocr_suite_spark.kernels import robots as robots_mod
+
+    d = _t(spark, sf_dir, "documents")
+    a = (F.col("doc_id") % 10).cast("string")
+    txt = F.concat(
+        F.lit("# crawl policy\nUser-agent: *\nDisallow: /p"), a,
+        F.lit("\nAllow: /p"), a, F.lit("/public\nCrawl-delay: "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("\n\nUser-agent: fetcher\nDisallow: /\n"))
+    rules = robots_mod.robots_rules(
+        d.select("doc_id", txt.alias("robots")))
+    paths = d.select("doc_id", F.explode(F.array(
+        F.concat(F.lit("/p"), a, F.lit("/public/x")),
+        F.concat(F.lit("/p"), ((F.col("doc_id") * 3) % 10).cast("string")),
+        F.concat(F.lit("/p"), a, F.lit("rivate")),
+        F.lit("/q"))).alias("path"))
+    return robots_mod.robots_allowed(rules, paths, agent="*")
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-filtered decontamination (first-pass form): the held-out
     5-gram set folds into a 2^18-bit mergeable sketch (<= 8192 rows)
@@ -1462,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_disjunct": q_tpch_q19_disjunct,
         "bloom_decontaminate": q_bloom_decontaminate,
         "warc_extract": q_warc_extract,
+        "robots_allowed": q_robots_allowed,
         "dedup_recall_lsh": q_dedup_recall_lsh,
         "c4_line_filter": q_c4_line_filter,
         # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
@@ -1477,7 +1506,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_docs_per_lang": q_top_docs_per_lang,
         "dedup_first_per_key": q_dedup_first_per_key,
         "lang_id_script": q_lang_id_script,
-        "top_tokens": q_top_tokens,
         "value_median": q_value_median,
         "event_rollup_hourly": q_event_rollup_hourly,
         "text_nfc": q_text_nfc,
@@ -1487,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "ann_lsh_topk_banded": q_ann_lsh_topk_banded,
         # ---- position 51+: r4-driver-green, pytest-parity only ----
+        "top_tokens": q_top_tokens,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
@@ -2727,6 +2756,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS INTEGER) AS body_len,
                    md5(text) AS body_md5
             FROM documents""",
+        "robots_allowed": """
+            WITH d AS (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS a
+                       FROM documents),
+            rules AS (
+                SELECT doc_id, 'disallow' AS rule, '/p' || a AS value FROM d
+                UNION ALL
+                SELECT doc_id, 'allow', '/p' || a || '/public' FROM d),
+            paths AS (
+                SELECT doc_id, unnest(['/p' || a || '/public/x',
+                                       '/p' || CAST((doc_id * 3) % 10
+                                                    AS VARCHAR),
+                                       '/p' || a || 'rivate',
+                                       '/q']) AS path
+                FROM d),
+            m AS (SELECT p.doc_id, p.path, r.rule, len(r.value) AS l
+                  FROM paths p JOIN rules r ON p.doc_id = r.doc_id
+                   AND starts_with(p.path, r.value)),
+            best AS (SELECT doc_id, path, rule,
+                            ROW_NUMBER() OVER (PARTITION BY doc_id, path
+                                               ORDER BY l DESC, rule ASC)
+                                AS rn
+                     FROM m)
+            SELECT p.doc_id, p.path,
+                   COALESCE(b.rule = 'allow', TRUE) AS allowed
+            FROM paths p
+            LEFT JOIN (SELECT doc_id, path, rule FROM best WHERE rn = 1) b
+              ON p.doc_id = b.doc_id AND p.path = b.path""",
         "bloom_decontaminate": """
             WITH tok AS (
                 SELECT doc_id,

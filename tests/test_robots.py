@@ -1,0 +1,85 @@
+"""robots.txt layer (kernels/robots.py): parser fixtures and the
+longest-match allow/deny probe semantics."""
+
+from pyspark.sql import functions as F
+
+from image_pdf_ocr_suite_spark.kernels import robots
+
+
+FIXTURE = """
+# global group
+User-Agent: *
+Disallow: /tmp
+ALLOW: /tmp/ok       # case-insensitive field names
+Crawl-delay: 4
+
+User-agent: alpha
+User-agent: beta     # two agents share one group
+Disallow: /a
+
+Sitemap: https://x/s.xml
+Disallow: /orphan
+"""
+
+
+def test_parse_groups_and_directives():
+    rules = robots.parse_robots(FIXTURE)
+    assert ("*", "disallow", "/tmp") in rules
+    assert ("*", "allow", "/tmp/ok") in rules
+    assert ("*", "crawl-delay", "4") in rules
+    assert ("alpha", "disallow", "/a") in rules
+    assert ("beta", "disallow", "/a") in rules
+    assert ("*", "sitemap", "https://x/s.xml") in rules
+    # the trailing Disallow belongs to the alpha/beta group, and the
+    # leading comment/blank lines produce nothing
+    assert ("alpha", "disallow", "/orphan") in rules
+    assert ("*", "disallow", "/orphan") not in rules
+
+
+def test_rules_before_any_group_are_dropped_and_empty_disallow():
+    rules = robots.parse_robots(
+        "Disallow: /early\nUser-agent: *\nDisallow:\nAllow: /x")
+    assert rules == [("*", "allow", "/x")]
+
+
+def _probe(spark, txt, paths, agent="*"):
+    df = spark.createDataFrame([(1, txt)], "doc_id long, robots string")
+    rules = robots.robots_rules(df)
+    pdf = spark.createDataFrame([(1, p) for p in paths],
+                                "doc_id long, path string")
+    out = robots.robots_allowed(rules, pdf, agent=agent)
+    return {r["path"]: r["allowed"] for r in out.collect()}
+
+
+def test_longest_match_and_tie_break(spark):
+    txt = ("User-agent: *\nDisallow: /shop\nAllow: /shop/sale\n"
+           "Disallow: /shop/sale\n")        # tie: allow wins
+    got = _probe(spark, txt, ["/shop/x", "/shop/sale/y", "/elsewhere"])
+    assert got["/shop/x"] is False           # disallowed prefix
+    assert got["/shop/sale/y"] is True       # longer allow + tie rule
+    assert got["/elsewhere"] is True         # unmatched default
+
+
+def test_prefix_is_not_path_boundary(spark):
+    got = _probe(spark, "User-agent: *\nDisallow: /p3\n",
+                 ["/p3rivate", "/p3/x", "/p"])
+    assert got["/p3rivate"] is False
+    assert got["/p3/x"] is False
+    assert got["/p"] is True
+
+
+def test_agent_group_overrides_star(spark):
+    txt = ("User-agent: *\nDisallow: /everyone\n"
+           "User-agent: fetcher\nDisallow: /only-fetcher\n")
+    star = _probe(spark, txt, ["/everyone/x", "/only-fetcher/x"])
+    fetch = _probe(spark, txt, ["/everyone/x", "/only-fetcher/x"],
+                   agent="fetcher")
+    assert star == {"/everyone/x": False, "/only-fetcher/x": True}
+    # fetcher has its OWN group -> the * group no longer applies
+    assert fetch == {"/everyone/x": True, "/only-fetcher/x": False}
+
+
+def test_agent_without_own_group_falls_back_to_star(spark):
+    txt = "User-agent: *\nDisallow: /x\n"
+    got = _probe(spark, txt, ["/x/1", "/y"], agent="newbot")
+    assert got == {"/x/1": False, "/y": True}
