@@ -1199,12 +1199,15 @@ def q_warc_extract(spark, sf_dir):
 def q_robots_allowed(spark, sf_dir):
     """Crawl-policy probe (kernels/robots.py): deterministic per-doc
     robots.txt files (a '*' group with a Disallow/Allow pair + a
-    'fetcher' group the '*' probe must ignore) are parsed by the rules
-    kernel, then four synthetic paths per doc run the longest-match
-    allow/deny probe — incl. the allow-beats-disallow tie, the
-    non-boundary prefix match ('/p3rivate' IS blocked by '/p3'), and
-    the unmatched default-allow.  The oracle rebuilds the rule table
-    directly and replays the generic longest-match window."""
+    'fetcher' group the '*' probe must ignore, plus an anchored and an
+    open wildcard rule) are parsed by the rules kernel, then eight
+    synthetic paths per doc run the most-specific-match allow/deny
+    probe — incl. the allow-beats-disallow tie, the non-boundary
+    prefix match ('/p3rivate' IS blocked by '/p3'), the unmatched
+    default-allow, the '$' end anchor, and the longer-disallow-beats-
+    shorter-allow wildcard case.  The oracle rebuilds the rule table
+    (literal prefixes + hand-translated RE2 regexes with explicit
+    pattern lengths) and replays the generic most-specific window."""
     from image_pdf_ocr_suite_spark.kernels import robots as robots_mod
 
     d = _t(spark, sf_dir, "documents")
@@ -1213,6 +1216,7 @@ def q_robots_allowed(spark, sf_dir):
         F.lit("# crawl policy\nUser-agent: *\nDisallow: /p"), a,
         F.lit("\nAllow: /p"), a, F.lit("/public\nCrawl-delay: "),
         (F.col("doc_id") % 7).cast("string"),
+        F.lit("\nDisallow: /dl/*.exe$\nAllow: /dl/ok*"),
         F.lit("\n\nUser-agent: fetcher\nDisallow: /\n"))
     rules = robots_mod.robots_rules(
         d.select("doc_id", txt.alias("robots")))
@@ -1220,7 +1224,11 @@ def q_robots_allowed(spark, sf_dir):
         F.concat(F.lit("/p"), a, F.lit("/public/x")),
         F.concat(F.lit("/p"), ((F.col("doc_id") * 3) % 10).cast("string")),
         F.concat(F.lit("/p"), a, F.lit("rivate")),
-        F.lit("/q"))).alias("path"))
+        F.lit("/q"),
+        F.concat(F.lit("/dl/x"), a, F.lit(".exe")),
+        F.lit("/dl/x.exe.txt"),
+        F.concat(F.lit("/dl/ok"), a, F.lit(".exe")),
+        F.concat(F.lit("/dl/ok"), a))).alias("path"))
     return robots_mod.robots_allowed(rules, paths, agent="*")
 
 
@@ -2760,19 +2768,32 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS a
                        FROM documents),
             rules AS (
-                SELECT doc_id, 'disallow' AS rule, '/p' || a AS value FROM d
+                SELECT doc_id, 'disallow' AS rule, 3 AS l,
+                       '/p' || a AS pre, NULL AS rx FROM d
                 UNION ALL
-                SELECT doc_id, 'allow', '/p' || a || '/public' FROM d),
+                SELECT doc_id, 'allow', 10,
+                       '/p' || a || '/public', NULL FROM d
+                UNION ALL
+                SELECT doc_id, 'disallow', 10,
+                       NULL, '^/dl/.*\\.exe$' FROM d
+                UNION ALL
+                SELECT doc_id, 'allow', 7, NULL, '^/dl/ok.*' FROM d),
             paths AS (
                 SELECT doc_id, unnest(['/p' || a || '/public/x',
                                        '/p' || CAST((doc_id * 3) % 10
                                                     AS VARCHAR),
                                        '/p' || a || 'rivate',
-                                       '/q']) AS path
+                                       '/q',
+                                       '/dl/x' || a || '.exe',
+                                       '/dl/x.exe.txt',
+                                       '/dl/ok' || a || '.exe',
+                                       '/dl/ok' || a]) AS path
                 FROM d),
-            m AS (SELECT p.doc_id, p.path, r.rule, len(r.value) AS l
+            m AS (SELECT p.doc_id, p.path, r.rule, r.l
                   FROM paths p JOIN rules r ON p.doc_id = r.doc_id
-                   AND starts_with(p.path, r.value)),
+                   AND (CASE WHEN r.rx IS NULL
+                             THEN starts_with(p.path, r.pre)
+                             ELSE regexp_matches(p.path, r.rx) END)),
             best AS (SELECT doc_id, path, rule,
                             ROW_NUMBER() OVER (PARTITION BY doc_id, path
                                                ORDER BY l DESC, rule ASC)

@@ -10,16 +10,18 @@ a polite fetcher may use.  Two pieces:
   Handles comments, case-insensitive field names, multiple consecutive
   ``User-agent`` lines sharing one group, rules before any group
   (ignored per spec), and ``Sitemap``/``Crawl-delay`` directives.
-  SUBSET NOTE: path patterns are treated as literal prefixes — the
-  ``*``/``$`` wildcard grammar of RFC 9309 §2.2.3 is not interpreted
-  (wildcard rules still parse; matching them is the caller's step up).
 - ``robots_allowed``: pure-Catalyst probe of ``(id, path)`` rows
   against the rules of one agent (its group exact-match, falling back
-  to the ``*`` group): the LONGEST matching prefix wins and ``allow``
-  beats ``disallow`` on a length tie (Google's documented rule);
-  unmatched paths default to allowed.  The probe is a rules join +
-  one window over (id, path) — rules tables are tiny per host, so at
-  corpus scale this broadcasts.
+  to the ``*`` group): the MOST-SPECIFIC matching pattern wins (most
+  octets, RFC 9309 §2.2.2) and ``allow`` beats ``disallow`` on a
+  length tie (Google's documented rule); unmatched paths default to
+  allowed.  The full §2.2.3 wildcard grammar is interpreted: ``*``
+  matches any octet sequence and a trailing ``$`` anchors the pattern
+  at the path end — wildcard patterns are translated to anchored Java
+  regexes inside Catalyst (regexp_replace chain, no Python per row)
+  while literal patterns keep the cheaper ``startswith`` predicate.
+  The probe is a rules join + one window over (id, path) — rules
+  tables are tiny per host, so at corpus scale this broadcasts.
 
 Reference scope note: the reference suite has no crawl layer — this is
 part of the task-mandated Common-Crawl source surface, built
@@ -94,9 +96,11 @@ def robots_rules(df: DataFrame, robots_col: str = "robots",
 def robots_allowed(rules: DataFrame, paths: DataFrame,
                    agent: str = "*", id_col: str = "doc_id",
                    path_col: str = "path") -> DataFrame:
-    """``(id, path, allowed)`` for every input path: longest matching
-    prefix among the agent's allow/disallow rules wins, allow beats
-    disallow on a length tie, no match ⇒ allowed.
+    """``(id, path, allowed)`` for every input path: the most-specific
+    (longest-pattern) matching allow/disallow rule wins, allow beats
+    disallow on a length tie, no match ⇒ allowed.  ``*`` in a pattern
+    matches any octet sequence; a trailing ``$`` anchors at path end
+    (RFC 9309 §2.2.3).
 
     Agent resolution: the agent's own exact group if it has any rules
     for a document, else that document's ``*`` group."""
@@ -111,9 +115,24 @@ def robots_allowed(rules: DataFrame, paths: DataFrame,
         r = own.unionByName(star)
     else:
         r = star
+    # Wildcard patterns become anchored regexes built INSIDE Catalyst;
+    # literal patterns keep the cheaper startswith predicate.
+    anchored = F.col("value").endswith("$")
+    r = r.withColumn(
+        "__rx", F.regexp_replace(
+            "value", r"([.\\+?(){}\[\]|^$])", r"\\$1"))
+    r = r.withColumn("__rx", F.regexp_replace("__rx", r"\*", ".*"))
+    r = r.withColumn(
+        "__rx", F.when(
+            anchored,
+            F.concat(F.expr("substring(__rx, 1, length(__rx) - 2)"),
+                     F.lit("$"))).otherwise(F.col("__rx")))
+    r = r.withColumn("__rx", F.concat(F.lit("^"), F.col("__rx")))
+    r = r.withColumn("__wild", F.col("value").contains("*") | anchored)
     m = paths.join(
         r, (paths[id_col] == r[id_col])
-        & paths[path_col].startswith(r["value"])) \
+        & F.when(F.col("__wild"), F.expr(f"rlike({path_col}, __rx)"))
+        .otherwise(paths[path_col].startswith(r["value"]))) \
         .select(paths[id_col], F.col(path_col), F.col("rule"),
                 F.length("value").alias("__l"))
     w = Window.partitionBy(id_col, path_col) \

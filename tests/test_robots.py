@@ -83,3 +83,34 @@ def test_agent_without_own_group_falls_back_to_star(spark):
     txt = "User-agent: *\nDisallow: /x\n"
     got = _probe(spark, txt, ["/x/1", "/y"], agent="newbot")
     assert got == {"/x/1": False, "/y": True}
+
+
+def test_wildcard_star_and_end_anchor(spark):
+    txt = ("User-agent: *\n"
+           "Disallow: /dl/*.exe$\n"       # anchored wildcard (len 10)
+           "Allow: /dl/ok*\n")            # open wildcard (len 7)
+    got = _probe(spark, txt, [
+        "/dl/x.exe",        # anchored disallow hits
+        "/dl/x.exe.txt",    # $ prevents the match
+        "/dl/okx.exe",      # both match: disallow is LONGER -> denied
+        "/dl/oky",          # only the allow matches
+        "/dl/other",        # nothing matches
+    ])
+    assert got == {"/dl/x.exe": False, "/dl/x.exe.txt": True,
+                   "/dl/okx.exe": False, "/dl/oky": True,
+                   "/dl/other": True}
+
+
+def test_wildcard_mid_pattern_and_regex_metachars(spark):
+    # '.' and '+' in patterns are literal octets, never regex syntax
+    txt = ("User-agent: *\n"
+           "Disallow: /a/*/sec\n"
+           "Disallow: /f.g+h\n")
+    got = _probe(spark, txt, [
+        "/a/x/sec", "/a/x/y/sec2",   # '*' spans octets incl. '/'
+        "/a/sec",                    # '*' cannot absorb the '/sec' slash
+        "/f.g+h/x",                  # literal dot & plus
+        "/fXgYh",                    # must NOT match as regex
+    ])
+    assert got == {"/a/x/sec": False, "/a/x/y/sec2": False,
+                   "/a/sec": True, "/f.g+h/x": False, "/fXgYh": True}
