@@ -1232,6 +1232,41 @@ def q_robots_allowed(spark, sf_dir):
     return robots_mod.robots_allowed(rules, paths, agent="*")
 
 
+def q_charset_decode(spark, sf_dir):
+    """Charset detection + decode (kernels/charset.py) over synthetic
+    HTML binaries covering all four ladder rungs: doc_id%4 selects a
+    UTF-8 page with a meta tag, a Shift_JIS page with a meta tag
+    (Japanese text — the reference suite's domain), a UTF-16LE page
+    with a BOM, or raw latin-1 bytes (invalid UTF-8/SJIS/EUC) that only
+    the heuristic backstop decodes.  Binary payloads are built inside
+    Catalyst (constant non-ASCII byte prefixes + encoded per-doc ASCII
+    tails); the oracle states the expected decode closed-form per
+    variant — a value-hash match proves the cross-charset decode."""
+    from image_pdf_ocr_suite_spark.kernels import charset as cs
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 4
+    sjis_pre = F.lit("<meta charset=Shift_JIS><p>こんにちは"
+                     .encode("shift_jis"))
+    u16_pre = F.lit(b"\xff\xfe" + "<p>utf16 ".encode("utf-16-le"))
+    lat_pre = F.lit(b"<p>caf\xe9 ")
+    html = (
+        F.when(v == 0, F.encode(F.concat(
+            F.lit('<meta charset="utf-8"><p>doc '), n,
+            F.lit(" é日本</p>")), "UTF-8"))
+        .when(v == 1, F.concat(
+            sjis_pre, F.encode(F.concat(F.lit(" doc "), n,
+                                        F.lit("</p>")), "US-ASCII")))
+        .when(v == 2, F.concat(
+            u16_pre, F.encode(F.concat(F.lit("doc "), n, F.lit("</p>")),
+                              "UTF-16LE")))
+        .otherwise(F.concat(
+            lat_pre, F.encode(F.concat(F.lit("doc "), n, F.lit("</p>")),
+                              "US-ASCII"))))
+    return cs.decode_html(d.select("doc_id", html.alias("html")))
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-filtered decontamination (first-pass form): the held-out
     5-gram set folds into a 2^18-bit mergeable sketch (<= 8192 rows)
@@ -1499,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "warc_extract": q_warc_extract,
         "robots_allowed": q_robots_allowed,
+        "charset_decode": q_charset_decode,
         "dedup_recall_lsh": q_dedup_recall_lsh,
         "c4_line_filter": q_c4_line_filter,
         # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
@@ -1514,7 +1550,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_docs_per_lang": q_top_docs_per_lang,
         "dedup_first_per_key": q_dedup_first_per_key,
         "lang_id_script": q_lang_id_script,
-        "value_median": q_value_median,
         "event_rollup_hourly": q_event_rollup_hourly,
         "text_nfc": q_text_nfc,
         # -- r4-green rows kept in-window: code touched in round 5 or
@@ -1524,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk_banded": q_ann_lsh_topk_banded,
         # ---- position 51+: r4-driver-green, pytest-parity only ----
         "top_tokens": q_top_tokens,
+        "value_median": q_value_median,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
@@ -2804,6 +2840,27 @@ def oracle_sql() -> dict[str, str]:
             FROM paths p
             LEFT JOIN (SELECT doc_id, path, rule FROM best WHERE rn = 1) b
               ON p.doc_id = b.doc_id AND p.path = b.path""",
+        "charset_decode": """
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 0 THEN '<meta charset="utf-8"><p>doc '
+                                 || CAST(doc_id AS VARCHAR) || ' é日本</p>'
+                     WHEN 1 THEN '<meta charset=Shift_JIS><p>こんにちは doc '
+                                 || CAST(doc_id AS VARCHAR) || '</p>'
+                     WHEN 2 THEN '<p>utf16 doc '
+                                 || CAST(doc_id AS VARCHAR) || '</p>'
+                     ELSE '<p>café doc ' || CAST(doc_id AS VARCHAR) || '</p>'
+                   END AS text,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'utf-8'    WHEN 1 THEN 'shift_jis'
+                     WHEN 2 THEN 'utf-16-le' ELSE 'latin-1'
+                   END AS encoding,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'meta'     WHEN 1 THEN 'meta'
+                     WHEN 2 THEN 'bom'      ELSE 'heuristic'
+                   END AS charset_source,
+                   FALSE AS had_replacement
+            FROM documents""",
         "bloom_decontaminate": """
             WITH tok AS (
                 SELECT doc_id,

@@ -119,9 +119,11 @@ def html_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         if not len(pdf):
             continue
+        from image_pdf_ocr_suite_spark.kernels.charset import decode_bytes
+
         texts, counts = [], []
         for raw in pdf["page_payload"]:
-            html = bytes(raw).decode("utf-8", errors="replace") if raw is not None else ""
+            html = decode_bytes(raw)[0]
             main = extract_main_text(html)
             texts.append(main)
             counts.append(main.count("\n") + 1 if main else 0)
@@ -204,6 +206,7 @@ def links_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     the page url; ``seq`` is the 0-based document-order index."""
     from urllib.parse import urljoin
 
+    from image_pdf_ocr_suite_spark.kernels.charset import decode_bytes
     from image_pdf_ocr_suite_spark.payload import sniff
 
     for pdf in batches:
@@ -213,7 +216,7 @@ def links_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for url, raw in zip(pdf["url"], pdf["html"]):
             if raw is None or sniff(bytes(raw)) != "html":
                 continue
-            html = bytes(raw).decode("utf-8", errors="replace")
+            html = decode_bytes(raw)[0]
             for seq, (href, anchor) in enumerate(extract_links_from_html(html)):
                 urls.append(url)
                 seqs.append(seq)

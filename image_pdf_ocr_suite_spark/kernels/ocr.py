@@ -216,9 +216,10 @@ def _empty_word_arrays(n: int) -> dict:
 def _html_block(pdf: pd.DataFrame, pid: int) -> pd.DataFrame:
     """HTML rows: DOM text-density boilerplate strip (north_rule addition;
     see kernels/html.py for the classifier)."""
+    from image_pdf_ocr_suite_spark.kernels.charset import decode_bytes
     from image_pdf_ocr_suite_spark.kernels.html import extract_main_text
-    texts = [extract_main_text(bytes(raw).decode("utf-8", errors="replace"))
-             if raw is not None else "" for raw in pdf["page_payload"]]
+    texts = [extract_main_text(decode_bytes(raw)[0])
+             for raw in pdf["page_payload"]]
     n = len(pdf)
     out = {"url": pdf["url"].to_numpy(), "kind": "html",
            "page": pdf["page"].to_numpy(), "n_pages": pdf["n_pages"].to_numpy(),
