@@ -1267,6 +1267,42 @@ def q_charset_decode(spark, sf_dir):
     return cs.decode_html(d.select("doc_id", html.alias("html")))
 
 
+def q_sitemap_entries(spark, sf_dir):
+    """Sitemap XML parsing (kernels/sitemap.py): doc_id%3 selects a
+    two-url <urlset> (lastmod + priority + changefreq variants), a
+    <sitemapindex> chaining row, or a truncated document that must
+    surface as an err row (quarantine-not-crash).  err is projected to
+    its kind prefix so Python-version-specific parse detail can't vary
+    the hash; the oracle states the expected rows closed-form."""
+    from image_pdf_ocr_suite_spark.kernels import sitemap as sm
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.col("doc_id").cast("string")
+    day = F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0")
+    pr = F.concat(F.lit("0."), (F.col("doc_id") % 10).cast("string"))
+    v = F.col("doc_id") % 3
+    xml = (
+        F.when(v == 0, F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/'
+                  'sitemap/0.9"><url><loc>https://h'), n,
+            F.lit("/a</loc><lastmod>2026-01-"), day,
+            F.lit("</lastmod><priority>"), pr,
+            F.lit("</priority></url><url><loc>https://h"), n,
+            F.lit("/b</loc><changefreq>weekly</changefreq></url>"
+                  "</urlset>")))
+        .when(v == 1, F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://h"), n,
+            F.lit("/s.xml</loc><lastmod>2026-02-"), day,
+            F.lit("</lastmod></sitemap></sitemapindex>")))
+        .otherwise(F.concat(F.lit("<urlset><url><loc>https://h"), n,
+                            F.lit("</loc>"))))
+    out = sm.sitemap_entries(d.select("doc_id", xml.alias("sitemap")))
+    return out.select(
+        "doc_id", "seq", "kind", "loc", "lastmod", "changefreq",
+        "priority",
+        F.substring_index("err", ":", 1).alias("err_kind"))
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-filtered decontamination (first-pass form): the held-out
     5-gram set folds into a 2^18-bit mergeable sketch (<= 8192 rows)
@@ -1535,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "robots_allowed": q_robots_allowed,
         "charset_decode": q_charset_decode,
+        "sitemap_entries": q_sitemap_entries,
         "dedup_recall_lsh": q_dedup_recall_lsh,
         "c4_line_filter": q_c4_line_filter,
         # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
@@ -1550,7 +1587,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_docs_per_lang": q_top_docs_per_lang,
         "dedup_first_per_key": q_dedup_first_per_key,
         "lang_id_script": q_lang_id_script,
-        "event_rollup_hourly": q_event_rollup_hourly,
         "text_nfc": q_text_nfc,
         # -- r4-green rows kept in-window: code touched in round 5 or
         #    load-bearing pipeline legs --
@@ -1560,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+: r4-driver-green, pytest-parity only ----
         "top_tokens": q_top_tokens,
         "value_median": q_value_median,
+        "event_rollup_hourly": q_event_rollup_hourly,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
@@ -2861,6 +2898,32 @@ def oracle_sql() -> dict[str, str]:
                    END AS charset_source,
                    FALSE AS had_replacement
             FROM documents""",
+        "sitemap_entries": """
+            WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS n,
+                              lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+                                   2, '0') AS day,
+                              CAST(doc_id % 10 AS DOUBLE) / 10 AS pr
+                       FROM documents)
+            SELECT doc_id, seq, kind, loc, lastmod, changefreq,
+                   priority, err_kind FROM (
+              SELECT doc_id, 0 AS seq, 'url' AS kind,
+                     'https://h' || n || '/a' AS loc,
+                     '2026-01-' || day AS lastmod,
+                     NULL AS changefreq, pr AS priority,
+                     NULL AS err_kind
+              FROM d WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id, 1, 'url', 'https://h' || n || '/b',
+                     NULL, 'weekly', NULL, NULL
+              FROM d WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id, 0, 'sitemap', 'https://h' || n || '/s.xml',
+                     '2026-02-' || day, NULL, NULL, NULL
+              FROM d WHERE doc_id % 3 = 1
+              UNION ALL
+              SELECT doc_id, 0, NULL, NULL, NULL, NULL, NULL,
+                     'xml parse error'
+              FROM d WHERE doc_id % 3 = 2)""",
         "bloom_decontaminate": """
             WITH tok AS (
                 SELECT doc_id,
