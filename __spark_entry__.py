@@ -1210,6 +1210,17 @@ def q_robots_allowed(spark, sf_dir):
     pattern lengths) and replays the generic most-specific window."""
     from image_pdf_ocr_suite_spark.kernels import robots as robots_mod
 
+    rules, paths = _robots_fixture(spark, sf_dir)
+    return robots_mod.robots_allowed(rules, paths, agent="*")
+
+
+def _robots_fixture(spark, sf_dir):
+    """Shared synthetic crawl-policy fixture for the robots/frontier
+    driver queries: per-doc robots.txt (a '*' group with literal +
+    wildcard rules and a Crawl-delay, plus a 'fetcher' group) and
+    eight probe paths."""
+    from image_pdf_ocr_suite_spark.kernels import robots as robots_mod
+
     d = _t(spark, sf_dir, "documents")
     a = (F.col("doc_id") % 10).cast("string")
     txt = F.concat(
@@ -1229,7 +1240,20 @@ def q_robots_allowed(spark, sf_dir):
         F.lit("/dl/x.exe.txt"),
         F.concat(F.lit("/dl/ok"), a, F.lit(".exe")),
         F.concat(F.lit("/dl/ok"), a))).alias("path"))
-    return robots_mod.robots_allowed(rules, paths, agent="*")
+    return rules, paths
+
+
+def q_frontier_schedule(spark, sf_dir):
+    """Politeness-paced fetch plan (kernels/robots.py
+    frontier_schedule) over the shared crawl-policy fixture: allowed
+    paths per host in lexicographic FIFO order, spaced by the '*'
+    group's Crawl-delay (doc_id%7 — including 0), offsets = seq*delay.
+    The oracle replays the allow window, then the same per-host
+    ROW_NUMBER pacing."""
+    from image_pdf_ocr_suite_spark.kernels import robots as robots_mod
+
+    rules, paths = _robots_fixture(spark, sf_dir)
+    return robots_mod.frontier_schedule(rules, paths, agent="*")
 
 
 def q_charset_decode(spark, sf_dir):
@@ -1572,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_allowed": q_robots_allowed,
         "charset_decode": q_charset_decode,
         "sitemap_entries": q_sitemap_entries,
+        "frontier_schedule": q_frontier_schedule,
         "dedup_recall_lsh": q_dedup_recall_lsh,
         "c4_line_filter": q_c4_line_filter,
         # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
@@ -1587,7 +1612,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_docs_per_lang": q_top_docs_per_lang,
         "dedup_first_per_key": q_dedup_first_per_key,
         "lang_id_script": q_lang_id_script,
-        "text_nfc": q_text_nfc,
         # -- r4-green rows kept in-window: code touched in round 5 or
         #    load-bearing pipeline legs --
         "near_dup_components": q_near_dup_components,
@@ -1597,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": q_top_tokens,
         "value_median": q_value_median,
         "event_rollup_hourly": q_event_rollup_hourly,
+        "text_nfc": q_text_nfc,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
@@ -2924,6 +2949,56 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, 0, NULL, NULL, NULL, NULL, NULL,
                      'xml parse error'
               FROM d WHERE doc_id % 3 = 2)""",
+        "frontier_schedule": """
+            WITH d AS (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS a
+                       FROM documents),
+            rules AS (
+                SELECT doc_id, 'disallow' AS rule, 3 AS l,
+                       '/p' || a AS pre, NULL AS rx FROM d
+                UNION ALL
+                SELECT doc_id, 'allow', 10,
+                       '/p' || a || '/public', NULL FROM d
+                UNION ALL
+                SELECT doc_id, 'disallow', 10,
+                       NULL, '^/dl/.*\\.exe$' FROM d
+                UNION ALL
+                SELECT doc_id, 'allow', 7, NULL, '^/dl/ok.*' FROM d),
+            paths AS (
+                SELECT doc_id, unnest(['/p' || a || '/public/x',
+                                       '/p' || CAST((doc_id * 3) % 10
+                                                    AS VARCHAR),
+                                       '/p' || a || 'rivate',
+                                       '/q',
+                                       '/dl/x' || a || '.exe',
+                                       '/dl/x.exe.txt',
+                                       '/dl/ok' || a || '.exe',
+                                       '/dl/ok' || a]) AS path
+                FROM d),
+            m AS (SELECT p.doc_id, p.path, r.rule, r.l
+                  FROM paths p JOIN rules r ON p.doc_id = r.doc_id
+                   AND (CASE WHEN r.rx IS NULL
+                             THEN starts_with(p.path, r.pre)
+                             ELSE regexp_matches(p.path, r.rx) END)),
+            best AS (SELECT doc_id, path, rule,
+                            ROW_NUMBER() OVER (PARTITION BY doc_id, path
+                                               ORDER BY l DESC, rule ASC)
+                                AS rn
+                     FROM m),
+            ok AS (SELECT p.doc_id, p.path
+                   FROM paths p
+                   LEFT JOIN (SELECT doc_id, path, rule FROM best
+                              WHERE rn = 1) b
+                     ON p.doc_id = b.doc_id AND p.path = b.path
+                   WHERE COALESCE(b.rule = 'allow', TRUE))
+            SELECT doc_id, path,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY path) - 1
+                        AS INTEGER) AS seq,
+                   CAST(doc_id % 7 AS DOUBLE) AS delay_s,
+                   (ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY path) - 1)
+                   * CAST(doc_id % 7 AS DOUBLE) AS fetch_offset_s
+            FROM ok""",
         "bloom_decontaminate": """
             WITH tok AS (
                 SELECT doc_id,

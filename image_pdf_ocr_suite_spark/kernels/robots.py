@@ -145,3 +145,44 @@ def robots_allowed(rules: DataFrame, paths: DataFrame,
             .select(F.col(id_col), F.col(path_col),
                     F.coalesce(F.col("__allowed"), F.lit(True))
                     .alias("allowed")))
+
+
+def frontier_schedule(rules: DataFrame, paths: DataFrame,
+                      agent: str = "*", id_col: str = "doc_id",
+                      path_col: str = "path",
+                      default_delay_s: float = 1.0) -> DataFrame:
+    """Politeness-paced fetch plan: robots-allowed paths per host,
+    FIFO-ordered (lexicographic — deterministic), each spaced by the
+    host's ``Crawl-delay`` (the agent's own group's value if it has
+    one, else the ``*`` group's, else ``default_delay_s``):
+
+        (id, path, seq, delay_s, fetch_offset_s)
+
+    ``fetch_offset_s = seq * delay_s`` is the earliest polite fetch
+    time relative to the host's first fetch.  Scale shape: one shuffle
+    keyed on the host id — politeness serializes per host by
+    definition, so per-host work is inherently sequential and the only
+    skew source is a giant host's own URL list (bounded by the
+    frontier batch, not the corpus)."""
+    agent = agent.lower()
+    ok = robots_allowed(rules, paths, agent, id_col, path_col) \
+        .where(F.col("allowed")).select(id_col, path_col)
+    cd = rules.where((F.col("rule") == "crawl-delay")
+                     & F.col("agent").isin(agent, "*"))
+    wd = Window.partitionBy(id_col).orderBy(
+        F.desc(F.col("agent") == agent), F.asc("rule_order"))
+    delays = (cd.withColumn("__rn", F.row_number().over(wd))
+              .where(F.col("__rn") == 1)
+              .select(F.col(id_col),
+                      F.coalesce(F.col("value").cast("double"),
+                                 F.lit(float(default_delay_s)))
+                      .alias("delay_s")))
+    ws = Window.partitionBy(id_col).orderBy(path_col)
+    return (ok.join(delays, id_col, "left")
+            .withColumn("delay_s", F.coalesce(
+                "delay_s", F.lit(float(default_delay_s))))
+            .withColumn("seq", F.row_number().over(ws) - F.lit(1))
+            .select(F.col(id_col), F.col(path_col), F.col("seq"),
+                    F.col("delay_s"),
+                    (F.col("seq") * F.col("delay_s"))
+                    .alias("fetch_offset_s")))

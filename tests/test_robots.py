@@ -101,6 +101,34 @@ def test_wildcard_star_and_end_anchor(spark):
                    "/dl/other": True}
 
 
+def test_frontier_schedule_pacing_and_delay_resolution(spark):
+    txt = ("User-agent: *\nDisallow: /x\nCrawl-delay: 2\n"
+           "User-agent: fetcher\nCrawl-delay: 5\nDisallow: /y\n")
+    df = spark.createDataFrame([(1, txt), (2, "User-agent: *\nAllow: /\n")],
+                               "doc_id long, robots string")
+    rules = robots.robots_rules(df)
+    paths = spark.createDataFrame(
+        [(1, "/c"), (1, "/a"), (1, "/x/blocked"), (1, "/b"),
+         (2, "/only")],
+        "doc_id long, path string")
+    out = {(r["doc_id"], r["path"]):
+           (r["seq"], r["delay_s"], r["fetch_offset_s"])
+           for r in robots.frontier_schedule(rules, paths).collect()}
+    # blocked path never scheduled; FIFO is lexicographic; * delay = 2
+    assert (1, "/x/blocked") not in out
+    assert out[(1, "/a")] == (0, 2.0, 0.0)
+    assert out[(1, "/b")] == (1, 2.0, 2.0)
+    assert out[(1, "/c")] == (2, 2.0, 4.0)
+    # host with no crawl-delay falls back to the default (1.0)
+    assert out[(2, "/only")] == (0, 1.0, 0.0)
+    # the fetcher agent resolves ITS group's delay (5) and its rules
+    fetch = {(r["doc_id"], r["path"]): r["fetch_offset_s"]
+             for r in robots.frontier_schedule(
+                 rules, paths, agent="fetcher").collect()}
+    assert fetch[(1, "/x/blocked")] == 15.0  # /x allowed; seq 3 x delay 5
+    assert (1, "/y") not in fetch
+
+
 def test_wildcard_mid_pattern_and_regex_metachars(spark):
     # '.' and '+' in patterns are literal octets, never regex syntax
     txt = ("User-agent: *\n"
