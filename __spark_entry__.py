@@ -1327,6 +1327,42 @@ def q_sitemap_entries(spark, sf_dir):
         F.substring_index("err", ":", 1).alias("err_kind"))
 
 
+def q_crawl_ingest(spark, sf_dir):
+    """The crawl-ingestion composition (jobs/crawl_ingest_job.py):
+    Catalyst-written WARC archives (every third document carries a
+    superseded earlier crawl of the same url in the same blob) run the
+    full ingest — record walk, response/status filter, latest-crawl
+    window, charset decode + density strip, script lang-ID — into the
+    north-rule pages shape.  Bodies are single simple <p> blocks so the
+    stripped text is closed-form; the oracle states url/ts/text/lang/
+    octet-length directly."""
+    from image_pdf_ocr_suite_spark.tableio.warc import warc_record_expr
+    from jobs.crawl_ingest_job import ingest_pages
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.col("doc_id").cast("string")
+    body = (
+        F.when(F.col("doc_id") % 2 == 0, F.concat(
+            F.lit("<p>english crawl body for document number "), n,
+            F.lit(" carrying plainly repeated english words</p>")))
+        .otherwise(F.concat(
+            F.lit("<p>これは日本語の本文で、文書番号は"), n,
+            F.lit("です。かな文字を多めに含みます。</p>"))))
+    docs = d.select(
+        "doc_id", F.concat(F.lit("https://crawl/"), n).alias("uri"),
+        F.lit("2026-03-01T00:00:00Z").alias("dt"),
+        F.lit("2026-01-01T00:00:00Z").alias("dt_old"), body.alias("body"))
+    rec_new = warc_record_expr("uri", "dt", "body")
+    rec_old = warc_record_expr("uri", "dt_old", "body")
+    blob = F.when(F.col("doc_id") % 3 == 0,
+                  F.concat(rec_old, rec_new)).otherwise(rec_new)
+    archives = docs.select(F.encode(blob, "UTF-8").alias("warc"))
+    pages, _rejects = ingest_pages(archives)
+    return pages.select(
+        "url", "warc_ts", "text", "lang",
+        F.octet_length("html").alias("html_octets"))
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-filtered decontamination (first-pass form): the held-out
     5-gram set folds into a 2^18-bit mergeable sketch (<= 8192 rows)
@@ -1597,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_decode": q_charset_decode,
         "sitemap_entries": q_sitemap_entries,
         "frontier_schedule": q_frontier_schedule,
+        "crawl_ingest": q_crawl_ingest,
         "dedup_recall_lsh": q_dedup_recall_lsh,
         "c4_line_filter": q_c4_line_filter,
         # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
@@ -1610,7 +1647,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reading_order": q_reading_order,
         "conf_avg_valid": q_conf_avg_valid,
         "top_docs_per_lang": q_top_docs_per_lang,
-        "dedup_first_per_key": q_dedup_first_per_key,
         "lang_id_script": q_lang_id_script,
         # -- r4-green rows kept in-window: code touched in round 5 or
         #    load-bearing pipeline legs --
@@ -1622,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_median": q_value_median,
         "event_rollup_hourly": q_event_rollup_hourly,
         "text_nfc": q_text_nfc,
+        "dedup_first_per_key": q_dedup_first_per_key,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
@@ -2999,6 +3036,26 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY path) - 1)
                    * CAST(doc_id % 7 AS DOUBLE) AS fetch_offset_s
             FROM ok""",
+        "crawl_ingest": """
+            WITH t AS (
+              SELECT doc_id,
+                     'https://crawl/' || CAST(doc_id AS VARCHAR) AS url,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'english crawl body for document number '
+                               || CAST(doc_id AS VARCHAR)
+                               || ' carrying plainly repeated english words'
+                          ELSE 'これは日本語の本文で、文書番号は'
+                               || CAST(doc_id AS VARCHAR)
+                               || 'です。かな文字を多めに含みます。'
+                     END AS text
+              FROM documents)
+            SELECT url, TIMESTAMP '2026-03-01 00:00:00' AS warc_ts,
+                   text,
+                   CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'ja' END
+                       AS lang,
+                   CAST(octet_length(encode('<p>' || text || '</p>'))
+                        AS INTEGER) AS html_octets
+            FROM t""",
         "bloom_decontaminate": """
             WITH tok AS (
                 SELECT doc_id,

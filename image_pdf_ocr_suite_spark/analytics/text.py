@@ -80,12 +80,10 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
                      pred.alias("pred_lang"))
 
 
-def lang_id_script(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Script-based language ID for Common-Crawl text: classify by Unicode
-    block ratios (kana/CJK -> ja-or-zh split by kana share, hangul -> ko,
-    cyrillic -> ru, latin -> en-family).  Arrow-vectorized numpy over
-    codepoints — the real-world first-pass filter before a model-based
-    identifier; deterministic."""
+def script_lang_udf():
+    """The script-classifier as a reusable pandas_udf column expression
+    (so composed jobs can ``withColumn`` it without a join that would
+    recompute an upstream kernel branch).  See ``lang_id_script``."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -110,8 +108,17 @@ def lang_id_script(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         return pd.Series(out)
 
     _classify.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    udf = pandas_udf(_classify, "string")
-    return df.select(F.col(id_col), udf(F.col(text_col)).alias("script_lang"))
+    return pandas_udf(_classify, "string")
+
+
+def lang_id_script(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Script-based language ID for Common-Crawl text: classify by Unicode
+    block ratios (kana/CJK -> ja-or-zh split by kana share, hangul -> ko,
+    cyrillic -> ru, latin -> en-family).  Arrow-vectorized numpy over
+    codepoints — the real-world first-pass filter before a model-based
+    identifier; deterministic."""
+    return df.select(F.col(id_col),
+                     script_lang_udf()(F.col(text_col)).alias("script_lang"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

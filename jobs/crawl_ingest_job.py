@@ -1,0 +1,140 @@
+"""Crawl-ingestion job — WARC archives -> the Common-Crawl pages table.
+
+    archives table (warc: binary; each blob = one or many records)
+      -> WARC record walk                      tableio.warc.parse_warc
+      -> response filter + reject accounting   (parse err / non-response
+                                                skipped / missing uri /
+                                                non-2xx status)
+      -> re-crawl resolution                   latest warc_ts per url
+      -> charset-aware decode + main-content   kernels.charset +
+         strip (one fused Python stage)        kernels.html
+      -> script language ID                    analytics.text
+      -> (url, warc_ts, html, text, lang)      the north-rule input shape
+      -> snapshot-committed pages table + reject log
+
+This is the upstream half of the corpus path: it MATERIALIZES the
+pages table that the extraction pipeline and jobs/corpus_job.py
+consume, straight from raw crawl archives.  Scale shape: the record
+walk and decode/strip are map-only Arrow kernels (no shuffle); the
+only data-sized shuffle is the per-url latest-crawl window, keyed on
+url — the same key the downstream pipeline salts on.
+
+    spark-submit --py-files pkg.zip jobs/crawl_ingest_job.py \
+        --input-table archives.parquet --output-root /out \
+        [--keep-all-recrawls] [--run-id RID]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import uuid
+from typing import Iterator
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from image_pdf_ocr_suite_spark.analytics import text as textops
+from image_pdf_ocr_suite_spark.session import build_session
+from image_pdf_ocr_suite_spark.tableio.snapshot import SnapshotTable
+from image_pdf_ocr_suite_spark.tableio.warc import parse_warc
+
+_PAGE_SCHEMA = ("record_id string, url string, warc_ts timestamp, "
+                "html binary, text string")
+
+
+def _page_text_kernel(batches) -> Iterator:
+    """(record_id, url, warc_ts, html) -> + text: charset-aware decode
+    followed by the DOM text-density boilerplate strip, fused in one
+    Arrow stage."""
+    import pandas as pd
+
+    from image_pdf_ocr_suite_spark.kernels.charset import decode_bytes
+    from image_pdf_ocr_suite_spark.kernels.html import extract_main_text
+
+    for pdf in batches:
+        texts = [extract_main_text(decode_bytes(raw)[0])
+                 for raw in pdf["html"]]
+        yield pd.DataFrame({
+            "record_id": pdf["record_id"], "url": pdf["url"],
+            "warc_ts": pdf["warc_ts"], "html": pdf["html"],
+            "text": texts})
+
+
+def ingest_pages(archives: DataFrame, warc_col: str = "warc",
+                 keep_latest: bool = True) -> tuple[DataFrame, DataFrame]:
+    """archives -> (pages, rejects).
+
+    pages: ``(url, warc_ts, html, text, lang)`` — one row per usable
+    response record (per url's LATEST crawl when ``keep_latest``).
+    rejects: ``(url, reason)`` with url null for parse errors that
+    precede a usable URI.  Non-response record types (request,
+    metadata, warcinfo) are silently skipped — they are siblings of a
+    response, not failures of one."""
+    recs = parse_warc(archives, warc_col=warc_col)
+
+    parse_err = recs.where(F.col("err").isNotNull()).select(
+        F.col("target_uri").alias("url"),
+        F.concat(F.lit("warc: "), F.col("err")).alias("reason"))
+    resp = recs.where(F.col("err").isNull()
+                      & (F.col("warc_type") == "response"))
+    no_uri = resp.where(F.col("target_uri").isNull()).select(
+        F.col("target_uri").alias("url"),
+        F.lit("missing target uri").alias("reason"))
+    resp = resp.where(F.col("target_uri").isNotNull())
+    ok_status = (F.col("http_status") >= 200) & (F.col("http_status") < 300)
+    bad_status = resp.where(~F.coalesce(ok_status, F.lit(False))).select(
+        F.col("target_uri").alias("url"),
+        F.concat(F.lit("http status "),
+                 F.coalesce(F.col("http_status").cast("string"),
+                            F.lit("none"))).alias("reason"))
+    good = resp.where(F.coalesce(ok_status, F.lit(False)))
+
+    pages = good.select(
+        F.col("record_id"), F.col("target_uri").alias("url"),
+        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ssX")
+        .alias("warc_ts"),
+        F.col("body").alias("html"))
+    rejects = parse_err.unionByName(no_uri).unionByName(bad_status)
+
+    if keep_latest:
+        w = Window.partitionBy("url").orderBy(
+            F.desc("warc_ts"), F.asc("record_id"))
+        ranked = pages.withColumn("__rn", F.row_number().over(w))
+        rejects = rejects.unionByName(
+            ranked.where(F.col("__rn") > 1)
+            .select("url", F.lit("superseded recrawl").alias("reason")))
+        pages = ranked.where(F.col("__rn") == 1).drop("__rn")
+
+    pages = pages.mapInPandas(_page_text_kernel, schema=_PAGE_SCHEMA)
+    # lang as a column expression, NOT a self-join (a join would consume
+    # the kernel branch twice and recompute the decode/strip stage)
+    pages = pages.select(
+        "url", "warc_ts", "html", "text",
+        textops.script_lang_udf()(F.col("text")).alias("lang"))
+    return pages, rejects
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input-table", required=True,
+                    help="parquet with a binary 'warc' column")
+    ap.add_argument("--output-root", required=True)
+    ap.add_argument("--keep-all-recrawls", action="store_true",
+                    help="keep every crawl of a url instead of only the "
+                         "latest warc_ts")
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args(argv)
+
+    spark = build_session(app="crawl-ingest-job")
+    run_id = args.run_id or uuid.uuid4().hex[:12]
+    pages, rejects = ingest_pages(
+        spark.read.parquet(args.input_table),
+        keep_latest=not args.keep_all_recrawls)
+    SnapshotTable(f"{args.output_root}/pages").append(pages, run_id=run_id)
+    SnapshotTable(f"{args.output_root}/rejects").append(rejects,
+                                                        run_id=run_id)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

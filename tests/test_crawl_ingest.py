@@ -1,0 +1,105 @@
+"""Crawl-ingestion composition (jobs/crawl_ingest_job.py): WARC
+archives -> the north-rule pages table (url, warc_ts, html, text,
+lang), with reject accounting and re-crawl resolution."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_pdf_ocr_suite_spark.tableio.warc import warc_record_expr
+from jobs.crawl_ingest_job import ingest_pages
+
+
+def _raw_record(uri, date, body, warc_type="response",
+                status=b"200 OK", ctype=b"text/html"):
+    http = (b"HTTP/1.1 " + status + b"\r\nContent-Type: " + ctype
+            + b"\r\nContent-Length: " + str(len(body)).encode()
+            + b"\r\n\r\n" + body)
+    head = (b"WARC/1.0\r\nWARC-Type: " + warc_type.encode()
+            + b"\r\nWARC-Record-ID: <urn:t:" + uri.encode() + b">"
+            + b"\r\nWARC-Date: " + date.encode()
+            + (b"\r\nWARC-Target-URI: " + uri.encode() if uri else b"")
+            + b"\r\nContent-Type: application/http; msgtype=response"
+            + b"\r\nContent-Length: " + str(len(http)).encode())
+    return head + b"\r\n\r\n" + http + b"\r\n\r\n"
+
+
+HTML_EN = (b"<html><body><p>" + b"plain english words " * 12
+           + b"</p></body></html>")
+HTML_JA = ("<meta charset=Shift_JIS><p>"
+           + "日本語の文書です。" * 10
+           + "</p>").encode("shift_jis")
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    good_en_old = _raw_record("https://a/x", "2026-01-01T00:00:00Z", HTML_EN)
+    good_en_new = _raw_record("https://a/x", "2026-03-01T00:00:00Z", HTML_EN)
+    good_ja = _raw_record("https://b/y", "2026-01-02T00:00:00Z", HTML_JA)
+    not_found = _raw_record("https://c/z", "2026-01-03T00:00:00Z",
+                            b"gone", status=b"404 Not Found")
+    request_rec = _raw_record("https://a/x", "2026-01-01T00:00:00Z",
+                              b"", warc_type="request")
+    truncated = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99"
+    archives = spark.createDataFrame(
+        [(good_en_old + good_ja + request_rec,),
+         (good_en_new + not_found,),
+         (truncated,)], "warc binary")
+    pages, rejects = ingest_pages(archives)
+    return pages.collect(), rejects.collect()
+
+
+def test_pages_shape_and_charset(result):
+    pages, _ = result
+    by_url = {r["url"]: r for r in pages}
+    assert set(by_url) == {"https://a/x", "https://b/y"}
+    en = by_url["https://a/x"]
+    assert en["lang"] == "en" and b"plain english" in bytes(en["html"])
+    assert "plain english words" in en["text"]
+    assert "<p>" not in en["text"]            # boilerplate strip ran
+    ja = by_url["https://b/y"]
+    assert ja["lang"] == "ja"
+    assert "日本語の文書" in ja["text"]  # SJIS decoded
+
+
+def test_recrawl_keeps_latest(result):
+    pages, rejects = result
+    en = {r["url"]: r for r in pages}["https://a/x"]
+    assert en["warc_ts"] == datetime.datetime(2026, 3, 1)
+    assert ("https://a/x", "superseded recrawl") in {
+        (r["url"], r["reason"]) for r in rejects}
+
+
+def test_reject_accounting(result):
+    _, rejects = result
+    reasons = {(r["url"], r["reason"]) for r in rejects}
+    assert ("https://c/z", "http status 404") in reasons
+    assert any(u is None and why.startswith("warc: ")
+               for u, why in reasons)
+    # the request record is skipped silently: 3 rejects total
+    assert len(rejects) == 3
+
+
+def test_keep_all_recrawls(spark):
+    a = _raw_record("https://a/x", "2026-01-01T00:00:00Z", HTML_EN)
+    b = _raw_record("https://a/x", "2026-03-01T00:00:00Z", HTML_EN)
+    archives = spark.createDataFrame([(a + b,)], "warc binary")
+    pages, rejects = ingest_pages(archives, keep_latest=False)
+    assert pages.count() == 2 and rejects.count() == 0
+
+
+def test_catalyst_writer_round_trips_through_ingest(spark):
+    docs = spark.range(3).select(
+        F.concat(F.lit("https://w/"), F.col("id")).alias("uri"),
+        F.lit("2026-02-02T02:02:02Z").alias("dt"),
+        F.concat(F.lit("<p>body words here for doc "), F.col("id"),
+                 F.lit(" plus some more english text</p>")).alias("body"))
+    archives = docs.select(
+        F.encode(warc_record_expr("uri", "dt", "body"), "UTF-8")
+        .alias("warc"))
+    pages, rejects = ingest_pages(archives)
+    assert rejects.count() == 0
+    rows = {r["url"]: r["text"] for r in pages.collect()}
+    assert len(rows) == 3
+    assert "body words here for doc 1" in rows["https://w/1"]
