@@ -1363,6 +1363,30 @@ def q_crawl_ingest(spark, sf_dir):
         F.octet_length("html").alias("html_octets"))
 
 
+def q_html_metadata(spark, sf_dir):
+    """Head-metadata extraction (kernels/html.py extract_metadata):
+    even docs carry the full field set (lang attr, title, description,
+    canonical, og:title), odd docs only a title — absent fields must
+    surface as nulls.  Charset-aware decode feeds the parser; the
+    oracle states every field closed-form."""
+    from image_pdf_ocr_suite_spark.kernels import html as html_mod
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.col("doc_id").cast("string")
+    full = F.concat(
+        F.lit('<html lang="ja"><head><title>Doc '), n,
+        F.lit('</title><meta name="description" content="summary '), n,
+        F.lit('"><link rel="canonical" href="https://c/'), n,
+        F.lit('"><meta property="og:title" content="OG '), n,
+        F.lit('"></head><body><p>x</p></body></html>'))
+    plain = F.concat(F.lit("<html><head><title>Plain "), n,
+                     F.lit("</title></head></html>"))
+    html = F.when(F.col("doc_id") % 2 == 0, full).otherwise(plain)
+    pages = d.select(F.concat(F.lit("https://m/"), n).alias("url"),
+                     F.encode(html, "UTF-8").alias("html"))
+    return html_mod.extract_metadata(pages)
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-filtered decontamination (first-pass form): the held-out
     5-gram set folds into a 2^18-bit mergeable sketch (<= 8192 rows)
@@ -1634,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": q_sitemap_entries,
         "frontier_schedule": q_frontier_schedule,
         "crawl_ingest": q_crawl_ingest,
+        "html_metadata": q_html_metadata,
         "dedup_recall_lsh": q_dedup_recall_lsh,
         "c4_line_filter": q_c4_line_filter,
         # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
@@ -1646,19 +1671,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_offsets": q_span_offsets,
         "reading_order": q_reading_order,
         "conf_avg_valid": q_conf_avg_valid,
-        "top_docs_per_lang": q_top_docs_per_lang,
         "lang_id_script": q_lang_id_script,
         # -- r4-green rows kept in-window: code touched in round 5 or
         #    load-bearing pipeline legs --
         "near_dup_components": q_near_dup_components,
         "bm25_scores": q_bm25_scores,
         "ann_lsh_topk_banded": q_ann_lsh_topk_banded,
-        # ---- position 51+: r4-driver-green, pytest-parity only ----
+        # ---- position 51+: driver-green in r1-r4, pytest-parity only.
+        #      The first six were slated for the round-5 refresh but were
+        #      displaced by round-5c's new never-checked rows (the hard
+        #      invariant: never-checked queries MUST sit in-window). ----
         "top_tokens": q_top_tokens,
         "value_median": q_value_median,
         "event_rollup_hourly": q_event_rollup_hourly,
         "text_nfc": q_text_nfc,
         "dedup_first_per_key": q_dedup_first_per_key,
+        "top_docs_per_lang": q_top_docs_per_lang,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
@@ -3056,6 +3084,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode('<p>' || text || '</p>'))
                         AS INTEGER) AS html_octets
             FROM t""",
+        "html_metadata": """
+            SELECT 'https://m/' || CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+                        ELSE 'Plain ' || CAST(doc_id AS VARCHAR)
+                   END AS title,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'summary ' || CAST(doc_id AS VARCHAR)
+                   END AS description,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'https://c/' || CAST(doc_id AS VARCHAR)
+                   END AS canonical,
+                   CASE WHEN doc_id % 2 = 0 THEN 'ja' END AS html_lang,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'OG ' || CAST(doc_id AS VARCHAR)
+                   END AS og_title,
+                   CAST(NULL AS VARCHAR) AS og_description,
+                   CAST(NULL AS VARCHAR) AS og_type,
+                   CAST(NULL AS VARCHAR) AS og_image
+            FROM documents""",
         "bloom_decontaminate": """
             WITH tok AS (
                 SELECT doc_id,

@@ -139,6 +139,98 @@ def strip_html(page_df):
 
 
 # ---------------------------------------------------------------------------
+# Document metadata (head fields a Common-Crawl pipeline records per page)
+# ---------------------------------------------------------------------------
+
+class _MetaParser(HTMLParser):
+    """First-occurrence-wins collection of head metadata: <title> text,
+    <meta name=description>, <meta property=og:*>, <link rel=canonical>,
+    and the <html lang> attribute.  Parsing stops being interesting
+    after </head> but runs the whole document — body-level og tags (seen
+    in the wild) still count."""
+
+    _OG_KEYS = ("og:title", "og:description", "og:type", "og:image")
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.fields: dict[str, str] = {}
+        self._in_title = False
+        self._title_parts: list[str] = []
+
+    def _set(self, key: str, value: str | None) -> None:
+        if value and key not in self.fields:
+            self.fields[key] = value.strip()
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        a = {k: v for k, v in attrs if v is not None}
+        if tag == "html":
+            self._set("html_lang", a.get("lang"))
+        elif tag == "title":
+            self._in_title = True
+        elif tag == "meta":
+            name = (a.get("name") or "").lower()
+            prop = (a.get("property") or "").lower()
+            if name == "description":
+                self._set("description", a.get("content"))
+            elif prop in self._OG_KEYS:
+                self._set(prop.replace(":", "_"), a.get("content"))
+        elif tag == "link":
+            rels = (a.get("rel") or "").lower().split()
+            if "canonical" in rels:
+                self._set("canonical", a.get("href"))
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "title":
+            self._in_title = False
+            self._set("title",
+                      " ".join(" ".join(self._title_parts).split()))
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title:
+            self._title_parts.append(data)
+
+
+_META_FIELDS = ("title", "description", "canonical", "html_lang",
+                "og_title", "og_description", "og_type", "og_image")
+
+META_SCHEMA = "url string, " + ", ".join(f"{f} string"
+                                         for f in _META_FIELDS)
+
+
+def extract_page_meta(html: str) -> dict[str, str]:
+    """Head-metadata dict (missing keys absent); malformed input yields
+    what parsed before the failure — never raises."""
+    parser = _MetaParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass
+    if parser._in_title:                      # unclosed <title> at EOF
+        parser._in_title = False
+        parser._set("title", " ".join(" ".join(parser._title_parts).split()))
+    return parser.fields
+
+
+def meta_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from image_pdf_ocr_suite_spark.kernels.charset import decode_bytes
+
+    for pdf in batches:
+        rows = []
+        for url, raw in zip(pdf["url"], pdf["html"]):
+            fields = extract_page_meta(decode_bytes(raw)[0])
+            rows.append((url,) + tuple(fields.get(f) for f in _META_FIELDS))
+        yield pd.DataFrame(rows, columns=["url", *_META_FIELDS])
+
+
+def extract_metadata(page_df):
+    """Pages table ``(url, html, ...)`` -> one metadata row per page.
+    Map-only Arrow kernel over a column-pruned scan; charset-aware."""
+    return page_df.select("url", "html").mapInPandas(
+        meta_kernel, schema=META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Hyperlink extraction (link-graph source; analytics/graph.py consumes it)
 # ---------------------------------------------------------------------------
 
