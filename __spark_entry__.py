@@ -1196,6 +1196,52 @@ def q_warc_extract(spark, sf_dir):
         F.md5("body").alias("body_md5"))
 
 
+def q_wet_wat_roundtrip(spark, sf_dir):
+    """Common-Crawl DERIVATIVE formats (tableio/warc.py): each document
+    becomes one heterogeneous archive holding its response record plus
+    the two derivatives — a WET conversion record (text/plain extracted
+    text) and a WAT metadata record (application/json, field order
+    pinned by the struct so the bytes are deterministic), both carrying
+    ``WARC-Refers-To`` = the response record's deterministic id.  The
+    mixed archive parses back through the same record walker; the
+    oracle restates every envelope + payload field (including the WAT
+    JSON string and the refers-to urn) closed-form — equality proves
+    the derivative writers and the heterogeneous parse invert."""
+    from image_pdf_ocr_suite_spark.tableio import warc
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.col("doc_id").cast("string")
+    docs = d.select(
+        "doc_id",
+        F.concat(F.lit("https://w.example/"), n).alias("uri"),
+        F.lit("2026-03-02T00:00:00Z").alias("wdate"),
+        F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")).alias("html"),
+        F.col("text").alias("wet_text"))
+    docs = docs.withColumn(
+        "resp_id", warc.response_record_id_expr("uri", "wdate", "html"))
+    docs = docs.withColumn("wat_json", F.to_json(F.struct(
+        F.col("uri").alias("url"),
+        F.octet_length("html").alias("html_octets"),
+        (F.col("doc_id") % 5).alias("n_links"))))
+    blob = F.concat(
+        warc.warc_record_expr("uri", "wdate", "html"),
+        warc.wet_record_expr("uri", "wdate", "wet_text", "resp_id"),
+        warc.wat_record_expr("uri", "wdate", "wat_json", "resp_id"))
+    archives = docs.select(F.encode(blob, "UTF-8").alias("warc"))
+    parsed = warc.parse_warc(archives, "warc")
+    return parsed.where(F.col("err").isNull()).select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        "warc_type",
+        "warc_content_type",
+        "refers_to",
+        F.octet_length("body").alias("body_len"),
+        F.md5("body").alias("body_md5"),
+        F.when(F.col("warc_type") == "metadata",
+               F.get_json_object(F.decode("body", "UTF-8"), "$.n_links")
+                .cast("long")).alias("n_links"))
+
+
 def q_robots_allowed(spark, sf_dir):
     """Crawl-policy probe (kernels/robots.py): deterministic per-doc
     robots.txt files (a '*' group with a Disallow/Allow pair + a
@@ -1601,6 +1647,36 @@ def q_link_degree_stats(spark, sf_dir):
     return graph.degree_stats(_synthetic_edges(spark, sf_dir))
 
 
+def q_anchor_text_stats(spark, sf_dir):
+    """Per-target anchor-text aggregation (analytics/graph.py): each
+    document contributes two anchored links into a 7-target namespace
+    ('Site 0/1/2' anchors collide across docs, exercising the
+    count-then-lexicographic winner rule) plus one empty-anchor link
+    that must be ignored.  The heavy aggregate is (target, anchor)
+    map-side-combinable counts; the oracle replays the same two-level
+    GROUP BY with a ROW_NUMBER winner."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://s/"), i.cast("string"))
+    l1 = d.select(
+        url.alias("url"),
+        F.concat(F.lit("https://t/"), (i % 7).cast("string"))
+         .alias("resolved"),
+        F.concat(F.lit("Site "), (i % 3).cast("string")).alias("anchor"))
+    l2 = d.select(
+        url.alias("url"),
+        F.concat(F.lit("https://t/"), ((i * 2) % 7).cast("string"))
+         .alias("resolved"),
+        F.lit("Other").alias("anchor"))
+    l3 = d.select(
+        url.alias("url"),
+        F.concat(F.lit("https://t/"), (i % 7).cast("string"))
+         .alias("resolved"),
+        F.lit("").alias("anchor"))
+    links = l1.unionByName(l2).unionByName(l3)
+    return graph.anchor_text_stats(links)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order matters: the driver's CORRECTNESS gate records
     exactly the first 50 entries.  Window layout (round 5): the 5
@@ -1641,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": q_extract_links,
         "pagerank": q_pagerank,
         "link_degree_stats": q_link_degree_stats,
+        "anchor_text_stats": q_anchor_text_stats,
         "gopher_quality": q_gopher_quality,
         "length_quantiles": q_length_quantiles,
         "semantic_dedup": q_semantic_dedup,
@@ -1653,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_disjunct": q_tpch_q19_disjunct,
         "bloom_decontaminate": q_bloom_decontaminate,
         "warc_extract": q_warc_extract,
+        "wet_wat_roundtrip": q_wet_wat_roundtrip,
         "robots_allowed": q_robots_allowed,
         "charset_decode": q_charset_decode,
         "sitemap_entries": q_sitemap_entries,
@@ -2927,6 +3005,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS INTEGER) AS body_len,
                    md5(text) AS body_md5
             FROM documents""",
+        "wet_wat_roundtrip": """
+            WITH base AS (
+                SELECT doc_id,
+                       '<p>' || text || '</p>' AS html,
+                       text AS wet_text,
+                       '{"url":"https://w.example/' || doc_id
+                           || '","html_octets":'
+                           || CAST(strlen('<p>' || text || '</p>')
+                                   AS VARCHAR)
+                           || ',"n_links":' || CAST(doc_id % 5 AS VARCHAR)
+                           || '}' AS wat_json,
+                       'urn:md5:' || md5(
+                           'https://w.example/' || doc_id
+                           || chr(31) || '2026-03-02T00:00:00Z'
+                           || chr(31) || '<p>' || text || '</p>')
+                           AS resp_id
+                FROM documents)
+            SELECT doc_id, 'response' AS warc_type,
+                   'application/http; msgtype=response'
+                       AS warc_content_type,
+                   CAST(NULL AS VARCHAR) AS refers_to,
+                   CAST(strlen(html) AS INTEGER) AS body_len,
+                   md5(html) AS body_md5,
+                   CAST(NULL AS BIGINT) AS n_links
+            FROM base
+            UNION ALL
+            SELECT doc_id, 'conversion', 'text/plain', resp_id,
+                   CAST(strlen(wet_text) AS INTEGER), md5(wet_text),
+                   CAST(NULL AS BIGINT)
+            FROM base
+            UNION ALL
+            SELECT doc_id, 'metadata', 'application/json', resp_id,
+                   CAST(strlen(wat_json) AS INTEGER), md5(wat_json),
+                   doc_id % 5
+            FROM base""",
         "robots_allowed": """
             WITH d AS (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS a
                        FROM documents),
@@ -3574,4 +3687,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
                    CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg
             FROM o FULL JOIN i ON o.node = i.node""",
+        "anchor_text_stats": """
+            WITH l AS (
+                SELECT 'https://s/' || doc_id AS url,
+                       'https://t/' || (doc_id % 7) AS target,
+                       'Site ' || (doc_id % 3) AS anchor
+                FROM documents
+                UNION ALL
+                SELECT 'https://s/' || doc_id,
+                       'https://t/' || ((doc_id * 2) % 7),
+                       'Other'
+                FROM documents),
+            pa AS (SELECT target, anchor, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM l GROUP BY target, anchor),
+            w AS (SELECT target, anchor, n,
+                         ROW_NUMBER() OVER (PARTITION BY target
+                                            ORDER BY n DESC, anchor ASC)
+                             AS rn
+                  FROM pa),
+            tot AS (SELECT target,
+                           CAST(SUM(n) AS BIGINT) AS n_refs,
+                           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+                           CAST(MAX(n) AS BIGINT) AS top_anchor_n
+                    FROM pa GROUP BY target),
+            src AS (SELECT target,
+                           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_sources
+                    FROM l GROUP BY target)
+            SELECT tot.target, n_refs, n_sources, n_anchors,
+                   w.anchor AS top_anchor, top_anchor_n
+            FROM tot
+            JOIN w ON w.target = tot.target AND w.rn = 1
+            JOIN src ON src.target = tot.target""",
     }

@@ -37,6 +37,48 @@ def degree_stats(edges: DataFrame, src: str = "src",
                     F.coalesce("in_deg", F.lit(0)).alias("in_deg")))
 
 
+def anchor_text_stats(links: DataFrame, target: str = "resolved",
+                      anchor: str = "anchor",
+                      source: str = "url") -> DataFrame:
+    """Per-target anchor-text aggregation — the classic web-corpus
+    signal (anchor text describes the TARGET page; search engines and
+    quality classifiers consume it aggregated per destination).
+
+    ``(target, n_refs, n_sources, n_anchors, top_anchor, top_anchor_n)``
+    where ``top_anchor`` is the most frequent non-empty anchor string
+    for the target (ties broken lexicographically — deterministic
+    cross-engine).
+
+    Scale shape: the heavy aggregate runs on ``(target, anchor)`` —
+    map-side combinable, anchor strings are short, the raw HTML never
+    shuffles (link extraction upstream is map-only).  The winner pick
+    is ``min_by`` over a (negated count, anchor) struct on the
+    already-collapsed per-anchor counts — no window over raw rows.  The
+    exact distinct-source count is its own short-key aggregate joined
+    back on the target key (two short shuffles, zero data-sized
+    state)."""
+    nonempty = links.where(
+        F.col(anchor).isNotNull() & (F.col(anchor) != ""))
+    per_anchor = (nonempty
+                  .groupBy(F.col(target).alias("target"),
+                           F.col(anchor).alias("__a"))
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("__n")))
+    winners = per_anchor.groupBy("target").agg(
+        F.sum("__n").alias("n_refs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        F.min_by("__a", F.struct((-F.col("__n")).alias("k1"),
+                                 F.col("__a").alias("k2")))
+         .alias("top_anchor"),
+        F.max("__n").alias("top_anchor_n"))
+    sources = (nonempty
+               .groupBy(F.col(target).alias("target"))
+               .agg(F.countDistinct(F.col(source)).cast("bigint")
+                     .alias("n_sources")))
+    return winners.join(sources, "target").select(
+        "target", "n_refs", "n_sources", "n_anchors",
+        "top_anchor", "top_anchor_n")
+
+
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              nodes: DataFrame | None = None, n_iter: int = 5,
              damping_pct: int = 85, scale: int = 10 ** 9) -> DataFrame:

@@ -17,6 +17,14 @@ WARC (ISO 28500).  This module gives the engine both directions:
   a malformed tail lands in the ``err`` column of a best-effort row
   instead of failing the task (the quarantine contract,
   reference ocr.py:775-779's error-taxonomy analog).
+- ``wet_record_expr`` / ``wat_record_expr``: the Common-Crawl
+  DERIVATIVE formats — WET (``WARC-Type: conversion``, text/plain body
+  holding the extracted text) and WAT (``WARC-Type: metadata``,
+  application/json body holding per-page metadata).  Both are pure
+  Catalyst and both parse back through the same ``parse_warc`` walker
+  (heterogeneous archives mixing response/conversion/metadata records
+  are the production layout).  ``WARC-Refers-To`` carries the id of
+  the response record a derivative was computed from.
 
 Reference scope note: the reference suite has no WARC layer — this is
 part of the task-mandated Common-Crawl source surface (SURVEY §2.1 /
@@ -63,8 +71,66 @@ def warc_record_expr(uri_col, date_col, body_col, record_id_col=None):
         F.lit(_CRLF + _CRLF), http, F.lit(_CRLF + _CRLF))
 
 
+def response_record_id_expr(uri_col, date_col, body_col):
+    """The deterministic record id ``warc_record_expr`` assigns when no
+    explicit ``record_id_col`` is given — exposed so WET/WAT writers can
+    point ``WARC-Refers-To`` at the response record they derive from."""
+    return F.concat(
+        F.lit("urn:md5:"),
+        F.md5(F.concat_ws("\x1f", F.col(uri_col), F.col(date_col),
+                          F.col(body_col))))
+
+
+def _derivative_record_expr(warc_type: str, content_type: str, salt: str,
+                            uri_col, date_col, body_col,
+                            refers_to_col=None):
+    """Shared writer for the non-HTTP derivative record types.  The
+    record id salts the md5 urn with the record type so a WET/WAT pair
+    derived from the same (uri, date) never collides with each other or
+    with the response record's id.  ``Content-Length`` counts octets of
+    the (string) body."""
+    uri, date, body = F.col(uri_col), F.col(date_col), F.col(body_col)
+    rid = F.concat(F.lit("urn:md5:"),
+                   F.md5(F.concat_ws("\x1f", F.lit(salt), uri, date, body)))
+    refers = (F.concat(F.lit("WARC-Refers-To: <"), F.col(refers_to_col),
+                       F.lit(">" + _CRLF))
+              if refers_to_col is not None else F.lit(""))
+    return F.concat(
+        F.lit("WARC/1.0" + _CRLF + "WARC-Type: " + warc_type + _CRLF
+              + "WARC-Record-ID: <"),
+        rid,
+        F.lit(">" + _CRLF + "WARC-Date: "), date,
+        F.lit(_CRLF + "WARC-Target-URI: "), uri,
+        F.lit(_CRLF), refers,
+        F.lit("Content-Type: " + content_type + _CRLF + "Content-Length: "),
+        F.octet_length(body).cast("string"),
+        F.lit(_CRLF + _CRLF), body, F.lit(_CRLF + _CRLF))
+
+
+def wet_record_expr(uri_col, date_col, text_col, refers_to_col=None):
+    """One WET record (``WARC-Type: conversion``, ``text/plain`` body):
+    the Common-Crawl extracted-text derivative of a response record.
+    ``text_col`` is the extracted text (string); ``refers_to_col``
+    optionally carries the source response record's id."""
+    return _derivative_record_expr(
+        "conversion", "text/plain", "wet",
+        uri_col, date_col, text_col, refers_to_col)
+
+
+def wat_record_expr(uri_col, date_col, json_col, refers_to_col=None):
+    """One WAT record (``WARC-Type: metadata``, ``application/json``
+    body): the Common-Crawl metadata derivative.  ``json_col`` is an
+    already-serialized JSON string (build it with
+    ``F.to_json(F.struct(...))`` so field order — and therefore the
+    record bytes — is deterministic)."""
+    return _derivative_record_expr(
+        "metadata", "application/json", "wat",
+        uri_col, date_col, json_col, refers_to_col)
+
+
 _PARSE_SCHEMA = ("record_id string, warc_type string, target_uri string, "
-                 "warc_date string, http_status int, http_content_type "
+                 "warc_date string, refers_to string, warc_content_type "
+                 "string, http_status int, http_content_type "
                  "string, body binary, err string")
 
 
@@ -77,7 +143,7 @@ def _parse_blob(blob: bytes):
             continue
         head_end = blob.find(b"\r\n\r\n", pos)
         if not blob.startswith(b"WARC/", pos) or head_end < 0:
-            yield (None, None, None, None, None, None, None,
+            yield (None, None, None, None, None, None, None, None, None,
                    f"malformed record header at offset {pos}")
             return
         headers = {}
@@ -88,12 +154,12 @@ def _parse_blob(blob: bytes):
         try:
             clen = int(headers[b"content-length"])
         except (KeyError, ValueError):
-            yield (None, None, None, None, None, None, None,
+            yield (None, None, None, None, None, None, None, None, None,
                    f"missing/invalid Content-Length at offset {pos}")
             return
         block = blob[head_end + 4:head_end + 4 + clen]
         if len(block) < clen:
-            yield (None, None, None, None, None, None, None,
+            yield (None, None, None, None, None, None, None, None, None,
                    f"truncated record at offset {pos}")
             return
         pos = head_end + 4 + clen
@@ -105,6 +171,11 @@ def _parse_blob(blob: bytes):
         uri = uri.decode("utf-8", "replace") if uri is not None else None
         wdate = headers.get(b"warc-date")
         wdate = wdate.decode("ascii", "replace") if wdate is not None else None
+        refers = headers.get(b"warc-refers-to", b"").strip(b"<>").decode(
+            "utf-8", "replace") or None
+        wctype = headers.get(b"content-type")
+        wctype = (wctype.decode("utf-8", "replace")
+                  if wctype is not None else None)
         status = ctype = body = None
         if (headers.get(b"content-type", b"")
                 .startswith(b"application/http") and block[:5] == b"HTTP/"):
@@ -121,17 +192,22 @@ def _parse_blob(blob: bytes):
             body = block[hh_end + 4:] if hh_end + 4 <= len(block) else b""
         else:
             body = block
-        yield (rid, wtype, uri, wdate, status, ctype, body, None)
+        yield (rid, wtype, uri, wdate, refers, wctype, status, ctype, body,
+               None)
 
 
 def parse_warc(df: DataFrame, warc_col: str = "warc",
                keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """One row per WARC record found in the binary column ``warc_col``
     (each value may hold a whole multi-record archive).  Output columns:
-    ``record_id, warc_type, target_uri, warc_date, http_status,
-    http_content_type, body, err`` plus any ``keep_cols`` carried
-    through from the input row.  Malformed/truncated tails produce a
-    row with ``err`` set and the rest null — never a task failure."""
+    ``record_id, warc_type, target_uri, warc_date, refers_to,
+    warc_content_type, http_status, http_content_type, body, err``
+    plus any ``keep_cols`` carried through from the input row.
+    ``http_*`` fields parse only for ``application/http`` blocks;
+    derivative records (WET/WAT) surface their payload in ``body`` and
+    their type in ``warc_content_type``.  Malformed/truncated tails
+    produce a row with ``err`` set and the rest null — never a task
+    failure."""
     import pandas as pd
 
     keep_types = ", ".join(
@@ -145,13 +221,14 @@ def parse_warc(df: DataFrame, warc_col: str = "warc",
             for row in zip(*(pdf[c] for c in cols)):
                 keep, blob = row[:-1], row[-1]
                 if blob is None:
-                    out.append(keep + (None,) * 7 + ("null archive",))
+                    out.append(keep + (None,) * 9 + ("null archive",))
                     continue
                 blob = bytes(blob)
                 for rec in _parse_blob(blob):
                     out.append(keep + rec)
             names = list(keep_cols) + [
                 "record_id", "warc_type", "target_uri", "warc_date",
+                "refers_to", "warc_content_type",
                 "http_status", "http_content_type", "body", "err"]
             yield pd.DataFrame(out, columns=names)
 

@@ -79,6 +79,42 @@ def test_garbage_blob_yields_err_row_not_failure(spark):
     assert len(rows) == 1 and rows[0]["err"] is not None
 
 
+def test_wet_wat_derivatives_roundtrip(spark):
+    from pyspark.sql import functions as F
+    d = spark.createDataFrame(
+        [(7, "https://x/doc/7", "2024-01-01T00:00:00Z",
+          "<p>héllo wörld</p>", "héllo wörld")],
+        "doc_id long, uri string, wdate string, html string, txt string")
+    d = d.withColumn(
+        "resp_id", warc.response_record_id_expr("uri", "wdate", "html"))
+    d = d.withColumn("meta_json", F.to_json(F.struct(
+        F.col("uri").alias("url"), F.lit(2).alias("n_links"))))
+    blob = d.select(F.encode(F.concat(
+        warc.warc_record_expr("uri", "wdate", "html"),
+        warc.wet_record_expr("uri", "wdate", "txt", "resp_id"),
+        warc.wat_record_expr("uri", "wdate", "meta_json", "resp_id")),
+        "UTF-8").alias("warc"))
+    rows = {r["warc_type"]: r for r in warc.parse_warc(blob, "warc").collect()}
+    assert set(rows) == {"response", "conversion", "metadata"}
+    resp, wet, wat = rows["response"], rows["conversion"], rows["metadata"]
+    assert resp["err"] is None and wet["err"] is None and wat["err"] is None
+    # derivatives point back at the response record they derive from
+    assert wet["refers_to"] == resp["record_id"]
+    assert wat["refers_to"] == resp["record_id"]
+    assert resp["refers_to"] is None
+    # distinct deterministic ids (salted urns never collide)
+    assert len({resp["record_id"], wet["record_id"], wat["record_id"]}) == 3
+    # payloads survive octet-exact
+    assert bytes(wet["body"]).decode("utf-8") == "héllo wörld"
+    assert wet["warc_content_type"] == "text/plain"
+    assert wat["warc_content_type"] == "application/json"
+    import json
+    meta = json.loads(bytes(wat["body"]).decode("utf-8"))
+    assert meta == {"url": "https://x/doc/7", "n_links": 2}
+    # same uri/date on all three records
+    assert all(r["target_uri"] == "https://x/doc/7" for r in rows.values())
+
+
 def test_writer_expression_roundtrips(spark):
     from pyspark.sql import functions as F
     d = spark.createDataFrame(
