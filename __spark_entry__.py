@@ -1412,9 +1412,12 @@ def q_crawl_ingest(spark, sf_dir):
 def q_html_metadata(spark, sf_dir):
     """Head-metadata extraction (kernels/html.py extract_metadata):
     even docs carry the full field set (lang attr, title, description,
-    canonical, og:title), odd docs only a title — absent fields must
-    surface as nulls.  Charset-aware decode feeds the parser; the
-    oracle states every field closed-form."""
+    canonical, og:title), odd docs only a title plus a robots meta tag
+    — ``noindex, nofollow`` for doc_id%4==1 and the ``none`` alias for
+    doc_id%4==3 (both must set BOTH directive booleans); absent fields
+    must surface as nulls and absent robots as (false, false).
+    Charset-aware decode feeds the parser; the oracle states every
+    field closed-form."""
     from image_pdf_ocr_suite_spark.kernels import html as html_mod
 
     d = _t(spark, sf_dir, "documents")
@@ -1425,8 +1428,11 @@ def q_html_metadata(spark, sf_dir):
         F.lit('"><link rel="canonical" href="https://c/'), n,
         F.lit('"><meta property="og:title" content="OG '), n,
         F.lit('"></head><body><p>x</p></body></html>'))
+    robots = F.when(F.col("doc_id") % 4 == 1,
+                    F.lit("noindex, nofollow")).otherwise(F.lit("none"))
     plain = F.concat(F.lit("<html><head><title>Plain "), n,
-                     F.lit("</title></head></html>"))
+                     F.lit('</title><meta name="robots" content="'),
+                     robots, F.lit('"></head></html>'))
     html = F.when(F.col("doc_id") % 2 == 0, full).otherwise(plain)
     pages = d.select(F.concat(F.lit("https://m/"), n).alias("url"),
                      F.encode(html, "UTF-8").alias("html"))
@@ -3215,7 +3221,12 @@ def oracle_sql() -> dict[str, str]:
                    END AS og_title,
                    CAST(NULL AS VARCHAR) AS og_description,
                    CAST(NULL AS VARCHAR) AS og_type,
-                   CAST(NULL AS VARCHAR) AS og_image
+                   CAST(NULL AS VARCHAR) AS og_image,
+                   CASE WHEN doc_id % 4 = 1 THEN 'noindex, nofollow'
+                        WHEN doc_id % 4 = 3 THEN 'none'
+                   END AS robots_meta,
+                   doc_id % 2 = 1 AS noindex,
+                   doc_id % 2 = 1 AS nofollow
             FROM documents""",
         "bloom_decontaminate": """
             WITH tok AS (
@@ -3674,7 +3685,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'https://example.com/doc/'
                        || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
                    CAST(seq AS INTEGER) AS seq, href, anchor,
-                   'https://example.com' || href AS resolved
+                   'https://example.com' || href AS resolved,
+                   FALSE AS nofollow
             FROM ids, l""",
         "pagerank": _pagerank_oracle(),
         "link_degree_stats": f"""

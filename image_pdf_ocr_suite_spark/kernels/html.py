@@ -172,6 +172,8 @@ class _MetaParser(HTMLParser):
             prop = (a.get("property") or "").lower()
             if name == "description":
                 self._set("description", a.get("content"))
+            elif name == "robots":
+                self._set("robots_meta", a.get("content"))
             elif prop in self._OG_KEYS:
                 self._set(prop.replace(":", "_"), a.get("content"))
         elif tag == "link":
@@ -191,10 +193,24 @@ class _MetaParser(HTMLParser):
 
 
 _META_FIELDS = ("title", "description", "canonical", "html_lang",
-                "og_title", "og_description", "og_type", "og_image")
+                "og_title", "og_description", "og_type", "og_image",
+                "robots_meta")
 
-META_SCHEMA = "url string, " + ", ".join(f"{f} string"
-                                         for f in _META_FIELDS)
+META_SCHEMA = ("url string, " + ", ".join(f"{f} string"
+                                          for f in _META_FIELDS)
+               + ", noindex boolean, nofollow boolean")
+
+
+def robots_meta_directives(content: str | None) -> tuple[bool, bool]:
+    """``(noindex, nofollow)`` from a ``<meta name="robots">`` content
+    string: comma-separated directives, case-insensitive, ``none`` =
+    ``noindex, nofollow`` (Robots Meta Tag spec).  Absent/empty content
+    means no restriction — (False, False), filter-friendly defaults."""
+    if not content:
+        return False, False
+    toks = {t.strip() for t in content.lower().replace(",", " ").split()}
+    none = "none" in toks
+    return ("noindex" in toks or none, "nofollow" in toks or none)
 
 
 def extract_page_meta(html: str) -> dict[str, str]:
@@ -219,8 +235,12 @@ def meta_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         for url, raw in zip(pdf["url"], pdf["html"]):
             fields = extract_page_meta(decode_bytes(raw)[0])
-            rows.append((url,) + tuple(fields.get(f) for f in _META_FIELDS))
-        yield pd.DataFrame(rows, columns=["url", *_META_FIELDS])
+            noindex, nofollow = robots_meta_directives(
+                fields.get("robots_meta"))
+            rows.append((url,) + tuple(fields.get(f) for f in _META_FIELDS)
+                        + (noindex, nofollow))
+        yield pd.DataFrame(rows, columns=["url", *_META_FIELDS,
+                                          "noindex", "nofollow"])
 
 
 def extract_metadata(page_df):
@@ -242,15 +262,18 @@ class _LinkParser(HTMLParser):
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.links: list[tuple[str, str]] = []
+        self.links: list[tuple[str, str, bool]] = []
         self._href: str | None = None
+        self._nofollow = False
         self._parts: list[str] = []
         self._skip_depth = 0
 
     def _flush(self) -> None:
         if self._href is not None:
-            self.links.append((self._href, " ".join(" ".join(self._parts).split())))
-        self._href, self._parts = None, []
+            self.links.append((self._href,
+                               " ".join(" ".join(self._parts).split()),
+                               self._nofollow))
+        self._href, self._parts, self._nofollow = None, [], False
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _SKIP_TAGS:
@@ -261,6 +284,8 @@ class _LinkParser(HTMLParser):
             href = next((v for k, v in attrs if k == "href" and v), None)
             if href is not None:
                 self._href = href
+                rel = next((v for k, v in attrs if k == "rel" and v), "")
+                self._nofollow = "nofollow" in rel.lower().split()
 
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP_TAGS:
@@ -274,9 +299,10 @@ class _LinkParser(HTMLParser):
             self._parts.append(data)
 
 
-def extract_links_from_html(html: str) -> list[tuple[str, str]]:
-    """``[(href, anchor_text), ...]`` in document order; malformed input
-    yields what parsed before the failure (never raises)."""
+def extract_links_from_html(html: str) -> list[tuple[str, str, bool]]:
+    """``[(href, anchor_text, nofollow), ...]`` in document order
+    (``nofollow`` = ``rel`` contains the nofollow token); malformed
+    input yields what parsed before the failure (never raises)."""
     parser = _LinkParser()
     try:
         parser.feed(html)
@@ -287,7 +313,8 @@ def extract_links_from_html(html: str) -> list[tuple[str, str]]:
     return parser.links
 
 
-LINKS_SCHEMA = "url string, seq int, href string, anchor string, resolved string"
+LINKS_SCHEMA = ("url string, seq int, href string, anchor string, "
+                "resolved string, nofollow boolean")
 
 
 def links_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -304,23 +331,26 @@ def links_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         if not len(pdf):
             continue
-        urls, seqs, hrefs, anchors, resolveds = [], [], [], [], []
+        urls, seqs, hrefs, anchors, resolveds, nofollows = \
+            [], [], [], [], [], []
         for url, raw in zip(pdf["url"], pdf["html"]):
             if raw is None or sniff(bytes(raw)) != "html":
                 continue
             html = decode_bytes(raw)[0]
-            for seq, (href, anchor) in enumerate(extract_links_from_html(html)):
+            for seq, (href, anchor, nofollow) in enumerate(
+                    extract_links_from_html(html)):
                 urls.append(url)
                 seqs.append(seq)
                 hrefs.append(href)
                 anchors.append(anchor)
+                nofollows.append(nofollow)
                 try:
                     resolveds.append(urljoin(url, href))
                 except ValueError:
                     resolveds.append(href)
         yield pd.DataFrame({"url": urls, "seq": pd.array(seqs, dtype="int32"),
                             "href": hrefs, "anchor": anchors,
-                            "resolved": resolveds})
+                            "resolved": resolveds, "nofollow": nofollows})
 
 
 def extract_links(page_df):

@@ -19,8 +19,8 @@ def test_links_basic_document_order():
     html = ('<p><a href="/a">first</a> text <a href="/b">second link</a>'
             '</p><a href="http://x.example/c">third</a>')
     assert extract_links_from_html(html) == [
-        ("/a", "first"), ("/b", "second link"),
-        ("http://x.example/c", "third")]
+        ("/a", "first", False), ("/b", "second link", False),
+        ("http://x.example/c", "third", False)]
 
 
 def test_links_nested_anchor_autocloses():
@@ -28,30 +28,31 @@ def test_links_nested_anchor_autocloses():
     # closed inner link belongs to no link
     html = '<a href="/outer">out <a href="/inner">in</a> tail'
     assert extract_links_from_html(html) == [
-        ("/outer", "out"), ("/inner", "in")]
+        ("/outer", "out", False), ("/inner", "in", False)]
 
 
 def test_links_unclosed_anchor_flushes_at_eof():
     assert extract_links_from_html('<a href="/x">dangling') == \
-        [("/x", "dangling")]
+        [("/x", "dangling", False)]
 
 
 def test_links_skip_script_and_hrefless():
     html = ('<a name="anchor">no href</a>'
             '<a href="/k"><script>var x = "ignored";</script>kept</a>')
-    assert extract_links_from_html(html) == [("/k", "kept")]
+    assert extract_links_from_html(html) == [("/k", "kept", False)]
 
 
 def test_links_whitespace_normalized_anchor():
     html = '<a href="/w">  multi\n\n  word\ttext  </a>'
-    assert extract_links_from_html(html) == [("/w", "multi word text")]
+    assert extract_links_from_html(html) == [
+        ("/w", "multi word text", False)]
 
 
 def test_links_malformed_html_never_raises():
     # stray '<'s parse as data; the contract is no exception and the
     # real link survives with its href intact
     links = extract_links_from_html("<a href='/p'>x" + "<" * 50)
-    assert [h for h, _ in links] == ["/p"]
+    assert [h for h, _, _ in links] == ["/p"]
     assert links[0][1].startswith("x")
 
 
@@ -74,12 +75,35 @@ def test_extract_links_dispatch_and_resolution(spark):
     rows = sorted(map(tuple, extract_links(pages).collect()))
     assert rows == [
         ("https://h.example/dir/page.html", 0, "/root", "r",
-         "https://h.example/root"),
+         "https://h.example/root", False),
         ("https://h.example/dir/page.html", 1, "rel", "l",
-         "https://h.example/dir/rel"),
+         "https://h.example/dir/rel", False),
         ("https://h.example/dir/page.html", 2, "https://other.example/abs",
-         "a", "https://other.example/abs"),
+         "a", "https://other.example/abs", False),
     ]
+
+
+def test_links_rel_nofollow_flag():
+    html = ('<a href="/f" rel="nofollow">paid</a>'
+            '<a href="/g" rel="NOFOLLOW sponsored">caps</a>'
+            '<a href="/h" rel="noopener">open</a>'
+            '<a href="/i">plain</a>')
+    assert extract_links_from_html(html) == [
+        ("/f", "paid", True), ("/g", "caps", True),
+        ("/h", "open", False), ("/i", "plain", False)]
+
+
+def test_robots_meta_directives():
+    from image_pdf_ocr_suite_spark.kernels.html import (
+        extract_page_meta, robots_meta_directives)
+    assert robots_meta_directives("noindex, nofollow") == (True, True)
+    assert robots_meta_directives("NOINDEX") == (True, False)
+    assert robots_meta_directives("none") == (True, True)
+    assert robots_meta_directives("index, follow") == (False, False)
+    assert robots_meta_directives(None) == (False, False)
+    meta = extract_page_meta(
+        '<head><meta name="robots" content="noindex"></head>')
+    assert meta["robots_meta"] == "noindex"
 
 
 # ---------------------------------------------------------------------------
