@@ -1373,6 +1373,46 @@ def q_sitemap_entries(spark, sf_dir):
         F.substring_index("err", ":", 1).alias("err_kind"))
 
 
+def q_feed_entries(spark, sf_dir):
+    """RSS/Atom feed parsing (kernels/feed.py): doc_id%3 selects an RSS
+    2.0 channel (two items, one without pubDate/guid), an Atom feed
+    (rel='self' link that must be skipped, published-vs-updated
+    fallback, entry without id), or a truncated document that must
+    surface as an err row.  err is projected to its kind prefix (the
+    sitemap kernel's convention) so parser detail can't vary the hash;
+    the oracle states the expected rows closed-form."""
+    from image_pdf_ocr_suite_spark.kernels import feed as feed_mod
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 3
+    xml = (
+        F.when(v == 0, F.concat(
+            F.lit('<rss version="2.0"><channel><title>Chan</title>'
+                  "<item><title>R "), n,
+            F.lit(" a</title><link>https://f"), n,
+            F.lit("/a</link><pubDate>Mon, 0"),
+            ((F.col("doc_id") % 7) + 1).cast("string"),
+            F.lit(" Jan 2026 00:00:00 GMT</pubDate><guid>g"), n,
+            F.lit("a</guid></item><item><title>R "), n,
+            F.lit(" b</title><link>https://f"), n,
+            F.lit("/b</link></item></channel></rss>")))
+        .when(v == 1, F.concat(
+            F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'
+                  "<entry><title>A "), n,
+            F.lit(' a</title><link rel="self" href="https://x/self"/>'
+                  '<link href="https://f'), n,
+            F.lit('/a"/><published>2026-02-01</published><id>ida'), n,
+            F.lit("</id></entry><entry><title>A "), n,
+            F.lit(' b</title><link rel="alternate" href="https://f'), n,
+            F.lit('/b"/><updated>2026-02-02</updated></entry></feed>')))
+        .otherwise(F.concat(F.lit("<rss><channel><item><title>x"), n)))
+    out = feed_mod.feed_entries(d.select("doc_id", xml.alias("feed")))
+    return out.select(
+        "doc_id", "seq", "kind", "title", "link", "published", "entry_id",
+        F.substring_index("err", ":", 1).alias("err_kind"))
+
+
 def q_crawl_ingest(spark, sf_dir):
     """The crawl-ingestion composition (jobs/crawl_ingest_job.py):
     Catalyst-written WARC archives (every third document carries a
@@ -1740,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_allowed": q_robots_allowed,
         "charset_decode": q_charset_decode,
         "sitemap_entries": q_sitemap_entries,
+        "feed_entries": q_feed_entries,
         "frontier_schedule": q_frontier_schedule,
         "crawl_ingest": q_crawl_ingest,
         "html_metadata": q_html_metadata,
@@ -3107,6 +3148,36 @@ def oracle_sql() -> dict[str, str]:
                    END AS charset_source,
                    FALSE AS had_replacement
             FROM documents""",
+        "feed_entries": """
+            WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS n
+                       FROM documents)
+            SELECT doc_id, seq, kind, title, link, published, entry_id,
+                   err_kind FROM (
+              SELECT doc_id, 0 AS seq, 'rss' AS kind,
+                     'R ' || n || ' a' AS title,
+                     'https://f' || n || '/a' AS link,
+                     'Mon, 0' || CAST(doc_id % 7 + 1 AS VARCHAR)
+                         || ' Jan 2026 00:00:00 GMT' AS published,
+                     'g' || n || 'a' AS entry_id,
+                     CAST(NULL AS VARCHAR) AS err_kind
+              FROM d WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id, 1, 'rss', 'R ' || n || ' b',
+                     'https://f' || n || '/b', NULL, NULL, NULL
+              FROM d WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id, 0, 'atom', 'A ' || n || ' a',
+                     'https://f' || n || '/a', '2026-02-01',
+                     'ida' || n, NULL
+              FROM d WHERE doc_id % 3 = 1
+              UNION ALL
+              SELECT doc_id, 1, 'atom', 'A ' || n || ' b',
+                     'https://f' || n || '/b', '2026-02-02', NULL, NULL
+              FROM d WHERE doc_id % 3 = 1
+              UNION ALL
+              SELECT doc_id, 0, NULL, NULL, NULL, NULL, NULL,
+                     'xml parse error'
+              FROM d WHERE doc_id % 3 = 2)""",
         "sitemap_entries": """
             WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS n,
                               lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
