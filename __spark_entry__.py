@@ -939,6 +939,339 @@ def q_tpch_q19_disjunct(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"))
 
 
+def _partsupp(spark, sf_dir):
+    """Deterministic PARTSUPP stand-in (the driver testdata ships no
+    partsupp table): one row per DISTINCT (l_partkey, l_suppkey) pair —
+    the exact pair population lineitem joins against, as in TPC-H
+    proper — with integer-cent supply cost and availability from fixed
+    mixing formulas, spelled identically in the oracle CTE
+    (_PARTSUPP_CTE).  All-integer columns keep every downstream
+    aggregate order-independent and cross-engine exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (li.select(F.col("l_partkey").alias("ps_partkey"),
+                    F.col("l_suppkey").alias("ps_suppkey")).distinct())
+    return ps.select(
+        "ps_partkey", "ps_suppkey",
+        ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 9999 + 1)
+        .cast("long").alias("ps_availqty"),
+        ((F.col("ps_partkey") * 97 + F.col("ps_suppkey") * 41) % 99900
+         + 100).cast("long").alias("ps_supplycost_cents"))
+
+
+_PARTSUPP_CTE = """partsupp AS (
+    SELECT ps_partkey, ps_suppkey,
+           CAST((ps_partkey*31 + ps_suppkey*17) % 9999 + 1 AS BIGINT)
+               AS ps_availqty,
+           CAST((ps_partkey*97 + ps_suppkey*41) % 99900 + 100 AS BIGINT)
+               AS ps_supplycost_cents
+    FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                          l_suppkey AS ps_suppkey FROM lineitem))"""
+
+
+def q_tpch_q2_mincost(spark, sf_dir):
+    """TPC-H Q2 minimum-cost supplier: for STANDARD size-15 parts, the
+    EUROPE supplier(s) whose synthetic partsupp cost equals the per-part
+    regional minimum; top 100 by (acctbal desc, nation, supplier, part).
+    The min is a per-part aggregate joined back on (part, cost) — the
+    decorrelated form of the reference's correlated subquery; part and
+    supplier dims broadcast."""
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")) \
+        .select("p_partkey")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation") \
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    sn = _t(spark, sf_dir, "supplier") \
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")) \
+        .select("s_suppkey", "s_name", "n_name",
+                _cents("s_acctbal").alias("acctbal_cents"))
+    j = (ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+         .join(F.broadcast(sn), ps["ps_suppkey"] == sn["s_suppkey"]))
+    minc = j.groupBy(F.col("ps_partkey").alias("mk")).agg(
+        F.min("ps_supplycost_cents").alias("min_cost"))
+    win = j.join(F.broadcast(minc),
+                 (j["ps_partkey"] == minc["mk"])
+                 & (j["ps_supplycost_cents"] == minc["min_cost"]))
+    return (win.select("acctbal_cents", "s_name", "n_name", "ps_partkey",
+                       "ps_supplycost_cents")
+            .orderBy(F.desc("acctbal_cents"), F.asc("n_name"),
+                     F.asc("s_name"), F.asc("ps_partkey"))
+            .limit(100))
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 national market share: NATION_6's share of AMERICA-
+    customer ECONOMY-part revenue per year, 1996-1997.  Numerator and
+    denominator are exact scaled integers; the share is one IEEE
+    division.  Part/customer-nation/supplier-nation dims all
+    broadcast."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY") \
+        .select("p_partkey")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    nc = _t(spark, sf_dir, "nation") \
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")) \
+        .select(F.col("n_nationkey").alias("cnk"))
+    c = _t(spark, sf_dir, "customer") \
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("cnk")) \
+        .select("c_custkey")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"),
+        F.col("n_name").alias("supp_nation"))
+    s_ = _t(spark, sf_dir, "supplier") \
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("snk")) \
+        .select("s_suppkey", "supp_nation")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))) \
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    j = (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+         .join(o, li["l_orderkey"] == o["o_orderkey"])
+         .join(c, o["o_custkey"] == c["c_custkey"])
+         .join(F.broadcast(s_), li["l_suppkey"] == s_["s_suppkey"]))
+    vol = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_6", vol)
+               .otherwise(F.lit(0))).alias("nation_scaled"),
+        F.sum(vol).alias("all_scaled"))
+    return agg.select(
+        "o_year", "nation_scaled", "all_scaled",
+        (F.col("nation_scaled").cast("double")
+         / F.col("all_scaled").cast("double")).alias("mkt_share"))
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 product-type profit: for parts whose name contains
+    'red', profit = revenue − supply cost × quantity per (nation,
+    year), everything in exact scaled integers (cost cents × integral
+    quantity × 100 aligns units with cents × basis points).  The
+    partsupp join runs on BOTH keys, exactly like the reference
+    query."""
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").contains("red")) \
+        .select("p_partkey")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), "n_name")
+    s_ = _t(spark, sf_dir, "supplier") \
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("snk")) \
+        .select("s_suppkey", "n_name")
+    li = _t(spark, sf_dir, "lineitem")
+    j = (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+         .join(ps, (li["l_partkey"] == ps["ps_partkey"])
+               & (li["l_suppkey"] == ps["ps_suppkey"]))
+         .join(F.broadcast(s_), li["l_suppkey"] == s_["s_suppkey"]))
+    profit = (_cents("l_extendedprice")
+              * (F.lit(100) - _cents("l_discount"))
+              - F.col("ps_supplycost_cents")
+              * F.col("l_quantity").cast("long") * F.lit(100))
+    return (j.groupBy("n_name", F.year("l_shipdate").alias("o_year"))
+            .agg(F.sum(profit).alias("profit_scaled"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+def q_tpch_q11_stock(spark, sf_dir):
+    """TPC-H Q11 important stock: per-part inventory value (cost cents ×
+    availqty) held by NATION_3 suppliers, keeping parts whose value
+    exceeds 1/10000 of the national total — the threshold compare is
+    integer cross-multiplication (value × 10000 > total), no float
+    fraction.  The scalar total broadcasts onto the per-part rows."""
+    ps = _partsupp(spark, sf_dir)
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    s_ = _t(spark, sf_dir, "supplier") \
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")) \
+        .select("s_suppkey")
+    j = ps.join(F.broadcast(s_), ps["ps_suppkey"] == s_["s_suppkey"]) \
+        .select("ps_partkey",
+                (F.col("ps_supplycost_cents") * F.col("ps_availqty"))
+                .alias("v"))
+    per_part = j.groupBy("ps_partkey").agg(F.sum("v").alias("value_scaled"))
+    total = j.agg(F.sum("v").alias("total_scaled"))
+    return (per_part.crossJoin(F.broadcast(total))
+            .where(F.col("value_scaled") * 10000 > F.col("total_scaled"))
+            .select("ps_partkey", "value_scaled"))
+
+
+def q_tpch_q12_shipmode(spark, sf_dir):
+    """TPC-H Q12 shipping-mode priority: late lineitems (shipped >30
+    days after the order date — the synthetic schema's lateness rule,
+    cf. q_tpch_q4_semijoin) shipped in 1996, bucketed by a derived
+    3-value mode column, counting high- vs low-priority orders.  One
+    fact join + one 3-row aggregate."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).where(
+        F.col("l_shipdate") > F.col("o_orderdate")
+        + F.expr("INTERVAL 30 DAYS"))
+    mode = F.element_at(
+        F.array(F.lit("MAIL"), F.lit("SHIP"), F.lit("RAIL")),
+        (F.col("l_linenumber") % 3 + 1).cast("int"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (j.select(mode.alias("l_shipmode"), high.alias("h"))
+            .groupBy("l_shipmode")
+            .agg(F.sum(F.when(F.col("h"), 1).otherwise(0)).cast("bigint")
+                  .alias("high_line_count"),
+                 F.sum(F.when(F.col("h"), 0).otherwise(1)).cast("bigint")
+                  .alias("low_line_count")))
+
+
+def q_tpch_q15_topsupplier(spark, sf_dir):
+    """TPC-H Q15 top supplier: per-supplier revenue over one quarter
+    (the reference's revenue view), keeping the supplier(s) matching
+    the global max — exact scaled integers make the max and the
+    equality deterministic.  The scalar max broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")))
+         .alias("total_revenue_scaled"))
+    mx = rev.agg(F.max("total_revenue_scaled").alias("mx"))
+    s_ = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (rev.crossJoin(F.broadcast(mx))
+            .where(F.col("total_revenue_scaled") == F.col("mx"))
+            .join(F.broadcast(s_), F.col("l_suppkey") == s_["s_suppkey"])
+            .select("s_suppkey", "s_name", "total_revenue_scaled"))
+
+
+def q_tpch_q16_suppcount(spark, sf_dir):
+    """TPC-H Q16 part/supplier relationship count: distinct suppliers
+    per (brand, type, size) over the synthetic partsupp, excluding
+    Brand#1, PROMO parts, sizes outside an 8-value IN list, and
+    'complaint' suppliers (negative account balance — the schema's
+    stand-in for the comment scan) via a broadcast anti join."""
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(3, 7, 11, 19, 23, 31, 37, 41)) \
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0) \
+        .select("s_suppkey")
+    j = (ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+         .join(F.broadcast(bad), ps["ps_suppkey"] == bad["s_suppkey"],
+               "left_anti"))
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+
+
+def q_tpch_q17_smallqty(spark, sf_dir):
+    """TPC-H Q17 small-quantity-order revenue: lineitems of Brand#3
+    small parts whose quantity is below 20% of the part's average —
+    the float avg is replaced by the exact integer cross-multiplication
+    qty × 5 × count < sum(qty) (quantities are integral doubles).  The
+    per-part stats aggregate joins back onto the filtered fact."""
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 10)) \
+        .select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    stats = li.groupBy(F.col("l_partkey").alias("sk")).agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("cnt"))
+    j = (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+         .join(F.broadcast(stats), li["l_partkey"] == stats["sk"])
+         .where(qty * 5 * F.col("cnt") < F.col("sum_qty")))
+    agg = j.agg(F.sum(_cents("l_extendedprice")).alias("total_cents"),
+                F.count(F.lit(1)).alias("n_items"))
+    return agg.select(
+        "total_cents", "n_items",
+        (F.col("total_cents").cast("double") / F.lit(700.0))
+        .alias("avg_yearly"))
+
+
+def q_tpch_q20_promotion(spark, sf_dir):
+    """TPC-H Q20 potential part promotion: NATION_2 suppliers holding
+    excess stock of 'blue'-prefixed parts — availqty strictly greater
+    than half of what they shipped of that part in 1996
+    (2 × availqty > shipped, exact integers; nothing-shipped parts
+    qualify).  Semi-join shaped: the qualifying (part, supplier) set
+    reduces to distinct suppliers before the dim join."""
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").startswith("blue")) \
+        .select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    shipped = li.groupBy(F.col("l_partkey").alias("pk"),
+                         F.col("l_suppkey").alias("sk")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+    j = (ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+         .join(shipped, (ps["ps_partkey"] == shipped["pk"])
+               & (ps["ps_suppkey"] == shipped["sk"]), "left")
+         .where(F.col("ps_availqty") * 2
+                > F.coalesce(F.col("sq"), F.lit(0))))
+    winners = j.select("ps_suppkey").distinct()
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
+    s_ = _t(spark, sf_dir, "supplier") \
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")) \
+        .select("s_suppkey", "s_name")
+    return winners.join(F.broadcast(s_),
+                        F.col("ps_suppkey") == s_["s_suppkey"]) \
+        .select("s_suppkey", "s_name")
+
+
+def q_tpch_q21_waiting(spark, sf_dir):
+    """TPC-H Q21 suppliers who kept orders waiting: on multi-supplier
+    'F' orders, the supplier whose lineitem was the ONLY late one
+    (late = shipped >60 days after the order date).  The correlated
+    EXISTS / NOT EXISTS pair decorrelates into one per-order aggregate:
+    distinct suppliers, distinct LATE suppliers, and the late supplier
+    id (well-defined exactly when the late-count is 1)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey",
+                                              "l_shipdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS")
+    per_order = j.groupBy("o_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey")))
+         .alias("n_late_supp"),
+        F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"))
+    lone = per_order.where((F.col("n_late_supp") == 1)
+                           & (F.col("n_supp") >= 2))
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_0")
+    s_ = _t(spark, sf_dir, "supplier") \
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")) \
+        .select("s_suppkey", "s_name")
+    return (lone.join(F.broadcast(s_),
+                      F.col("late_supp") == s_["s_suppkey"])
+            .groupBy("s_suppkey", "s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(100))
+
+
+def q_tpch_q22_opportunity(spark, sf_dir):
+    """TPC-H Q22 global sales opportunity: lapsed customers (no order
+    since 1999 — the synthetic corpus gives every customer early
+    orders, so 'never ordered' would be empty) in a 7-nation set whose
+    balance beats the set's positive average — the float AVG becomes
+    the exact cross-multiplication acctbal_cents × n_pos >
+    sum_pos_cents.  Anti join against the recent-order keys; the
+    two-scalar stats row broadcasts."""
+    cset = _t(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(0, 3, 5, 7, 11, 13, 17)) \
+        .select("c_custkey", "c_nationkey",
+                _cents("c_acctbal").alias("acct_cents"))
+    stats = cset.where(F.col("acct_cents") > 0).agg(
+        F.sum("acct_cents").alias("sum_pos"),
+        F.count(F.lit(1)).alias("n_pos"))
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")) \
+        .select("o_custkey")
+    rich = (cset.crossJoin(F.broadcast(stats))
+            .where(F.col("acct_cents") * F.col("n_pos")
+                   > F.col("sum_pos")))
+    never = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return never.groupBy(F.col("c_nationkey").alias("cntrycode")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("acct_cents").alias("totacctbal_cents"))
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): spherical-k-means clusters over the
     embedding column, within-cluster cosine near-dup search, min-id
@@ -1774,6 +2107,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q18": q_tpch_q18,
         "tpch_q19_disjunct": q_tpch_q19_disjunct,
+        "tpch_q2_mincost": q_tpch_q2_mincost,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11_stock": q_tpch_q11_stock,
+        "tpch_q12_shipmode": q_tpch_q12_shipmode,
+        "tpch_q15_topsupplier": q_tpch_q15_topsupplier,
+        "tpch_q16_suppcount": q_tpch_q16_suppcount,
+        "tpch_q17_smallqty": q_tpch_q17_smallqty,
+        "tpch_q20_promotion": q_tpch_q20_promotion,
+        "tpch_q21_waiting": q_tpch_q21_waiting,
+        "tpch_q22_opportunity": q_tpch_q22_opportunity,
         "bloom_decontaminate": q_bloom_decontaminate,
         "warc_extract": q_warc_extract,
         "wet_wat_roundtrip": q_wet_wat_roundtrip,
@@ -2966,6 +3310,220 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(SUM(rev) AS BIGINT) AS revenue_scaled,
                    CAST(COUNT(*) AS BIGINT) AS n_items
             FROM f""",
+        "tpch_q2_mincost": f"""
+            WITH {_PARTSUPP_CTE},
+            sn AS (
+              SELECT s_suppkey, s_name, n_name,
+                     CAST(FLOOR(s_acctbal*100 + 0.5) AS BIGINT)
+                         AS acctbal_cents
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'),
+            j AS (
+              SELECT ps_partkey, ps_supplycost_cents,
+                     acctbal_cents, s_name, n_name
+              FROM partsupp
+              JOIN part ON ps_partkey = p_partkey
+              JOIN sn   ON ps_suppkey = s_suppkey
+              WHERE p_size = 15 AND p_type = 'STANDARD'),
+            m AS (SELECT ps_partkey AS mk,
+                         MIN(ps_supplycost_cents) AS min_cost
+                  FROM j GROUP BY ps_partkey)
+            SELECT acctbal_cents, s_name, n_name, ps_partkey,
+                   ps_supplycost_cents
+            FROM j JOIN m ON ps_partkey = mk
+                         AND ps_supplycost_cents = min_cost
+            ORDER BY acctbal_cents DESC, n_name ASC, s_name ASC,
+                     ps_partkey ASC
+            LIMIT 100""",
+        "tpch_q8": """
+            WITH j AS (
+              SELECT YEAR(o_orderdate) AS o_year,
+                     CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                     * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))
+                         AS vol,
+                     sn.n_name AS supp_nation
+              FROM lineitem
+              JOIN part     ON l_partkey = p_partkey
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN region   ON cn.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+              WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate <  TIMESTAMP '1998-01-01')
+            SELECT CAST(o_year AS INTEGER) AS o_year,
+                   CAST(SUM(CASE WHEN supp_nation = 'NATION_6'
+                                 THEN vol ELSE 0 END) AS BIGINT)
+                       AS nation_scaled,
+                   CAST(SUM(vol) AS BIGINT) AS all_scaled,
+                   CAST(SUM(CASE WHEN supp_nation = 'NATION_6'
+                                 THEN vol ELSE 0 END) AS DOUBLE)
+                       / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+            FROM j GROUP BY o_year""",
+        "tpch_q9": f"""
+            WITH {_PARTSUPP_CTE}
+            SELECT n_name, CAST(YEAR(l_shipdate) AS INTEGER) AS o_year,
+                   CAST(SUM(
+                       CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                       * (100 - CAST(FLOOR(l_discount*100 + 0.5)
+                                     AS BIGINT))
+                       - ps_supplycost_cents
+                         * CAST(l_quantity AS BIGINT) * 100) AS BIGINT)
+                       AS profit_scaled,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN partsupp ON l_partkey = ps_partkey
+                         AND l_suppkey = ps_suppkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, YEAR(l_shipdate)""",
+        "tpch_q11_stock": f"""
+            WITH {_PARTSUPP_CTE},
+            j AS (
+              SELECT ps_partkey,
+                     ps_supplycost_cents * ps_availqty AS v
+              FROM partsupp
+              JOIN supplier ON ps_suppkey = s_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_3'),
+            pp AS (SELECT ps_partkey,
+                          CAST(SUM(v) AS BIGINT) AS value_scaled
+                   FROM j GROUP BY ps_partkey),
+            t AS (SELECT CAST(SUM(v) AS BIGINT) AS total_scaled FROM j)
+            SELECT ps_partkey, value_scaled
+            FROM pp, t WHERE value_scaled * 10000 > total_scaled""",
+        "tpch_q12_shipmode": """
+            WITH j AS (
+              SELECT ['MAIL', 'SHIP', 'RAIL'][(l_linenumber % 3) + 1]
+                         AS l_shipmode,
+                     o_orderpriority IN ('1-URGENT', '2-HIGH') AS h
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-01-01'
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+            SELECT l_shipmode,
+                   CAST(SUM(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN h THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM j GROUP BY l_shipmode""",
+        "tpch_q15_topsupplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(SUM(
+                         CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                         * (100 - CAST(FLOOR(l_discount*100 + 0.5)
+                                       AS BIGINT))) AS BIGINT)
+                         AS total_revenue_scaled
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue_scaled
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue_scaled =
+                  (SELECT MAX(total_revenue_scaled) FROM rev)""",
+        "tpch_q16_suppcount": f"""
+            WITH {_PARTSUPP_CTE}
+            SELECT p_brand, p_type, p_size,
+                   CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM partsupp JOIN part ON ps_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (3, 7, 11, 19, 23, 31, 37, 41)
+              AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                     WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size""",
+        "tpch_q17_smallqty": """
+            WITH stats AS (
+              SELECT l_partkey AS sk,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                         AS sum_qty,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM lineitem GROUP BY l_partkey),
+            f AS (
+              SELECT CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                         AS cents
+              FROM lineitem
+              JOIN part  ON l_partkey = p_partkey
+              JOIN stats ON l_partkey = sk
+              WHERE p_brand = 'Brand#3' AND p_size <= 10
+                AND CAST(l_quantity AS BIGINT) * 5 * cnt < sum_qty)
+            SELECT CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(cents) AS DOUBLE) / 700.0 AS avg_yearly
+            FROM f""",
+        "tpch_q20_promotion": f"""
+            WITH {_PARTSUPP_CTE},
+            shipped AS (
+              SELECT l_partkey AS pk, l_suppkey AS sk,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-01-01'
+              GROUP BY l_partkey, l_suppkey),
+            winners AS (
+              SELECT DISTINCT ps_suppkey
+              FROM partsupp
+              JOIN part ON ps_partkey = p_partkey
+              LEFT JOIN shipped ON ps_partkey = pk AND ps_suppkey = sk
+              WHERE p_name LIKE 'blue%'
+                AND ps_availqty * 2 > COALESCE(sq, 0))
+            SELECT s_suppkey, s_name
+            FROM winners
+            JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_2'""",
+        "tpch_q21_waiting": """
+            WITH j AS (
+              SELECT o_orderkey, l_suppkey,
+                     l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'),
+            per_order AS (
+              SELECT o_orderkey,
+                     COUNT(DISTINCT l_suppkey) AS n_supp,
+                     COUNT(DISTINCT CASE WHEN late THEN l_suppkey END)
+                         AS n_late_supp,
+                     MAX(CASE WHEN late THEN l_suppkey END) AS late_supp
+              FROM j GROUP BY o_orderkey)
+            SELECT s_suppkey, s_name,
+                   CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM per_order
+            JOIN supplier ON late_supp = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_late_supp = 1 AND n_supp >= 2
+              AND n_name = 'NATION_0'
+            GROUP BY s_suppkey, s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 100""",
+        "tpch_q22_opportunity": """
+            WITH cset AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)
+                         AS acct_cents
+              FROM customer
+              WHERE c_nationkey IN (0, 3, 5, 7, 11, 13, 17)),
+            stats AS (
+              SELECT CAST(SUM(acct_cents) AS BIGINT) AS sum_pos,
+                     CAST(COUNT(*) AS BIGINT) AS n_pos
+              FROM cset WHERE acct_cents > 0)
+            SELECT c_nationkey AS cntrycode,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(SUM(acct_cents) AS BIGINT) AS totacctbal_cents
+            FROM cset, stats
+            WHERE acct_cents * n_pos > sum_pos
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >=
+                                    TIMESTAMP '1999-01-01')
+            GROUP BY c_nationkey""",
         "semantic_dedup": _semantic_dedup_oracle(),
         "ann_recall_lsh": _ann_recall_oracle(),
         "join_agg_segment": """
