@@ -2058,24 +2058,24 @@ def q_anchor_text_stats(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order matters: the driver's CORRECTNESS gate records
-    exactly the first 50 entries.  Window layout (round 5): the 5
-    golden-parquet flagships and both ``*_stats`` binary-sink twins stay
-    pinned; then every query that has never had a driver row (the
-    round-4 flagship scale features: incremental minhash-index dedup,
-    IVF append, snapshot time travel; plus round 5's exact-substring
-    dedup pair, band-split ANN probe, KMV / count-min sketches, link
-    mining, integer PageRank, Gopher rules, histogram quantiles,
-    SemDeDup semantic dedup, the LSH recall self-measurement, and the
-    six new TPC-H legs Q4/Q7/Q10/Q13/Q18/Q19); then queries whose
-    NEWEST driver row is r1-r3 (text-analysis and most §2.2 relational
-    rows rotated out in r4) so evidence stays fresh; the remaining
-    slots keep this round's most load-bearing r4-green rows (the
-    dedup/bm25 code touched in round 5 plus the staple pipeline legs).
-    Eight trivially-stable §2.2 rows (r1-green filters/projections,
-    byte-identical since round 1) sit just past 50 to make room for
-    the new operators.  Everything past 50 is driver-green in a prior
-    round and remains covered by tests/test_oracle_parity.py, which
-    replicates the gate over the FULL registry."""
+    exactly the first 50 entries.  Window layout (round 5, final): the
+    5 golden-parquet flagships plus the searchable-PDF stats twin
+    (whose sink code changed this round — CJK text layer) stay pinned
+    = 6 slots; the other 44 slots hold EVERY query that has never had
+    a driver row — the round-4 scale features (incremental
+    minhash-index dedup, IVF append, snapshot time travel) and all of
+    round 5's additions: exact-substring dedup pair, band-split ANN
+    probe, KMV / count-min sketches, link mining, anchor-text stats,
+    integer PageRank, Gopher rules, histogram quantiles, SemDeDup,
+    both recall self-measurements, the full TPC-H completion
+    (Q2/Q4/Q7/Q8/Q9/Q10-Q13/Q15-Q22 — all 22 shapes now registered),
+    Bloom decontamination, the WARC/WET/WAT round-trips, the
+    crawl-policy family (robots, charset, sitemap, feeds, frontier,
+    ingest, html metadata), and the C4 line filter.  6 + 44 = 50
+    exactly; images_to_pdf_stats (r4-green, code untouched this
+    round) leads position 51.  Everything past 50 is driver-green in
+    a prior round and remains covered by tests/test_oracle_parity.py,
+    which replicates the gate over the FULL registry."""
     return {
         # -- pinned: golden-parquet flagships + binary-sink stats twins --
         "ocr_extract_text": q_ocr_extract_text,
@@ -2084,7 +2084,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_text": q_html_main_text,
         "payload_metadata": q_payload_metadata,
         "searchable_pdf_stats": q_searchable_pdf_stats,
-        "images_to_pdf_stats": q_images_to_pdf_stats,
         # -- never driver-checked: new in round 5 --
         "dedup_against_index": q_dedup_against_index,
         "ivf_append_probe": q_ivf_append_probe,
@@ -2130,6 +2129,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_metadata": q_html_metadata,
         "dedup_recall_lsh": q_dedup_recall_lsh,
         "c4_line_filter": q_c4_line_filter,
+        # ---- position 51+: driver-green in a prior round, pytest-parity
+        #      covered.  images_to_pdf_stats leads: r4-green, its code
+        #      path untouched in round 5, displaced from the pins by the
+        #      hard invariant that never-checked queries sit in-window
+        #      (round 5 added 44 of them); rotates back in r6. ----
+        "images_to_pdf_stats": q_images_to_pdf_stats,
         # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
         "winnow_fingerprints": q_winnow_fingerprints,
         "topk_cosine": q_topk_cosine,
