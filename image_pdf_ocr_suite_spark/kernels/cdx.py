@@ -91,3 +91,42 @@ def cdx_index(pages: DataFrame, url_col: str = "url",
         surt_key_expr(url_col).alias("surt"),
         F.date_format(ts_col, "yyyyMMddHHmmss").alias("ts"),
         cdx_line_expr(url_col, ts_col, body_col).alias("line"))
+
+
+def write_cdx_index(pages: DataFrame, path: str, n_shards: int = 16,
+                    url_col: str = "url", ts_col: str = "warc_ts",
+                    body_col: str = "html") -> None:
+    """Persist the classic CDX shard layout: rows range-partitioned on
+    the SURT key and sorted (surt, ts) within each shard, so one
+    parquet file holds one contiguous key range with tight min/max
+    statistics.  A domain lookup then reads the one or two shards whose
+    range overlaps the domain prefix — everything else prunes on
+    row-group stats (see ``cdx_lookup``)."""
+    (cdx_index(pages, url_col, ts_col, body_col)
+     .repartitionByRange(n_shards, "surt")
+     .sortWithinPartitions("surt", "ts")
+     .write.mode("overwrite").parquet(path))
+
+
+def surt_prefix_range(domain: str) -> tuple[str, str]:
+    """Half-open SURT key range covering one registered domain and all
+    its subdomains: ``example.com`` → ``['com,example', 'com,example-')``.
+    Every key of the domain continues the reversed-label prefix with
+    ``')'`` (0x29, exact host) or ``','`` (0x2C, subdomain); the upper
+    bound appends ``'-'`` (0x2D, the smallest character above both), so
+    the range admits exactly those keys — hostname labels are
+    ``[a-z0-9-]``, so a longer sibling label (``example2``,
+    ``example-x``) sorts at or above the bound and is excluded."""
+    rev = ",".join(reversed(domain.lower().lstrip(".").split(".")))
+    return rev, rev + "-"
+
+
+def cdx_lookup(spark, path: str, domain: str) -> DataFrame:
+    """All captures of ``domain`` (and subdomains) from a persisted CDX
+    layout — a key-range scan: both bounds reach the parquet reader as
+    PushedFilters, and the sorted range-partitioned layout turns them
+    into shard + row-group pruning (plan-asserted in test_cdx.py).  No
+    shuffle; output arrives (surt, ts)-sorted within each file."""
+    lo, hi = surt_prefix_range(domain)
+    return (spark.read.parquet(path)
+            .where((F.col("surt") >= lo) & (F.col("surt") < hi)))

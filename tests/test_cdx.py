@@ -66,6 +66,44 @@ def test_cdx_line_deterministic_and_parseable(spark):
         '"length"')
 
 
+def test_cdx_lookup_range_correct_and_pruned(spark, tmp_path):
+    # 40 hosts across 4 TLD-ish groups; example.com and its subdomains
+    # must come back complete, siblings (example2.com, example-x.com)
+    # must not leak into the range
+    rows = []
+    for i in range(40):
+        host = ["example.com", "a.example.com", "example2.com",
+                "example-x.com", "other.net"][i % 5]
+        rows.append((f"https://{host}/p{i}", "2026-01-01 00:00:00",
+                     bytearray(f"<p>{i}</p>".encode())))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, html binary") \
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    path = str(tmp_path / "cdx")
+    cdx.write_cdx_index(df, path, n_shards=8)
+
+    got = cdx.cdx_lookup(spark, path, "example.com")
+    keys = [r["surt"] for r in got.collect()]
+    assert len(keys) == 16                       # 8 exact + 8 subdomain
+    assert all(k.startswith("com,example)") or
+               k.startswith("com,example,") for k in keys)
+
+    # both range bounds reach the parquet scan as pushed filters
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(surt" in plan and "LessThan(surt" in plan
+
+
+def test_surt_prefix_range_bounds():
+    lo, hi = cdx.surt_prefix_range("Example.COM")
+    assert (lo, hi) == ("com,example", "com,example-")
+    assert lo <= "com,example)/x" < hi
+    assert lo <= "com,example,sub)/x" < hi
+    assert not (lo <= "com,example2)/x" < hi)
+    assert not (lo <= "com,example-x)/x" < hi)
+    assert not (lo <= "com,exampl)/x" < hi)
+
+
 def test_cdx_index_shape(spark):
     df = spark.createDataFrame(
         [("https://h/x", "2026-01-01 00:00:00", bytearray(b"<p>x</p>"))],
