@@ -1746,6 +1746,36 @@ def q_feed_entries(spark, sf_dir):
         F.substring_index("err", ":", 1).alias("err_kind"))
 
 
+def q_cdx_index(spark, sf_dir):
+    """CDX capture-index rows (kernels/cdx.py): SURT keys + CDXJ lines
+    over synthetic messy URLs (mixed-case scheme/host, www. prefix,
+    default port, unsorted query params, fragment) — the oracle states
+    the canonicalized key and the full index line closed-form, proving
+    the pure-Catalyst SURT transform cross-engine.  Range-pruned lookup
+    over the persisted layout is plan-asserted in test_cdx.py."""
+    from image_pdf_ocr_suite_spark.kernels import cdx as cdx_mod
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    n = i.cast("string")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Host"), (i % 37).cast("string"),
+        F.lit(".Example.com:443/Docs/"), n,
+        F.lit("?b="), (i % 3).cast("string"),
+        F.lit("&a="), (i % 5).cast("string"),
+        F.lit("#frag"))
+    ts = F.to_timestamp(F.concat(
+        F.lit("2026-03-01 00:00:"),
+        F.lpad((i % 60).cast("string"), 2, "0")))
+    pages = d.select(url.alias("url"), ts.alias("warc_ts"),
+                     F.encode(F.concat(F.lit("<p>"), F.col("text"),
+                                       F.lit("</p>")), "UTF-8")
+                      .alias("html"))
+    return cdx_mod.cdx_index(pages).withColumn(
+        "doc_id", F.regexp_extract("surt", r"/docs/(\d+)\?", 1)
+                   .cast("long"))
+
+
 def q_crawl_ingest(spark, sf_dir):
     """The crawl-ingestion composition (jobs/crawl_ingest_job.py):
     Catalyst-written WARC archives (every third document carries a
@@ -2133,8 +2163,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      covered.  images_to_pdf_stats leads: r4-green, its code
         #      path untouched in round 5, displaced from the pins by the
         #      hard invariant that never-checked queries sit in-window
-        #      (round 5 added 44 of them); rotates back in r6. ----
+        #      (round 5 added 44 of them); rotates back in r6.
+        #      cdx_index is round 5's one never-checked spillover (45
+        #      new queries, 44 slots): chosen because its core property
+        #      — SURT range pruning — is plan-pinned in test_cdx.py and
+        #      its value correctness is parity-covered; window-slotted
+        #      first in r6. ----
         "images_to_pdf_stats": q_images_to_pdf_stats,
+        "cdx_index": q_cdx_index,
         # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
         "winnow_fingerprints": q_winnow_fingerprints,
         "topk_cosine": q_topk_cosine,
@@ -3711,6 +3747,28 @@ def oracle_sql() -> dict[str, str]:
                    END AS charset_source,
                    FALSE AS had_replacement
             FROM documents""",
+        "cdx_index": """
+            WITH d AS (
+                SELECT doc_id,
+                       'HTTPS://WWW.Host' || (doc_id % 37)
+                           || '.Example.com:443/Docs/' || doc_id
+                           || '?b=' || (doc_id % 3)
+                           || '&a=' || (doc_id % 5) || '#frag' AS url,
+                       '<p>' || text || '</p>' AS body,
+                       'com,example,host' || (doc_id % 37)
+                           || ')/docs/' || doc_id
+                           || '?a=' || (doc_id % 5)
+                           || '&b=' || (doc_id % 3) AS surt,
+                       '202603010000'
+                           || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                           AS ts
+                FROM documents)
+            SELECT doc_id, surt, ts,
+                   surt || ' ' || ts || ' {"url":"' || url
+                        || '","digest":"' || md5(body)
+                        || '","length":' || CAST(strlen(body) AS VARCHAR)
+                        || '}' AS line
+            FROM d""",
         "feed_entries": """
             WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS n
                        FROM documents)
