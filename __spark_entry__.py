@@ -1575,6 +1575,41 @@ def q_wet_wat_roundtrip(spark, sf_dir):
                 .cast("long")).alias("n_links"))
 
 
+def q_warc_revisit(spark, sf_dir):
+    """WARC revisit resolution (tableio/warc.py): each document writes
+    a response record plus a later ``WARC-Type: revisit`` capture
+    (digest-only, zero-length body, identical-payload-digest profile)
+    into one archive; ``resolve_revisits`` re-attaches the referenced
+    body through the record-id join.  The oracle restates both rows per
+    document closed-form — equality proves the digest header, the
+    refers-to chain, and the body resolution."""
+    from image_pdf_ocr_suite_spark.tableio import warc
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.col("doc_id").cast("string")
+    docs = d.select(
+        "doc_id",
+        F.concat(F.lit("https://rv.example/"), n).alias("uri"),
+        F.lit("2026-01-01T00:00:00Z").alias("d1"),
+        F.lit("2026-06-01T00:00:00Z").alias("d2"),
+        F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")).alias("html"))
+    docs = docs.withColumn(
+        "resp_id", warc.response_record_id_expr("uri", "d1", "html"))
+    docs = docs.withColumn("digest", F.md5("html"))
+    blob = F.concat(
+        warc.warc_record_expr("uri", "d1", "html"),
+        warc.revisit_record_expr("uri", "d2", "digest", "resp_id"))
+    archives = docs.select(F.encode(blob, "UTF-8").alias("warc"))
+    out = warc.resolve_revisits(warc.parse_warc(archives, "warc"))
+    return out.where(F.col("err").isNull()).select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        "warc_type", "warc_date", "was_revisit", "payload_digest",
+        F.octet_length("body").alias("body_len"),
+        F.md5("body").alias("body_md5"),
+        "http_status")
+
+
 def q_robots_allowed(spark, sf_dir):
     """Crawl-policy probe (kernels/robots.py): deterministic per-doc
     robots.txt files (a '*' group with a Disallow/Allow pair + a
@@ -2164,13 +2199,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      path untouched in round 5, displaced from the pins by the
         #      hard invariant that never-checked queries sit in-window
         #      (round 5 added 44 of them); rotates back in r6.
-        #      cdx_index is round 5's one never-checked spillover (45
-        #      new queries, 44 slots): chosen because its core property
-        #      — SURT range pruning — is plan-pinned in test_cdx.py and
-        #      its value correctness is parity-covered; window-slotted
-        #      first in r6. ----
+        #      cdx_index and warc_revisit are round 5's two
+        #      never-checked spillovers (46 new queries, 44 slots):
+        #      cdx_index's core property — SURT range pruning — is
+        #      plan-pinned in test_cdx.py, warc_revisit's resolution
+        #      join is pinned in test_warc.py, and both are
+        #      parity-covered; window-slotted first in r6. ----
         "images_to_pdf_stats": q_images_to_pdf_stats,
         "cdx_index": q_cdx_index,
+        "warc_revisit": q_warc_revisit,
         # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
         "winnow_fingerprints": q_winnow_fingerprints,
         "topk_cosine": q_topk_cosine,
@@ -3747,6 +3784,23 @@ def oracle_sql() -> dict[str, str]:
                    END AS charset_source,
                    FALSE AS had_replacement
             FROM documents""",
+        "warc_revisit": """
+            WITH base AS (
+                SELECT doc_id, '<p>' || text || '</p>' AS html
+                FROM documents)
+            SELECT doc_id, 'response' AS warc_type,
+                   '2026-01-01T00:00:00Z' AS warc_date,
+                   FALSE AS was_revisit,
+                   CAST(NULL AS VARCHAR) AS payload_digest,
+                   CAST(strlen(html) AS INTEGER) AS body_len,
+                   md5(html) AS body_md5,
+                   200 AS http_status
+            FROM base
+            UNION ALL
+            SELECT doc_id, 'revisit', '2026-06-01T00:00:00Z', TRUE,
+                   'md5:' || md5(html),
+                   CAST(strlen(html) AS INTEGER), md5(html), 200
+            FROM base""",
         "cdx_index": """
             WITH d AS (
                 SELECT doc_id,

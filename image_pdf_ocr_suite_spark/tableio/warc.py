@@ -128,8 +128,35 @@ def wat_record_expr(uri_col, date_col, json_col, refers_to_col=None):
         uri_col, date_col, json_col, refers_to_col)
 
 
+def revisit_record_expr(uri_col, date_col, digest_col, refers_to_col):
+    """One ``WARC-Type: revisit`` record: the archive-side dedup form —
+    a recrawl whose payload digest matches a prior capture stores NO
+    body, only ``WARC-Payload-Digest`` (md5 hex here; production CC
+    uses sha1 base32 — same contract, different hash) plus
+    ``WARC-Refers-To`` naming the original record and the
+    identical-payload-digest profile.  ``resolve_revisits`` re-attaches
+    the referenced body on the read side."""
+    uri, date = F.col(uri_col), F.col(date_col)
+    digest = F.col(digest_col)
+    rid = F.concat(F.lit("urn:md5:"),
+                   F.md5(F.concat_ws("\x1f", F.lit("revisit"), uri, date,
+                                     digest)))
+    return F.concat(
+        F.lit("WARC/1.0" + _CRLF + "WARC-Type: revisit" + _CRLF
+              + "WARC-Record-ID: <"),
+        rid,
+        F.lit(">" + _CRLF + "WARC-Date: "), date,
+        F.lit(_CRLF + "WARC-Target-URI: "), uri,
+        F.lit(_CRLF + "WARC-Refers-To: <"), F.col(refers_to_col),
+        F.lit(">" + _CRLF + "WARC-Payload-Digest: md5:"), digest,
+        F.lit(_CRLF + "WARC-Profile: http://netpreserve.org/warc/1.0/"
+              "revisit/identical-payload-digest" + _CRLF
+              + "Content-Length: 0" + _CRLF + _CRLF + _CRLF + _CRLF))
+
+
 _PARSE_SCHEMA = ("record_id string, warc_type string, target_uri string, "
-                 "warc_date string, refers_to string, warc_content_type "
+                 "warc_date string, refers_to string, payload_digest "
+                 "string, warc_content_type "
                  "string, http_status int, http_content_type "
                  "string, body binary, err string")
 
@@ -144,6 +171,7 @@ def _parse_blob(blob: bytes):
         head_end = blob.find(b"\r\n\r\n", pos)
         if not blob.startswith(b"WARC/", pos) or head_end < 0:
             yield (None, None, None, None, None, None, None, None, None,
+                   None,
                    f"malformed record header at offset {pos}")
             return
         headers = {}
@@ -155,11 +183,13 @@ def _parse_blob(blob: bytes):
             clen = int(headers[b"content-length"])
         except (KeyError, ValueError):
             yield (None, None, None, None, None, None, None, None, None,
+                   None,
                    f"missing/invalid Content-Length at offset {pos}")
             return
         block = blob[head_end + 4:head_end + 4 + clen]
         if len(block) < clen:
             yield (None, None, None, None, None, None, None, None, None,
+                   None,
                    f"truncated record at offset {pos}")
             return
         pos = head_end + 4 + clen
@@ -173,6 +203,8 @@ def _parse_blob(blob: bytes):
         wdate = wdate.decode("ascii", "replace") if wdate is not None else None
         refers = headers.get(b"warc-refers-to", b"").strip(b"<>").decode(
             "utf-8", "replace") or None
+        pdigest = headers.get(b"warc-payload-digest", b"").decode(
+            "ascii", "replace") or None
         wctype = headers.get(b"content-type")
         wctype = (wctype.decode("utf-8", "replace")
                   if wctype is not None else None)
@@ -192,8 +224,8 @@ def _parse_blob(blob: bytes):
             body = block[hh_end + 4:] if hh_end + 4 <= len(block) else b""
         else:
             body = block
-        yield (rid, wtype, uri, wdate, refers, wctype, status, ctype, body,
-               None)
+        yield (rid, wtype, uri, wdate, refers, pdigest, wctype, status,
+               ctype, body, None)
 
 
 def parse_warc(df: DataFrame, warc_col: str = "warc",
@@ -201,7 +233,8 @@ def parse_warc(df: DataFrame, warc_col: str = "warc",
     """One row per WARC record found in the binary column ``warc_col``
     (each value may hold a whole multi-record archive).  Output columns:
     ``record_id, warc_type, target_uri, warc_date, refers_to,
-    warc_content_type, http_status, http_content_type, body, err``
+    payload_digest, warc_content_type, http_status, http_content_type,
+    body, err``
     plus any ``keep_cols`` carried through from the input row.
     ``http_*`` fields parse only for ``application/http`` blocks;
     derivative records (WET/WAT) surface their payload in ``body`` and
@@ -221,15 +254,57 @@ def parse_warc(df: DataFrame, warc_col: str = "warc",
             for row in zip(*(pdf[c] for c in cols)):
                 keep, blob = row[:-1], row[-1]
                 if blob is None:
-                    out.append(keep + (None,) * 9 + ("null archive",))
+                    out.append(keep + (None,) * 10 + ("null archive",))
                     continue
                 blob = bytes(blob)
                 for rec in _parse_blob(blob):
                     out.append(keep + rec)
             names = list(keep_cols) + [
                 "record_id", "warc_type", "target_uri", "warc_date",
-                "refers_to", "warc_content_type",
+                "refers_to", "payload_digest", "warc_content_type",
                 "http_status", "http_content_type", "body", "err"]
             yield pd.DataFrame(out, columns=names)
 
     return df.select(*cols).mapInPandas(kernel, schema=schema)
+
+
+def resolve_revisits(recs: DataFrame) -> DataFrame:
+    """Re-attach bodies to ``revisit`` records from the response record
+    each one references: the read-side half of the archive dedup
+    contract (``revisit_record_expr`` writes the storage-side half).
+
+    Output = input columns + ``was_revisit`` boolean; a revisit row
+    gets the referenced response's body/status/content-type, and a
+    revisit whose reference is missing from the batch surfaces as an
+    err row (quarantine contract) rather than a silent empty body.
+
+    Scale shape: only the revisit rows (a small fraction of a crawl)
+    join against the response records, keyed on the record id — one
+    keyed shuffle, bodies ride it once."""
+    is_revisit = F.coalesce(F.col("warc_type"), F.lit("")) == "revisit"
+    resp = (recs.where((F.col("warc_type") == "response")
+                       & F.col("err").isNull())
+            .select(F.col("record_id").alias("__rid"),
+                    F.col("body").alias("__body"),
+                    F.col("http_status").alias("__status"),
+                    F.col("http_content_type").alias("__ctype")))
+    others = recs.where(~is_revisit).withColumn(
+        "was_revisit", F.lit(False))
+    rev = recs.where(is_revisit)
+    cols = recs.columns
+    resolved = (rev.join(resp, rev["refers_to"] == resp["__rid"], "left")
+                .select(
+                    *[c for c in cols
+                      if c not in ("body", "http_status",
+                                   "http_content_type", "err")],
+                    F.col("__body").alias("body"),
+                    F.col("__status").alias("http_status"),
+                    F.col("__ctype").alias("http_content_type"),
+                    F.when(F.col("__rid").isNull(),
+                           F.concat(F.lit("revisit: unresolved reference "),
+                                    F.coalesce(F.col("refers_to"),
+                                               F.lit("<none>"))))
+                     .otherwise(F.col("err")).alias("err"))
+                .withColumn("was_revisit", F.lit(True)))
+    order = cols + ["was_revisit"]
+    return others.select(*order).unionByName(resolved.select(*order))

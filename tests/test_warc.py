@@ -115,6 +115,54 @@ def test_wet_wat_derivatives_roundtrip(spark):
     assert all(r["target_uri"] == "https://x/doc/7" for r in rows.values())
 
 
+def test_revisit_record_resolves_body(spark):
+    from pyspark.sql import functions as F
+    d = spark.createDataFrame(
+        [(1, "https://x/p", "2024-01-01T00:00:00Z",
+          "2024-06-01T00:00:00Z", "<p>same bytes</p>")],
+        "doc_id long, uri string, d1 string, d2 string, html string")
+    d = d.withColumn("resp_id",
+                     warc.response_record_id_expr("uri", "d1", "html"))
+    d = d.withColumn("digest", F.md5("html"))
+    blob = d.select(F.encode(F.concat(
+        warc.warc_record_expr("uri", "d1", "html"),
+        warc.revisit_record_expr("uri", "d2", "digest", "resp_id")),
+        "UTF-8").alias("warc"))
+    recs = warc.parse_warc(blob, "warc")
+    rows = {r["warc_type"]: r for r in recs.collect()}
+    rv = rows["revisit"]
+    assert rv["err"] is None
+    assert rv["body"] == bytearray(b"") or bytes(rv["body"]) == b""
+    assert rv["payload_digest"].startswith("md5:")
+    assert rv["refers_to"] == rows["response"]["record_id"]
+
+    out = {(r["warc_type"], r["warc_date"]): r
+           for r in warc.resolve_revisits(recs).collect()}
+    resolved = out[("revisit", "2024-06-01T00:00:00Z")]
+    assert resolved["was_revisit"] is True
+    assert bytes(resolved["body"]).decode() == "<p>same bytes</p>"
+    assert resolved["http_status"] == 200
+    assert resolved["err"] is None
+    original = out[("response", "2024-01-01T00:00:00Z")]
+    assert original["was_revisit"] is False
+    assert bytes(original["body"]).decode() == "<p>same bytes</p>"
+
+
+def test_unresolved_revisit_is_err_row_not_empty_body(spark):
+    from pyspark.sql import functions as F
+    d = spark.createDataFrame(
+        [(1, "https://x/p", "2024-06-01T00:00:00Z", "deadbeef" * 4,
+          "urn:md5:missing")],
+        "doc_id long, uri string, d2 string, digest string, ref string")
+    blob = d.select(F.encode(
+        warc.revisit_record_expr("uri", "d2", "digest", "ref"),
+        "UTF-8").alias("warc"))
+    out = warc.resolve_revisits(warc.parse_warc(blob, "warc")).collect()
+    assert len(out) == 1
+    assert out[0]["was_revisit"] is True
+    assert out[0]["err"].startswith("revisit: unresolved reference")
+
+
 def test_writer_expression_roundtrips(spark):
     from pyspark.sql import functions as F
     d = spark.createDataFrame(
