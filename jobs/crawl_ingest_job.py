@@ -61,7 +61,9 @@ def _page_text_kernel(batches) -> Iterator:
 
 
 def ingest_pages(archives: DataFrame, warc_col: str = "warc",
-                 keep_latest: bool = True) -> tuple[DataFrame, DataFrame]:
+                 keep_latest: bool = True,
+                 resolve_revisits: bool = False
+                 ) -> tuple[DataFrame, DataFrame]:
     """archives -> (pages, rejects).
 
     pages: ``(url, warc_ts, html, text, lang)`` — one row per usable
@@ -69,8 +71,22 @@ def ingest_pages(archives: DataFrame, warc_col: str = "warc",
     rejects: ``(url, reason)`` with url null for parse errors that
     precede a usable URI.  Non-response record types (request,
     metadata, warcinfo) are silently skipped — they are siblings of a
-    response, not failures of one."""
+    response, not failures of one.
+
+    ``resolve_revisits=True`` additionally ingests ``revisit`` records
+    (archive-side dedup: a recrawl stored digest-only) by re-attaching
+    the referenced response's body (tableio.warc.resolve_revisits);
+    an unresolvable revisit lands in rejects.  Off by default — the
+    resolution join costs a record-id shuffle that archives without
+    revisit records shouldn't pay."""
     recs = parse_warc(archives, warc_col=warc_col)
+    if resolve_revisits:
+        from image_pdf_ocr_suite_spark.tableio.warc import (
+            resolve_revisits as _resolve)
+        recs = _resolve(recs).withColumn(
+            "warc_type",
+            F.when(F.col("was_revisit") & F.col("err").isNull(),
+                   F.lit("response")).otherwise(F.col("warc_type")))
 
     parse_err = recs.where(F.col("err").isNotNull()).select(
         F.col("target_uri").alias("url"),
@@ -122,6 +138,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--keep-all-recrawls", action="store_true",
                     help="keep every crawl of a url instead of only the "
                          "latest warc_ts")
+    ap.add_argument("--resolve-revisits", action="store_true",
+                    help="ingest revisit records by re-attaching the "
+                         "referenced response body")
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args(argv)
 
@@ -129,7 +148,8 @@ def main(argv: list[str] | None = None) -> None:
     run_id = args.run_id or uuid.uuid4().hex[:12]
     pages, rejects = ingest_pages(
         spark.read.parquet(args.input_table),
-        keep_latest=not args.keep_all_recrawls)
+        keep_latest=not args.keep_all_recrawls,
+        resolve_revisits=args.resolve_revisits)
     SnapshotTable(f"{args.output_root}/pages").append(pages, run_id=run_id)
     SnapshotTable(f"{args.output_root}/rejects").append(rejects,
                                                         run_id=run_id)

@@ -103,3 +103,50 @@ def test_catalyst_writer_round_trips_through_ingest(spark):
     rows = {r["url"]: r["text"] for r in pages.collect()}
     assert len(rows) == 3
     assert "body words here for doc 1" in rows["https://w/1"]
+
+
+def _raw_revisit(uri, date, digest, refers_to):
+    head = (b"WARC/1.0\r\nWARC-Type: revisit"
+            + b"\r\nWARC-Record-ID: <urn:rv:" + uri.encode() + b">"
+            + b"\r\nWARC-Date: " + date.encode()
+            + b"\r\nWARC-Target-URI: " + uri.encode()
+            + b"\r\nWARC-Refers-To: <" + refers_to.encode() + b">"
+            + b"\r\nWARC-Payload-Digest: md5:" + digest.encode()
+            + b"\r\nContent-Length: 0")
+    return head + b"\r\n\r\n" + b"\r\n\r\n"
+
+
+def test_ingest_resolves_revisit_records(spark):
+    import hashlib
+    resp = _raw_record("https://r/x", "2026-01-01T00:00:00Z", HTML_EN)
+    rev = _raw_revisit("https://r/x", "2026-05-01T00:00:00Z",
+                       hashlib.md5(HTML_EN).hexdigest(),
+                       "urn:t:https://r/x")
+    archives = spark.createDataFrame([(resp + rev,)], "warc binary")
+
+    # without the flag: revisit skipped, the old response row survives
+    pages, _ = ingest_pages(archives)
+    rows = pages.collect()
+    assert len(rows) == 1
+    assert rows[0]["warc_ts"].month == 1
+
+    # with the flag: the revisit wins the latest-crawl window and
+    # carries the ORIGINAL body
+    pages, rejects = ingest_pages(archives, resolve_revisits=True)
+    rows = pages.collect()
+    assert len(rows) == 1
+    assert rows[0]["warc_ts"].month == 5
+    assert bytes(rows[0]["html"]) == HTML_EN
+    assert "plain english words" in rows[0]["text"]
+    assert any(r["reason"] == "superseded recrawl"
+               for r in rejects.collect())
+
+
+def test_ingest_unresolved_revisit_rejected(spark):
+    rev = _raw_revisit("https://r/y", "2026-05-01T00:00:00Z",
+                       "0" * 32, "urn:t:missing")
+    archives = spark.createDataFrame([(rev,)], "warc binary")
+    pages, rejects = ingest_pages(archives, resolve_revisits=True)
+    assert pages.count() == 0
+    reasons = [r["reason"] for r in rejects.collect()]
+    assert any("revisit: unresolved reference" in r for r in reasons)
