@@ -1811,17 +1811,13 @@ def q_cdx_index(spark, sf_dir):
                    .cast("long"))
 
 
-def q_crawl_ingest(spark, sf_dir):
-    """The crawl-ingestion composition (jobs/crawl_ingest_job.py):
-    Catalyst-written WARC archives (every third document carries a
-    superseded earlier crawl of the same url in the same blob) run the
-    full ingest — record walk, response/status filter, latest-crawl
-    window, charset decode + density strip, script lang-ID — into the
-    north-rule pages shape.  Bodies are single simple <p> blocks so the
-    stripped text is closed-form; the oracle states url/ts/text/lang/
-    octet-length directly."""
+def _crawl_archives_df(spark, sf_dir):
+    """Catalyst-written WARC archive blobs over the documents table —
+    the input relation for q_crawl_ingest (and, pre-materialized to
+    parquet, for the bench.py crawl_ingest leg and the ingest scaling
+    harness): every third document carries a superseded earlier crawl
+    of the same url in the same blob."""
     from image_pdf_ocr_suite_spark.tableio.warc import warc_record_expr
-    from jobs.crawl_ingest_job import ingest_pages
 
     d = _t(spark, sf_dir, "documents")
     n = F.col("doc_id").cast("string")
@@ -1840,8 +1836,21 @@ def q_crawl_ingest(spark, sf_dir):
     rec_old = warc_record_expr("uri", "dt_old", "body")
     blob = F.when(F.col("doc_id") % 3 == 0,
                   F.concat(rec_old, rec_new)).otherwise(rec_new)
-    archives = docs.select(F.encode(blob, "UTF-8").alias("warc"))
-    pages, _rejects = ingest_pages(archives)
+    return docs.select(F.encode(blob, "UTF-8").alias("warc"))
+
+
+def q_crawl_ingest(spark, sf_dir):
+    """The crawl-ingestion composition (jobs/crawl_ingest_job.py):
+    Catalyst-written WARC archives (every third document carries a
+    superseded earlier crawl of the same url in the same blob) run the
+    full ingest — record walk, response/status filter, latest-crawl
+    window, charset decode + density strip, script lang-ID — into the
+    north-rule pages shape.  Bodies are single simple <p> blocks so the
+    stripped text is closed-form; the oracle states url/ts/text/lang/
+    octet-length directly."""
+    from jobs.crawl_ingest_job import ingest_pages
+
+    pages, _rejects = ingest_pages(_crawl_archives_df(spark, sf_dir))
     return pages.select(
         "url", "warc_ts", "text", "lang",
         F.octet_length("html").alias("html_octets"))
@@ -2121,6 +2130,64 @@ def q_anchor_text_stats(spark, sf_dir):
     return graph.anchor_text_stats(links)
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality bucketing (Wenzek et al., LREC 2020;
+    analytics/lm.py): a bigram LM with exact integer counts over the
+    bounded ``doc_id % 5 == 0`` reference slice (one gram-keyed shuffle,
+    bounded collect → broadcast), a map-only Arrow scoring kernel over
+    the full corpus (add-one smoothed mean log-probability, quantized
+    ``floor(1e6·x)``), and head/middle/tail buckets from fixed tercile
+    cutoffs trained on the reference slice's own scores.  Scale: the LM
+    and cutoffs are bounded by the REFERENCE corpus choice (CCNet's is
+    Wikipedia) — they broadcast like the OCR model artifacts; scored
+    text never shuffles; bucketing is a constant-cutoff CASE, never a
+    global sort."""
+    from image_pdf_ocr_suite_spark.analytics import lm as lm_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    model = lm_mod.train_bigram_lm(docs)
+    cutoffs = lm_mod.train_bucket_cutoffs(docs, model)
+    return lm_mod.score_perplexity(docs, model, cutoffs)
+
+
+_BPE_TRAIN_CACHE: dict[str, list] = {}
+
+
+def _bpe_trained(spark, sf_dir, n_merges: int = 8):
+    if sf_dir not in _BPE_TRAIN_CACHE:
+        from image_pdf_ocr_suite_spark.analytics import bpe as bpe_mod
+        _BPE_TRAIN_CACHE[sf_dir] = bpe_mod.bpe_train(
+            _t(spark, sf_dir, "documents"), n_merges=n_merges)
+    return _BPE_TRAIN_CACHE[sf_dir]
+
+
+def q_bpe_merges(spark, sf_dir):
+    """BPE merge training (Sennrich et al. 2016; analytics/bpe.py): the
+    top-8 merges learned over the word-frequency vocabulary relation —
+    one corpus-sized shuffle (word_vocab), then per-round vocab-sized
+    pair counts with map-side partials and a TakeOrdered winner (count
+    DESC, pair ASC — Spark's binary UTF-8 order equals the replay's
+    code-point order).  The oracle replays the identical integer
+    algorithm single-process and pins the 8 rows."""
+    from image_pdf_ocr_suite_spark.analytics import bpe as bpe_mod
+
+    return bpe_mod.merge_table(spark, _bpe_trained(spark, sf_dir))
+
+
+def q_bpe_encode_stats(spark, sf_dir):
+    """Encoded-stream size under the learned BPE merges: map-only
+    greedy segmentation (broadcast merge list, per-batch word memo) +
+    one short-key aggregate per language.  ``n_docs`` is recomputed
+    independently in DuckDB; ``n_tokens_bpe`` is pinned from the
+    deterministic replay."""
+    from image_pdf_ocr_suite_spark.analytics import bpe as bpe_mod
+
+    merges = [(left, right)
+              for left, right, _c in _bpe_trained(spark, sf_dir)]
+    return bpe_mod.encode_token_stats(_t(spark, sf_dir, "documents"),
+                                      merges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order matters: the driver's CORRECTNESS gate records
     exactly the first 50 entries.  Window layout (round 5, final): the
@@ -2208,6 +2275,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_to_pdf_stats": q_images_to_pdf_stats,
         "cdx_index": q_cdx_index,
         "warc_revisit": q_warc_revisit,
+        # -- round-5e additions (post window-freeze): replay-pinned
+        #    oracles + dedicated pytests (test_lm, test_bpe) cover them
+        #    via the full-registry parity replica; window-slotted in r6
+        #    alongside cdx_index/warc_revisit. --
+        "lm_perplexity": q_lm_perplexity,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode_stats": q_bpe_encode_stats,
         # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
         "winnow_fingerprints": q_winnow_fingerprints,
         "topk_cosine": q_topk_cosine,
@@ -2762,6 +2836,115 @@ _PII_ORACLE_CTE = """
         FROM documents)"""
 
 
+def _sql_str(s: str) -> str:
+    """SQL single-quoted string literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+_LM_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _lm_perplexity_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB side of q_lm_perplexity at the driver's sf0.01 gate.
+
+    ``n_bigrams`` (and the 'short' bucket arm) is recomputed in DuckDB
+    from the shared single-space token contract — an independent
+    cross-engine check of the tokenization; the quantized scores and
+    tercile cutoffs are pinned from ``lm.replay_scores``, which runs the
+    IDENTICAL integer counts and the IDENTICAL left-to-right libm loop
+    the Spark kernel runs (same CPython on driver and workers → bit-equal
+    doubles → exact floor-scaled ints).  The IVF retrain-and-pin oracle
+    pattern, extended from trained constants to per-document outputs."""
+    import duckdb
+
+    from image_pdf_ocr_suite_spark.analytics import lm as lm_mod
+
+    if sf_dir in _LM_ORACLE_CACHE:
+        return _LM_ORACLE_CACHE[sf_dir]
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        f"ORDER BY doc_id").fetchall()
+    scores, (c_head, c_mid) = lm_mod.replay_scores(rows)
+    vals = ",\n                ".join(
+        f"({int(i)}, {q})" for i, (_n, q) in sorted(scores.items()))
+    sql = f"""
+        WITH pin(doc_id, logprob_q) AS (VALUES
+                {vals}),
+        tk AS (SELECT doc_id,
+                      len(list_filter(string_split(COALESCE(text, ''), ' '),
+                                      x -> x <> '')) AS nt
+               FROM documents)
+        SELECT t.doc_id,
+               CAST(CASE WHEN nt >= 2 THEN nt - 1 ELSE 0 END AS BIGINT)
+                   AS n_bigrams,
+               CAST(p.logprob_q AS BIGINT) AS logprob_q,
+               CASE WHEN nt < 2 THEN 'short'
+                    WHEN p.logprob_q >= {c_head} THEN 'head'
+                    WHEN p.logprob_q >= {c_mid} THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM tk t JOIN pin p ON p.doc_id = t.doc_id"""
+    _LM_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
+_BPE_REPLAY_CACHE: dict[str, tuple] = {}
+
+
+def _bpe_replay(sf_dir: str = "/root/testdata/sf0.01", n_merges: int = 8):
+    """(texts-with-lang, trained merges) replayed single-process from
+    the same parquet — cached per sf_dir (both BPE oracles share it)."""
+    import duckdb
+
+    from image_pdf_ocr_suite_spark.analytics import bpe as bpe_mod
+
+    if sf_dir not in _BPE_REPLAY_CACHE:
+        rows = duckdb.sql(
+            f"SELECT lang, text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        trained = bpe_mod.replay_merges(
+            bpe_mod.replay_word_freq([t for _g, t in rows]), n_merges)
+        _BPE_REPLAY_CACHE[sf_dir] = (rows, trained)
+    return _BPE_REPLAY_CACHE[sf_dir]
+
+
+def _bpe_merges_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """q_bpe_merges oracle: the 8 merges replayed single-process from
+    the same parquet (exact integer pair counts, identical count-DESC/
+    pair-ASC tie-break — Spark's binary UTF-8 ordering equals Python's
+    code-point ordering), pinned as literals."""
+    _rows, trained = _bpe_replay(sf_dir)
+    vals = ",\n                ".join(
+        f"({i + 1}, {_sql_str(left)}, {_sql_str(right)}, {c})"
+        for i, (left, right, c) in enumerate(trained))
+    return f"""
+        SELECT CAST(rnk AS INTEGER) AS "rank", "left", "right",
+               CAST(pair_count AS BIGINT) AS pair_count
+        FROM (VALUES
+                {vals}) AS t(rnk, "left", "right", pair_count)"""
+
+
+def _bpe_encode_stats_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """q_bpe_encode_stats oracle: per-language ``n_docs`` recomputed in
+    DuckDB (independent); ``n_tokens_bpe`` pinned from the deterministic
+    replay of the same greedy rank-order segmenter under the replayed
+    merge list."""
+    from image_pdf_ocr_suite_spark.analytics import bpe as bpe_mod
+
+    rows, trained = _bpe_replay(sf_dir)
+    merges = [(left, right) for left, right, _c in trained]
+    stats = bpe_mod.replay_encode_stats(rows, merges)
+    vals = ",\n                ".join(
+        f"({_sql_str(g)}, {n})"
+        for g, (_d, n) in sorted(stats.items()))
+    return f"""
+        WITH pin(lang, n_tokens_bpe) AS (VALUES
+                {vals}),
+        d AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY lang)
+        SELECT d.lang, d.n_docs, CAST(p.n_tokens_bpe AS BIGINT) AS n_tokens_bpe
+        FROM d JOIN pin p ON p.lang = d.lang"""
+
+
 def oracle_sql() -> dict[str, str]:
     from image_pdf_ocr_suite_spark.unicode_ws import RUNS_PATTERN, STRIP_PATTERN
     # the \x{...} class is valid in BOTH Java (Spark) and RE2 (DuckDB) —
@@ -3046,6 +3229,12 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_time_travel": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id % 3 <> 2""",
+        # round-5e replay-pinned oracles: tokenization / n_docs arms
+        # recomputed in DuckDB, trained artifacts + float scores pinned
+        # from the deterministic single-process replays
+        "lm_perplexity": _lm_perplexity_oracle(),
+        "bpe_merges": _bpe_merges_oracle(),
+        "bpe_encode_stats": _bpe_encode_stats_oracle(),
         "ann_lsh_topk": _ann_lsh_topk_oracle(),
         # same planes/sketch/rerank served from the partitioned layouts —
         # identical result sets by construction (banded: pigeonhole at
