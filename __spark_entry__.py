@@ -2188,6 +2188,26 @@ def q_bpe_encode_stats(spark, sf_dir):
                                       merges)
 
 
+def q_quality_classifier(spark, sf_dir):
+    """GPT-3/LLaMA-style trained CC quality filter
+    (analytics/classifier.py): full-batch logistic regression over
+    hashed bag-of-words (md5 slot mod 4096, tf/n features + bias),
+    positive = the curated ``doc_id % 5 == 0`` reference slice.  The
+    determinism device is integer-quantized gradient aggregation —
+    per-task int64 accumulators (floor(2^24·g)) summed exactly by
+    Spark, dequantized once per epoch on the driver — so the trained
+    weights are BIT-identical to the single-process replay and the
+    oracle can pin the scores.  Scoring is map-only (broadcast weights,
+    per-doc sigmoid(w·x) quantized to floor(1e6·p)).  Scale: per epoch
+    the shuffle carries n_partitions × 4097 int64s; text never
+    shuffles; epochs bounded at 5."""
+    from image_pdf_ocr_suite_spark.analytics import classifier as clf_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    w = clf_mod.train_classifier(docs)
+    return clf_mod.score_documents(docs, w)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order matters: the driver's CORRECTNESS gate records
     exactly the first 50 entries.  Window layout (round 5, final): the
@@ -2282,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "bpe_merges": q_bpe_merges,
         "bpe_encode_stats": q_bpe_encode_stats,
+        "quality_classifier": q_quality_classifier,
         # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
         "winnow_fingerprints": q_winnow_fingerprints,
         "topk_cosine": q_topk_cosine,
@@ -2907,6 +2928,49 @@ def _bpe_replay(sf_dir: str = "/root/testdata/sf0.01", n_merges: int = 8):
     return _BPE_REPLAY_CACHE[sf_dir]
 
 
+_CLF_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _quality_classifier_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """q_quality_classifier oracle: ``n_tokens`` (token contract),
+    ``label`` (the %5 slice rule) and ``predicted`` (the 500000
+    threshold over the pinned score) are recomputed in DuckDB;
+    ``score_q`` is pinned from the bit-exact replay (integer-quantized
+    gradient sums are order-free, every float op happens at a
+    deterministic site shared verbatim with the kernels)."""
+    import duckdb
+
+    from image_pdf_ocr_suite_spark.analytics import classifier as clf_mod
+
+    if sf_dir in _CLF_ORACLE_CACHE:
+        return _CLF_ORACLE_CACHE[sf_dir]
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        f"ORDER BY doc_id").fetchall()
+    w = clf_mod.replay_train(rows)
+    scores = clf_mod.replay_scores(rows, w)
+    vals = ",\n                ".join(
+        f"({int(i)}, {q})" for i, (_n, q, _y, _p) in sorted(scores.items()))
+    sql = f"""
+        WITH pin(doc_id, score_q) AS (VALUES
+                {vals}),
+        tk AS (SELECT doc_id,
+                      CAST(len(list_filter(string_split(COALESCE(text, ''),
+                                                        ' '),
+                                           x -> x <> '')) AS BIGINT)
+                          AS n_tokens
+               FROM documents)
+        SELECT t.doc_id, t.n_tokens,
+               CAST(p.score_q AS BIGINT) AS score_q,
+               CAST(CASE WHEN t.doc_id % 5 = 0 THEN 1 ELSE 0 END
+                    AS INTEGER) AS label,
+               CAST(CASE WHEN p.score_q >= 500000 THEN 1 ELSE 0 END
+                    AS INTEGER) AS predicted
+        FROM tk t JOIN pin p ON p.doc_id = t.doc_id"""
+    _CLF_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
 def _bpe_merges_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """q_bpe_merges oracle: the 8 merges replayed single-process from
     the same parquet (exact integer pair counts, identical count-DESC/
@@ -3235,6 +3299,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": _lm_perplexity_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
         "bpe_encode_stats": _bpe_encode_stats_oracle(),
+        "quality_classifier": _quality_classifier_oracle(),
         "ann_lsh_topk": _ann_lsh_topk_oracle(),
         # same planes/sketch/rerank served from the partitioned layouts —
         # identical result sets by construction (banded: pigeonhole at

@@ -260,6 +260,16 @@ def main() -> None:
     queries["bpe_train"] = time_query(
         lambda: bpe_mod.bpe_train(docs, n_merges=8), "bpe_train")
 
+    # round-5e leg: trained quality classifier (5 full-batch epochs of
+    # hashed-BoW logistic regression with integer-quantized gradient
+    # aggregation, then map-only scoring) — times train + score
+    from image_pdf_ocr_suite_spark.analytics import classifier as clf_mod
+
+    def run_clf():
+        w = clf_mod.train_classifier(docs)
+        _force(clf_mod.score_documents(docs, w))
+    queries["quality_classifier"] = time_query(run_clf, "quality_classifier")
+
     docs_per_sec = round(n_docs / queries["ocr_extract"], 2)
     print(json.dumps({
         "metric": "extract_docs_per_sec",

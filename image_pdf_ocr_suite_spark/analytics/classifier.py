@@ -1,0 +1,216 @@
+"""Trained document-quality classifier (the GPT-3 / LLaMA CC-filter op).
+
+GPT-3 (Brown et al. 2020, app. A) and LLaMA filter Common Crawl with a
+linear classifier trained to separate curated reference text from raw
+crawl text, then keep documents stochastically by score.  This module
+reproduces that pipeline Spark-first with an EXACTLY reproducible
+training loop:
+
+- Features: hashed bag-of-words (md5 of the token mod ``dim``,
+  stable cross-run/cross-engine), term frequencies normalized by token
+  count, plus a constant bias slot — every document maps to a bounded
+  dense float64 vector built in one Arrow kernel pass.
+- Training: full-batch logistic regression, ``epochs`` rounds of
+  gradient descent.  The ONE place distributed float math would break
+  determinism — summing per-document gradients across an arbitrary
+  partitioning — is replaced by integer-quantized aggregation: each
+  task accumulates ``floor(g_j * 2^24)`` per feature into an int64
+  vector (exact, order-free), Spark sums the per-batch vectors
+  (posexplode → one 4096-row aggregate per epoch), and the driver
+  dequantizes once per epoch for the float weight update.  Gradient
+  quantization is a standard distributed-training device; here it also
+  makes the trained weights BIT-IDENTICAL to the single-process replay
+  (``replay_train``), which is what lets the driver oracle pin scores.
+- Scoring: map-only kernel, per-document ``sigmoid(w·x)`` with the dot
+  product evaluated per document (same ``np.dot`` call shape in kernel
+  and replay), quantized to ``floor(1e6·p)`` ints.
+- Labels: positive = the curated reference slice
+  (``doc_id % ref_mod == 0`` — the same convention the CCNet-style LM
+  uses); production swaps in any curated-vs-crawl labeling.
+
+Scale: the weight vector (``dim+1`` float64) broadcasts; each epoch
+shuffles only ``n_partitions × (dim+1)`` int64s (map-side combined by
+construction); scoring never shuffles.  Epochs are bounded (default 5,
+well under the CLAUDE.md iterative-round budget).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DIM = 4096
+GRAD_SCALE = 1 << 24
+SCORE_SCALE = 1_000_000
+
+
+def _np():
+    import numpy as np
+    return np
+
+
+def _feature_index(word: str, dim: int = DIM) -> int:
+    """Stable hashed-BoW slot: md5 low 8 bytes mod dim."""
+    d = hashlib.md5(word.encode("utf-8")).digest()
+    return int.from_bytes(d[8:], "big") % dim
+
+
+def _doc_vector(text: object, dim: int = DIM):
+    """Dense float64 feature vector: tf/n per hashed slot + bias 1.0 at
+    slot ``dim``.  Single shared spelling for kernel and replay."""
+    np = _np()
+    x = np.zeros(dim + 1, dtype=np.float64)
+    x[dim] = 1.0
+    if isinstance(text, str):
+        toks = [t for t in text.split(" ") if t]
+        if toks:
+            inv = 1.0 / len(toks)
+            for w in toks:
+                x[_feature_index(w, dim)] += inv
+    return x
+
+
+def _sigmoid(z: float) -> float:
+    # branch on sign for overflow safety — same spelling both sides
+    if z >= 0.0:
+        return 1.0 / (1.0 + math.exp(-z))
+    e = math.exp(z)
+    return e / (1.0 + e)
+
+
+def _grad_quantized(text: object, label: int, w, dim: int = DIM):
+    """floor(2^24 · (sigmoid(w·x) − y) · x) as an int64 vector — the
+    per-document gradient contribution, quantized so cross-partition
+    summation is exact integer math."""
+    np = _np()
+    x = _doc_vector(text, dim)
+    p = _sigmoid(float(np.dot(w, x)))
+    g = (p - float(label)) * x
+    return np.floor(g * GRAD_SCALE).astype(np.int64)
+
+
+def train_classifier(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", ref_mod: int = 5,
+                     dim: int = DIM, epochs: int = 5,
+                     lr: float = 1.0):
+    """Full-batch logistic regression; returns the float64 weight
+    vector (length ``dim+1``).  Per epoch: broadcast w → per-batch
+    int64 gradient accumulators (one row per Arrow batch) → posexplode
+    + one (dim+1)-row integer aggregate → driver dequantize + update.
+    Exact: integer sums are order-free, every float op happens at a
+    deterministic site (per-document kernel math, driver update)."""
+    import pandas as pd
+
+    np = _np()
+    spark = docs.sparkSession
+    src = docs.select(F.col(id_col).alias("__id"),
+                      F.col(text_col).alias("__text"))
+    n_docs = src.count()
+    if n_docs == 0:
+        raise ValueError("empty training input")
+    w = np.zeros(dim + 1, dtype=np.float64)
+    for _ in range(epochs):
+        b_w = spark.sparkContext.broadcast(w.tobytes())
+
+        def kernel(batches, _bw=b_w):
+            wv = np.frombuffer(_bw.value, dtype=np.float64)
+            for pdf in batches:
+                acc = np.zeros(dim + 1, dtype=np.int64)
+                for i, t in zip(pdf["__id"], pdf["__text"]):
+                    y = 1 if (i is not None and int(i) % ref_mod == 0) else 0
+                    acc += _grad_quantized(t, y, wv, dim)
+                yield pd.DataFrame({"g": [acc.tolist()]})
+
+        parts = src.mapInPandas(kernel, schema="g array<bigint>")
+        summed = (parts.select(F.posexplode("g").alias("j", "v"))
+                       .groupBy("j").agg(F.sum("v").alias("s"))
+                       .collect())
+        g_int = np.zeros(dim + 1, dtype=np.int64)
+        for r in summed:
+            g_int[r["j"]] = r["s"]
+        w = w - lr * (g_int.astype(np.float64) / GRAD_SCALE / n_docs)
+    return w
+
+
+def score_documents(docs: DataFrame, w, text_col: str = "text",
+                    id_col: str = "doc_id", ref_mod: int = 5,
+                    dim: int = DIM) -> DataFrame:
+    """Map-only scoring: (id, n_tokens, score_q, label, predicted).
+
+    ``score_q = floor(1e6 · sigmoid(w·x))``; ``predicted`` is the 0.5
+    threshold (score_q >= 500000).  ``n_tokens`` and ``label`` are
+    SQL-recomputable; ``score_q`` is the replay-pinned artifact."""
+    import pandas as pd
+
+    np = _np()
+    spark = docs.sparkSession
+    b_w = spark.sparkContext.broadcast(np.asarray(w, dtype=np.float64)
+                                       .tobytes())
+    id_type = docs.schema[id_col].dataType.simpleString()
+    src = docs.select(id_col, text_col)
+
+    def kernel(batches):
+        wv = np.frombuffer(b_w.value, dtype=np.float64)
+        for pdf in batches:
+            ids, nts, qs, ys, preds = [], [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                n = len([x for x in t.split(" ") if x]) \
+                    if isinstance(t, str) else 0
+                x = _doc_vector(t, dim)
+                p = _sigmoid(float(np.dot(wv, x)))
+                q = math.floor(p * SCORE_SCALE)
+                ids.append(i)
+                nts.append(n)
+                qs.append(q)
+                ys.append(1 if (i is not None and int(i) % ref_mod == 0)
+                          else 0)
+                preds.append(1 if q >= SCORE_SCALE // 2 else 0)
+            yield pd.DataFrame({id_col: ids, "n_tokens": nts,
+                                "score_q": qs, "label": ys,
+                                "predicted": preds})
+
+    return src.mapInPandas(
+        kernel,
+        schema=(f"{id_col} {id_type}, n_tokens bigint, score_q bigint, "
+                f"label int, predicted int"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic single-process replay (oracle pinning + pytest reference)
+# ---------------------------------------------------------------------------
+
+def replay_train(rows: list[tuple[object, str]], ref_mod: int = 5,
+                 dim: int = DIM, epochs: int = 5, lr: float = 1.0):
+    """Single-process twin of ``train_classifier``: identical per-doc
+    float math, identical integer gradient sums (order-free), identical
+    driver update — bit-equal weights."""
+    np = _np()
+    n_docs = len(rows)
+    if n_docs == 0:
+        raise ValueError("empty training input")
+    w = np.zeros(dim + 1, dtype=np.float64)
+    for _ in range(epochs):
+        g_int = np.zeros(dim + 1, dtype=np.int64)
+        for i, t in rows:
+            y = 1 if (i is not None and int(i) % ref_mod == 0) else 0
+            g_int += _grad_quantized(t, y, w, dim)
+        w = w - lr * (g_int.astype(np.float64) / GRAD_SCALE / n_docs)
+    return w
+
+
+def replay_scores(rows: list[tuple[object, str]], w, ref_mod: int = 5,
+                  dim: int = DIM) -> dict[object, tuple[int, int, int, int]]:
+    """{id: (n_tokens, score_q, label, predicted)} under weights ``w``."""
+    np = _np()
+    wv = np.asarray(w, dtype=np.float64)
+    out = {}
+    for i, t in rows:
+        n = len([x for x in t.split(" ") if x]) if isinstance(t, str) else 0
+        p = _sigmoid(float(np.dot(wv, _doc_vector(t, dim))))
+        q = math.floor(p * SCORE_SCALE)
+        y = 1 if (i is not None and int(i) % ref_mod == 0) else 0
+        out[i] = (n, q, y, 1 if q >= SCORE_SCALE // 2 else 0)
+    return out
