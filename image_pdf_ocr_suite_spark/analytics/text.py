@@ -80,32 +80,42 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
                      pred.alias("pred_lang"))
 
 
+def classify_script(texts) -> list:
+    """The script-classifier core over an iterable of strings (None/""
+    -> "unknown") — the single definition shared by ``script_lang_udf``
+    and kernels that fuse lang-ID into an existing Arrow stage (e.g.
+    jobs/crawl_ingest_job's decode+strip kernel, which fuses it to
+    avoid a second Python crossing per page)."""
+    import numpy as np
+
+    out = []
+    for t in texts:
+        if not t:
+            out.append("unknown")
+            continue
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype="<u4")
+        n = len(cp)
+        kana = (((cp >= 0x3040) & (cp <= 0x30FF)) | ((cp >= 0xFF66) & (cp <= 0xFF9D))).sum()
+        cjk = ((cp >= 0x4E00) & (cp <= 0x9FFF)).sum()
+        hangul = (((cp >= 0xAC00) & (cp <= 0xD7AF)) | ((cp >= 0x1100) & (cp <= 0x11FF))).sum()
+        cyr = ((cp >= 0x0400) & (cp <= 0x04FF)).sum()
+        latin = (((cp >= 0x41) & (cp <= 0x5A)) | ((cp >= 0x61) & (cp <= 0x7A))).sum()
+        scores = {"ja": kana + 0.5 * cjk, "zh": cjk * (0.9 if kana == 0 else 0.0),
+                  "ko": hangul, "ru": cyr, "en": latin * 0.5}
+        best, val = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
+        out.append(best if val >= max(1.0, 0.05 * n) else "unknown")
+    return out
+
+
 def script_lang_udf():
     """The script-classifier as a reusable pandas_udf column expression
     (so composed jobs can ``withColumn`` it without a join that would
     recompute an upstream kernel branch).  See ``lang_id_script``."""
-    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     def _classify(texts):
-        out = []
-        for t in texts:
-            if not t:
-                out.append("unknown")
-                continue
-            cp = np.frombuffer(t.encode("utf-32-le"), dtype="<u4")
-            n = len(cp)
-            kana = (((cp >= 0x3040) & (cp <= 0x30FF)) | ((cp >= 0xFF66) & (cp <= 0xFF9D))).sum()
-            cjk = ((cp >= 0x4E00) & (cp <= 0x9FFF)).sum()
-            hangul = (((cp >= 0xAC00) & (cp <= 0xD7AF)) | ((cp >= 0x1100) & (cp <= 0x11FF))).sum()
-            cyr = ((cp >= 0x0400) & (cp <= 0x04FF)).sum()
-            latin = (((cp >= 0x41) & (cp <= 0x5A)) | ((cp >= 0x61) & (cp <= 0x7A))).sum()
-            scores = {"ja": kana + 0.5 * cjk, "zh": cjk * (0.9 if kana == 0 else 0.0),
-                      "ko": hangul, "ru": cyr, "en": latin * 0.5}
-            best, val = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
-            out.append(best if val >= max(1.0, 0.05 * n) else "unknown")
-        return pd.Series(out)
+        return pd.Series(classify_script(texts))
 
     _classify.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     return pandas_udf(_classify, "string")

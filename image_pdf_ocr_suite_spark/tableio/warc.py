@@ -228,6 +228,92 @@ def _parse_blob(blob: bytes):
                ctype, body, None)
 
 
+_HEADER_SCHEMA = ("record_id string, warc_type string, target_uri string, "
+                  "warc_date string, http_status int, err string")
+
+
+def _walk_headers(blob: bytes):
+    """Envelope-only record walk: the same traversal as ``_parse_blob``
+    but bodies are SKIPPED via Content-Length (never sliced, decoded, or
+    copied) and only the fields the latest-crawl resolution needs are
+    parsed.  The err taxonomy on malformed/truncated input is identical
+    to the full parser's so both passes agree on which records exist."""
+    pos, n = 0, len(blob)
+    while pos < n:
+        if blob[pos:pos + 2] == b"\r\n":          # inter-record slack
+            pos += 2
+            continue
+        head_end = blob.find(b"\r\n\r\n", pos)
+        if not blob.startswith(b"WARC/", pos) or head_end < 0:
+            yield (None, None, None, None, None,
+                   f"malformed record header at offset {pos}")
+            return
+        rid = wtype = uri = wdate = None
+        clen = -1
+        is_http = False
+        for ln in blob[pos:head_end].split(b"\r\n")[1:]:
+            k, _, v = ln.partition(b":")
+            k = k.strip().lower()
+            if k == b"content-length":
+                try:
+                    clen = int(v.strip())
+                except ValueError:
+                    clen = -1
+            elif k == b"warc-record-id":
+                rid = v.strip().strip(b"<>").decode("utf-8",
+                                                    "replace") or None
+            elif k == b"warc-type":
+                wtype = v.strip().decode("utf-8", "replace") or None
+            elif k == b"warc-target-uri":
+                uri = v.strip().decode("utf-8", "replace")
+            elif k == b"warc-date":
+                wdate = v.strip().decode("ascii", "replace")
+            elif k == b"content-type":
+                is_http = v.strip().startswith(b"application/http")
+        if clen < 0:
+            yield (None, None, None, None, None,
+                   f"missing/invalid Content-Length at offset {pos}")
+            return
+        body_start = head_end + 4
+        if body_start + clen > n:
+            yield (None, None, None, None, None,
+                   f"truncated record at offset {pos}")
+            return
+        status = None
+        if is_http and blob[body_start:body_start + 5] == b"HTTP/":
+            line_end = blob.find(b"\r\n", body_start,
+                                 body_start + min(clen, 256))
+            line_end = line_end if line_end >= 0 else body_start + clen
+            parts = blob[body_start:line_end].split(b" ", 2)
+            if len(parts) >= 2 and parts[1].isdigit():
+                status = int(parts[1])
+        pos = body_start + clen
+        yield (rid, wtype, uri, wdate, status, None)
+
+
+def parse_warc_headers(df: DataFrame, warc_col: str = "warc") -> DataFrame:
+    """Narrow twin of ``parse_warc``: one row per record with ONLY the
+    envelope fields ``record_id, warc_type, target_uri, warc_date,
+    http_status, err`` — bodies are length-skipped, never materialized.
+    This is the cheap first pass that lets latest-crawl resolution
+    shuffle keys instead of page bodies (jobs/crawl_ingest_job)."""
+    import pandas as pd
+
+    def kernel(batches) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for blob in pdf[warc_col]:
+                if blob is None:
+                    out.append((None,) * 5 + ("null archive",))
+                    continue
+                out.extend(_walk_headers(bytes(blob)))
+            yield pd.DataFrame(out, columns=[
+                "record_id", "warc_type", "target_uri", "warc_date",
+                "http_status", "err"])
+
+    return df.select(warc_col).mapInPandas(kernel, schema=_HEADER_SCHEMA)
+
+
 def parse_warc(df: DataFrame, warc_col: str = "warc",
                keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """One row per WARC record found in the binary column ``warc_col``

@@ -33,21 +33,25 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from image_pdf_ocr_suite_spark.analytics import text as textops
 from image_pdf_ocr_suite_spark.session import build_session
 from image_pdf_ocr_suite_spark.tableio.snapshot import SnapshotTable
 from image_pdf_ocr_suite_spark.tableio.warc import parse_warc
 
 _PAGE_SCHEMA = ("record_id string, url string, warc_ts timestamp, "
-                "html binary, text string")
+                "html binary, text string, lang string")
 
 
 def _page_text_kernel(batches) -> Iterator:
-    """(record_id, url, warc_ts, html) -> + text: charset-aware decode
-    followed by the DOM text-density boilerplate strip, fused in one
-    Arrow stage."""
+    """(record_id, url, warc_ts, html) -> + text, lang: charset-aware
+    decode, DOM text-density boilerplate strip, and script lang-ID
+    fused in ONE Arrow stage.  Lang-ID used to be a separate pandas-UDF
+    projection after this kernel; chaining a second Python crossing per
+    page measurably anti-scaled (the +14 s lang stage cost the same
+    wall at 16 cores as at 4 on 2.56M pages) — fusing it makes the
+    whole decode path one JVM<->Python round trip."""
     import pandas as pd
 
+    from image_pdf_ocr_suite_spark.analytics.text import classify_script
     from image_pdf_ocr_suite_spark.kernels.charset import decode_bytes
     from image_pdf_ocr_suite_spark.kernels.html import extract_main_text
 
@@ -57,12 +61,13 @@ def _page_text_kernel(batches) -> Iterator:
         yield pd.DataFrame({
             "record_id": pdf["record_id"], "url": pdf["url"],
             "warc_ts": pdf["warc_ts"], "html": pdf["html"],
-            "text": texts})
+            "text": texts, "lang": classify_script(texts)})
 
 
 def ingest_pages(archives: DataFrame, warc_col: str = "warc",
                  keep_latest: bool = True,
-                 resolve_revisits: bool = False
+                 resolve_revisits: bool = False,
+                 latest_plan: str = "narrow",
                  ) -> tuple[DataFrame, DataFrame]:
     """archives -> (pages, rejects).
 
@@ -78,7 +83,29 @@ def ingest_pages(archives: DataFrame, warc_col: str = "warc",
     the referenced response's body (tableio.warc.resolve_revisits);
     an unresolvable revisit lands in rejects.  Off by default — the
     resolution join costs a record-id shuffle that archives without
-    revisit records shouldn't pay."""
+    revisit records shouldn't pay.
+
+    ``latest_plan`` picks how the latest-crawl window is executed:
+
+    - ``"narrow"`` (default): a second envelope-only pass over the
+      archives (``parse_warc_headers`` — bodies length-skipped, never
+      materialized) ranks ``(record_id, url, warc_ts)`` and yields the
+      SUPERSEDED MINORITY; pages anti-join it on record_id, so bodies
+      never ride a shuffle — the loser set (superseded records of ONE
+      ingest batch, not of crawl history) is broadcast explicitly.  The anti-join key is the composite
+      ``(record_id, url, warc_ts)``, so even a (spec-violating) record
+      id reused across a url's crawls resolves exactly as the window
+      plan does; only fully-identical sort keys (same id AND timestamp
+      under one url) are ambiguous — and the window plan's own
+      row_number is nondeterministic there too.  A pathological loser
+      fraction (re-ingesting deep crawl history in one batch) could
+      outgrow a broadcast — that is what ``"window"`` is for.
+    - ``"window"``: rank bodies directly with one url-keyed
+      ``row_number`` shuffle — no second scan, but every body rides
+      the shuffle.  Used automatically when ``resolve_revisits`` is on
+      (resolved revisits change which records enter the window, and
+      the envelope pass cannot see resolution outcomes); also the
+      right choice for archives with non-unique record ids."""
     recs = parse_warc(archives, warc_col=warc_col)
     if resolve_revisits:
         from image_pdf_ocr_suite_spark.tableio.warc import (
@@ -115,18 +142,45 @@ def ingest_pages(archives: DataFrame, warc_col: str = "warc",
     if keep_latest:
         w = Window.partitionBy("url").orderBy(
             F.desc("warc_ts"), F.asc("record_id"))
-        ranked = pages.withColumn("__rn", F.row_number().over(w))
-        rejects = rejects.unionByName(
-            ranked.where(F.col("__rn") > 1)
-            .select("url", F.lit("superseded recrawl").alias("reason")))
-        pages = ranked.where(F.col("__rn") == 1).drop("__rn")
+        if latest_plan == "narrow" and not resolve_revisits:
+            from image_pdf_ocr_suite_spark.tableio.warc import (
+                parse_warc_headers)
+            hdr = parse_warc_headers(archives, warc_col=warc_col)
+            cand = hdr.where(
+                F.col("err").isNull()
+                & (F.col("warc_type") == "response")
+                & F.col("target_uri").isNotNull()
+                & F.coalesce(ok_status, F.lit(False))).select(
+                "record_id", F.col("target_uri").alias("url"),
+                F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ssX")
+                .alias("warc_ts"))
+            losers = (cand.withColumn("__rn", F.row_number().over(w))
+                      .where(F.col("__rn") > 1)
+                      .select("record_id", "url", "warc_ts"))
+            rejects = rejects.unionByName(
+                losers.select("url", F.lit("superseded recrawl")
+                              .alias("reason")))
+            # composite key: robust even to a (spec-violating) record id
+            # shared across a url's crawls — the warc_ts tiebreak keeps
+            # exactly the rows the window plan keeps.  The broadcast is
+            # EXPLICIT: leaving it to AQE still materializes the pages
+            # side's shuffle write (stages run before the join replans),
+            # which is the exact body shuffle this plan exists to avoid.
+            pages = pages.join(F.broadcast(losers),
+                               ["record_id", "url", "warc_ts"],
+                               "left_anti")
+        else:
+            ranked = pages.withColumn("__rn", F.row_number().over(w))
+            rejects = rejects.unionByName(
+                ranked.where(F.col("__rn") > 1)
+                .select("url", F.lit("superseded recrawl").alias("reason")))
+            pages = ranked.where(F.col("__rn") == 1).drop("__rn")
 
+    # decode + strip + lang-ID fused in ONE Arrow stage (a second
+    # pandas-UDF projection, like a self-join, would add another Python
+    # crossing per page — measured barely scaling 4->16 cores)
     pages = pages.mapInPandas(_page_text_kernel, schema=_PAGE_SCHEMA)
-    # lang as a column expression, NOT a self-join (a join would consume
-    # the kernel branch twice and recompute the decode/strip stage)
-    pages = pages.select(
-        "url", "warc_ts", "html", "text",
-        textops.script_lang_udf()(F.col("text")).alias("lang"))
+    pages = pages.select("url", "warc_ts", "html", "text", "lang")
     return pages, rejects
 
 

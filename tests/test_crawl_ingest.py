@@ -150,3 +150,115 @@ def test_ingest_unresolved_revisit_rejected(spark):
     assert pages.count() == 0
     reasons = [r["reason"] for r in rejects.collect()]
     assert any("revisit: unresolved reference" in r for r in reasons)
+
+
+# ---- narrow latest-crawl resolution (losers anti-join) ----------------
+
+def _uid_record(uri, date, body):
+    """A response record whose id is unique per (uri, date) — the
+    WARC-conformant layout (ids globally unique across recrawls)."""
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+            + b"\r\nContent-Length: " + str(len(body)).encode()
+            + b"\r\n\r\n" + body)
+    head = (b"WARC/1.0\r\nWARC-Type: response"
+            + b"\r\nWARC-Record-ID: <urn:t:" + uri.encode() + b"@"
+            + date.encode() + b">"
+            + b"\r\nWARC-Date: " + date.encode()
+            + b"\r\nWARC-Target-URI: " + uri.encode()
+            + b"\r\nContent-Type: application/http; msgtype=response"
+            + b"\r\nContent-Length: " + str(len(http)).encode())
+    return head + b"\r\n\r\n" + http + b"\r\n\r\n"
+
+
+@pytest.fixture(scope="module")
+def recrawl_archives(spark):
+    recs = []
+    for i in range(12):
+        uri = f"https://eq/{i}"
+        body = f"<p>doc {i} body with some words</p>".encode()
+        recs.append(_uid_record(uri, "2026-03-01T00:00:00Z", body))
+        if i % 3 == 0:                       # superseded earlier crawls
+            recs.append(_uid_record(uri, "2026-01-01T00:00:00Z", body))
+        if i % 4 == 0:
+            recs.append(_uid_record(uri, "2026-02-01T00:00:00Z", body))
+    blobs = [(b"".join(recs[j::3]),) for j in range(3)]   # 3 mixed blobs
+    return spark.createDataFrame(blobs, "warc binary")
+
+
+def test_latest_plan_equivalence(spark, recrawl_archives):
+    """The narrow losers anti-join and the body-shuffling window plan
+    produce identical pages AND identical rejects."""
+    def snap(df, cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    pg_n, rj_n = ingest_pages(recrawl_archives, latest_plan="narrow")
+    pg_w, rj_w = ingest_pages(recrawl_archives, latest_plan="window")
+    cols = ["url", "warc_ts", "text", "lang"]
+    assert snap(pg_n, cols) == snap(pg_w, cols)
+    assert snap(rj_n, ["url", "reason"]) == snap(rj_w, ["url", "reason"])
+    assert len(snap(pg_n, ["url"])) == 12
+    n_superseded = sum(1 for r in rj_n.collect()
+                       if r["reason"] == "superseded recrawl")
+    assert n_superseded == 4 + 3             # i%3==0 plus i%4==0 extras
+
+
+def test_latest_plan_equivalence_shared_ids(spark):
+    """Composite-key robustness: a record id reused across a url's
+    crawls (spec-violating) still resolves identically to the window
+    plan because warc_ts disambiguates."""
+    old = _raw_record("https://s/x", "2026-01-01T00:00:00Z",
+                      b"<p>old crawl body with plainly many words</p>")
+    new = _raw_record("https://s/x", "2026-03-01T00:00:00Z",
+                      b"<p>new crawl body with plainly many words</p>")
+    archives = spark.createDataFrame([(old + new,)], "warc binary")
+    pg_n, _ = ingest_pages(archives, latest_plan="narrow")
+    pg_w, _ = ingest_pages(archives, latest_plan="window")
+    rows_n = [(r["url"], r["text"]) for r in pg_n.collect()]
+    rows_w = [(r["url"], r["text"]) for r in pg_w.collect()]
+    assert rows_n == rows_w
+    assert rows_n == [("https://s/x", "new crawl body with plainly "
+                                      "many words")]
+
+
+def test_narrow_plan_broadcasts_losers_and_never_shuffles_html(
+        spark, recrawl_archives):
+    """Scale shape of the default plan: the loser set rides a broadcast
+    anti join (AQE sizes it at runtime), so page bodies cross NO
+    exchange — the whole body path is scan -> kernel, map-only."""
+    pages, _ = ingest_pages(recrawl_archives, latest_plan="narrow")
+    pages.collect()                          # let AQE finalize the plan
+    plan = pages._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    for ln in plan.splitlines():             # no body-carrying exchange
+        if "Exchange" in ln and "broadcast" not in ln.lower():
+            assert "body" not in ln and "html" not in ln, plan
+
+
+def test_headers_walk_parity(spark, recrawl_archives):
+    """parse_warc_headers agrees with the full parser's envelope
+    projection record-for-record, including err taxonomy, on blobs
+    with good/404/non-response/truncated/missing-CL records."""
+    from image_pdf_ocr_suite_spark.tableio.warc import (parse_warc,
+                                                        parse_warc_headers)
+
+    mixed = spark.createDataFrame([
+        (_raw_record("https://h/ok", "2026-01-02T00:00:00Z", b"<p>x</p>")
+         + _raw_record("https://h/404", "2026-01-03T00:00:00Z", b"gone",
+                       status=b"404 Not Found")
+         + _raw_record("https://h/req", "2026-01-04T00:00:00Z", b"",
+                       warc_type="request"),),
+        (b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99"
+         b"\r\n\r\nshort",),                 # truncated body
+        (b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99",),
+        (b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <u:1>"
+         b"\r\n\r\n\r\n\r\n",),
+    ], "warc binary")
+    cols = ["record_id", "warc_type", "target_uri", "warc_date",
+            "http_status", "err"]
+    full = sorted((tuple(r) for r in parse_warc(mixed).select(*cols)
+                   .collect()), key=repr)
+    narrow = sorted((tuple(r) for r in parse_warc_headers(mixed)
+                     .collect()), key=repr)
+    assert full == narrow
+    assert any(r[-1] and "truncated" in r[-1] for r in narrow)
+    assert any(r[-1] and "Content-Length" in r[-1] for r in narrow)
