@@ -2208,6 +2208,68 @@ def q_quality_classifier(spark, sf_dir):
     return clf_mod.score_documents(docs, w)
 
 
+def q_cjk_text_stats(spark, sf_dir):
+    """Japanese/CJK-aware text statistics (analytics/text.py
+    cjk_text_stats) — the stats the whitespace token contract cannot
+    provide for the reference suite's own jpn domain.  doc_id%3
+    prepends a hiragana/katakana/Han sentence or a half-width-kana +
+    full-width-punctuation fragment to the ASCII corpus text, so the
+    Han/kana/sentence counting and the char-level CJK token estimate
+    are genuinely exercised; the oracle restates the identical
+    \\x{...} class literals (Java Pattern == RE2, the unicode_ws.py
+    convention) and integer arithmetic.  Map-only Catalyst."""
+    from image_pdf_ocr_suite_spark.analytics import text as textops
+
+    d = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 3
+    t2 = (F.when(v == 1, F.concat(
+            F.lit("こんにちは世界。日本語のテストです！ "), F.col("text")))
+          .when(v == 2, F.concat(
+            F.lit("漢字とｶﾀｶﾅの混在？ "), F.col("text")))
+          .otherwise(F.col("text")))
+    return textops.cjk_text_stats(d.select("doc_id", t2.alias("text")))
+
+
+def q_frequent_line_filter(spark, sf_dir):
+    """Corpus-frequency boilerplate removal (CCNet/RefinedWeb policy;
+    analytics/corpusprep.py frequent_line_filter): an 8-token
+    pseudo-line occurring in >= 2 distinct documents is boilerplate and
+    every occurrence is dropped (contrast line_dedup's first-occurrence
+    keeper).  The frequency aggregate shuffles (md5, id) only; the
+    boilerplate digest set broadcasts into a left-anti join, so line
+    text rides no exchange before the per-doc reassembly."""
+    lines = corpusprep.split_token_lines(
+        _t(spark, sf_dir, "documents"), tokens_per_line=8)
+    return corpusprep.frequent_line_filter(lines, min_docs=2)
+
+
+def q_crawl_delta(spark, sf_dir):
+    """Snapshot-to-snapshot crawl delta (jobs/crawl_ingest_job.py
+    crawl_delta): two synthetic crawls of the documents seed list —
+    old = every url except doc_id%7==0 (those are 'added' later),
+    new = every url except doc_id%5==0 (those are 'gone'), bodies
+    differ at doc_id%3==0 ('changed').  Digests are md5, computed
+    map-side so the full-outer url join never carries bodies; the
+    oracle recomputes the same md5s over the same synthesized strings,
+    cross-checking digest parity engine-to-engine."""
+    from jobs.crawl_ingest_job import crawl_delta
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://d/"), F.col("doc_id").cast("string"))
+
+    def body(tag):
+        return F.encode(F.concat(
+            F.lit("page "), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(tag))
+             .otherwise(F.lit(" same"))), "UTF-8")
+
+    old = (d.where(F.col("doc_id") % 7 != 0)
+           .select(url.alias("url"), body(" v-old").alias("html")))
+    new = (d.where(F.col("doc_id") % 5 != 0)
+           .select(url.alias("url"), body(" v-new").alias("html")))
+    return crawl_delta(old, new)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order matters: the driver's CORRECTNESS gate records
     exactly the first 50 entries.  Window layout (round 5, final): the
@@ -2303,6 +2365,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_encode_stats": q_bpe_encode_stats,
         "quality_classifier": q_quality_classifier,
+        # -- round-5f additions (post window-freeze, same policy):
+        #    dedicated pytests (test_round5f) + parity replica; window-
+        #    slotted in r6. --
+        "cjk_text_stats": q_cjk_text_stats,
+        "frequent_line_filter": q_frequent_line_filter,
+        "crawl_delta": q_crawl_delta,
         # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
         "winnow_fingerprints": q_winnow_fingerprints,
         "topk_cosine": q_topk_cosine,
@@ -3009,6 +3077,44 @@ def _bpe_encode_stats_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
         FROM d JOIN pin p ON p.lang = d.lang"""
 
 
+def _cjk_stats_oracle() -> str:
+    """q_cjk_text_stats oracle: restates the engine's own \\x{...}
+    class literals (analytics/text.py — the one-string-two-engines
+    convention from unicode_ws.py) and the identical length-difference
+    arithmetic over the identically synthesized text."""
+    from image_pdf_ocr_suite_spark.analytics.text import (
+        CJK_CLASS, HAN_CLASS, KANA_CLASS, SENT_CLASS)
+
+    return """
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id %% 3 = 1
+                        THEN 'こんにちは世界。日本語のテストです！ ' || text
+                        WHEN doc_id %% 3 = 2
+                        THEN '漢字とｶﾀｶﾅの混在？ ' || text
+                        ELSE text END AS s0
+            FROM documents),
+        t AS (SELECT doc_id, COALESCE(s0, '') AS s FROM base)
+        SELECT doc_id,
+               CAST(length(s) AS BIGINT) AS n_chars,
+               CAST(length(s) - length(regexp_replace(s, '%(han)s', '', 'g'))
+                    AS BIGINT) AS n_han,
+               CAST(length(s) - length(regexp_replace(s, '%(kana)s', '', 'g'))
+                    AS BIGINT) AS n_kana,
+               CAST(length(s) - length(regexp_replace(s, '%(sent)s', '', 'g'))
+                    AS BIGINT) AS n_sentences,
+               CAST(len(list_filter(string_split(s, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tokens_ws,
+               CAST((length(s) - length(regexp_replace(s, '%(han)s', '', 'g')))
+                  + (length(s) - length(regexp_replace(s, '%(kana)s', '', 'g')))
+                  + len(list_filter(string_split(
+                        regexp_replace(s, '%(cjk)s', ' ', 'g'), ' '),
+                        x -> x <> ''))
+                    AS BIGINT) AS n_tokens_cjk
+        FROM t""" % {"han": HAN_CLASS, "kana": KANA_CLASS,
+                     "cjk": CJK_CLASS, "sent": SENT_CLASS}
+
+
 def oracle_sql() -> dict[str, str]:
     from image_pdf_ocr_suite_spark.unicode_ws import RUNS_PATTERN, STRIP_PATTERN
     # the \x{...} class is valid in BOTH Java (Spark) and RE2 (DuckDB) —
@@ -3300,6 +3406,61 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_oracle(),
         "bpe_encode_stats": _bpe_encode_stats_oracle(),
         "quality_classifier": _quality_classifier_oracle(),
+        # round-5f: the \x{...} class literals are the engine's own
+        # (analytics/text.py HAN/KANA/CJK/SENT_CLASS — Java Pattern and
+        # RE2 accept the identical string, the unicode_ws convention)
+        "cjk_text_stats": _cjk_stats_oracle(),
+        "frequent_line_filter": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x != '') AS toks
+                FROM documents),
+            l0 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(toks), 0) + 1, 8),
+                           i -> CAST((i - 1) // 8 AS INTEGER))) AS line_no,
+                       unnest(list_transform(
+                           range(1, greatest(len(toks), 0) + 1, 8),
+                           i -> array_to_string(toks[i:i+7], ' '))) AS line
+                FROM tok),
+            freq AS (
+                SELECT line FROM l0
+                GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+            k AS (
+                SELECT doc_id, line_no, line FROM l0
+                WHERE line NOT IN (SELECT line FROM freq)),
+            n AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+                FROM l0 GROUP BY doc_id),
+            a AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                       string_agg(line, ' ' ORDER BY line_no) AS kept_text
+                FROM k GROUP BY doc_id)
+            SELECT n.doc_id, n.n_lines,
+                   CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   COALESCE(a.kept_text, '') AS kept_text
+            FROM n LEFT JOIN a USING (doc_id)""",
+        "crawl_delta": """
+            WITH o AS (
+                SELECT 'https://d/' || CAST(doc_id AS VARCHAR) AS url,
+                       md5('page ' || CAST(doc_id AS VARCHAR) ||
+                           CASE WHEN doc_id % 3 = 0 THEN ' v-old'
+                                ELSE ' same' END) AS old_digest
+                FROM documents WHERE doc_id % 7 <> 0),
+            nw AS (
+                SELECT 'https://d/' || CAST(doc_id AS VARCHAR) AS url,
+                       md5('page ' || CAST(doc_id AS VARCHAR) ||
+                           CASE WHEN doc_id % 3 = 0 THEN ' v-new'
+                                ELSE ' same' END) AS new_digest
+                FROM documents WHERE doc_id % 5 <> 0)
+            SELECT COALESCE(o.url, nw.url) AS url,
+                   CASE WHEN o.url IS NULL THEN 'added'
+                        WHEN nw.url IS NULL THEN 'gone'
+                        WHEN o.old_digest = nw.new_digest THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   o.old_digest, nw.new_digest
+            FROM o FULL OUTER JOIN nw ON o.url = nw.url""",
         "ann_lsh_topk": _ann_lsh_topk_oracle(),
         # same planes/sketch/rerank served from the partitioned layouts —
         # identical result sets by construction (banded: pigeonhole at

@@ -594,3 +594,43 @@ def _bloom_flagged_grams_arrow(corpus: DataFrame, bits, n: int,
 
     return corpus.select(id_col, text_col).mapInPandas(
         kernel, schema=f"{id_col} {id_type}, __h string")
+
+
+def frequent_line_filter(lines: DataFrame, min_docs: int = 2,
+                         id_col: str = "doc_id",
+                         line_no_col: str = "line_no",
+                         line_col: str = "line") -> DataFrame:
+    """Boilerplate removal by corpus frequency (the CCNet/RefinedWeb
+    companion to ``line_dedup_stats``): a line that occurs in at least
+    ``min_docs`` DISTINCT documents is boilerplate — nav bars, cookie
+    banners, footers — and EVERY occurrence is dropped (first-occurrence
+    keeping, the other policy, is ``line_dedup_stats``).  Returns one
+    row per document: ``(id, n_lines, n_kept, kept_text)`` with
+    ``kept_text`` the surviving lines joined by single spaces in
+    ``line_no`` order (the repo's text-assembly convention).
+
+    Scale shape: line text is digested to md5 map-side, so the
+    frequency aggregate shuffles ``(16-byte hash, id)`` only; the
+    boilerplate set (distinct lines above the threshold) is small by
+    construction — boilerplate is the head of the frequency
+    distribution — and joins back as an EXPLICIT broadcast left-anti
+    join, so line bodies never ride that exchange.  The only
+    body-carrying shuffle is the final per-document reassembly, the
+    same class as ``doc_assembly``."""
+    digested = lines.withColumn("__h", F.md5(F.col(line_col)))
+    frequent = (digested.groupBy("__h")
+                .agg(F.countDistinct(id_col).alias("__df"))
+                .where(F.col("__df") >= min_docs)
+                .select("__h"))
+    kept = digested.join(F.broadcast(frequent), "__h", "left_anti")
+    n_all = (digested.groupBy(id_col)
+             .agg(F.count(F.lit(1)).cast("long").alias("n_lines")))
+    per_doc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(" ", F.array_sort(F.collect_list(
+            F.struct(F.col(line_no_col), F.col(line_col))))
+            .getField(line_col)).alias("kept_text"))
+    return (n_all.join(per_doc, id_col, "left")
+            .select(id_col, "n_lines",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("kept_text", F.lit("")).alias("kept_text")))

@@ -558,3 +558,62 @@ def c4_line_filter(df: DataFrame, text_col: str = "text",
         ((F.size("__kraw") >= min_kept_lines)
          & ~F.lower(F.col("__t")).contains("lorem ipsum")
          & ~F.col("__t").contains("{")).alias("keep"))
+
+
+# ---- CJK-aware text statistics -----------------------------------------
+
+# Character classes spelled with \x{...} escapes that Java's Pattern
+# (Spark) and RE2 (DuckDB) both accept — the unicode_ws.py convention:
+# the SAME literal runs in both engines, so the oracle can restate the
+# arithmetic verbatim.  Ranges: Han = CJK Unified Ideographs + Ext A;
+# Kana = hiragana + katakana + half-width katakana (the reference
+# suite's jpn domain, ocr.py:86); sentence terminators = ASCII .!? plus
+# the full-width 。．！？ forms Japanese prose actually uses.
+HAN_CLASS = r"[\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]"
+KANA_CLASS = r"[\x{3040}-\x{309F}\x{30A0}-\x{30FF}\x{FF66}-\x{FF9D}]"
+CJK_CLASS = (r"[\x{3040}-\x{309F}\x{30A0}-\x{30FF}\x{3400}-\x{4DBF}"
+             r"\x{4E00}-\x{9FFF}\x{FF66}-\x{FF9D}]")
+SENT_CLASS = r"[.!?\x{3002}\x{FF01}\x{FF0E}\x{FF1F}]"
+
+
+def cjk_text_stats(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Japanese/CJK-aware per-document text statistics — the stats the
+    whitespace token contract cannot provide for the reference suite's
+    own domain (Japanese text has no inter-word spaces, so
+    ``token_count`` reads a whole sentence as one token).
+
+    Columns (exact integers, cross-engine-hashable):
+
+    - ``n_chars``: code-point length (NULL text counts as empty),
+    - ``n_han`` / ``n_kana``: Han-ideograph and kana counts,
+    - ``n_sentences``: sentence-terminator count (ASCII ``.!?`` plus
+      full-width ``。．！？``),
+    - ``n_tokens_ws``: the shared single-space token contract's count
+      (for comparison),
+    - ``n_tokens_cjk``: CJK-aware token estimate — each Han/kana
+      character is one token (the public char-level approximation; no
+      dictionary segmenter exists offline) plus the single-space token
+      count of the text with CJK characters blanked out.
+
+    Map-only Catalyst projection (JVM regex counting, no Python): at
+    100 TB this rides the extraction scan like ``quality_score``; the
+    SQL oracle restates the identical class literals and arithmetic."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def _n(cls):
+        return (F.length(t) - F.length(F.regexp_replace(t, cls, "")))
+
+    ws_tokens = F.size(F.filter(F.split(t, " "), lambda x: x != ""))
+    noncjk_tokens = F.size(F.filter(
+        F.split(F.regexp_replace(t, CJK_CLASS, " "), " "),
+        lambda x: x != ""))
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        _n(HAN_CLASS).cast("long").alias("n_han"),
+        _n(KANA_CLASS).cast("long").alias("n_kana"),
+        _n(SENT_CLASS).cast("long").alias("n_sentences"),
+        ws_tokens.cast("long").alias("n_tokens_ws"),
+        (_n(HAN_CLASS) + _n(KANA_CLASS) + noncjk_tokens).cast("long")
+        .alias("n_tokens_cjk"))

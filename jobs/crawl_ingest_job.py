@@ -184,6 +184,38 @@ def ingest_pages(archives: DataFrame, warc_col: str = "warc",
     return pages, rejects
 
 
+def crawl_delta(old_pages: DataFrame, new_pages: DataFrame,
+                url_col: str = "url",
+                payload_col: str = "html") -> DataFrame:
+    """Snapshot-to-snapshot crawl delta: classify every url across two
+    pages tables (e.g. two monthly crawls of the same seed list) as
+    ``added`` (new only), ``gone`` (old only), ``changed`` (payload
+    digest differs), or ``unchanged``.  Returns
+    ``(url, status, old_digest, new_digest)`` — the input to recrawl
+    scheduling (prioritize ``changed`` hosts) and to incremental
+    downstream processing (only ``added``/``changed`` pages re-enter
+    the extraction pipeline).
+
+    Scale shape: the md5 digest is computed map-side on each scan, so
+    the full-outer url join carries ``(url, 32-char digest)`` rows only
+    — page bodies never ride the exchange.  Each side is assumed
+    already url-unique (``ingest_pages`` with ``keep_latest`` yields
+    exactly that); duplicate urls would fan out in the join as in any
+    relational full-outer."""
+    o = old_pages.select(F.col(url_col).alias("url"),
+                         F.md5(F.col(payload_col)).alias("old_digest"))
+    n = new_pages.select(F.col(url_col).alias("url"),
+                         F.md5(F.col(payload_col)).alias("new_digest"))
+    j = o.join(n, "url", "full_outer")
+    status = (F.when(F.col("old_digest").isNull(), F.lit("added"))
+              .when(F.col("new_digest").isNull(), F.lit("gone"))
+              .when(F.col("old_digest") == F.col("new_digest"),
+                    F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select("url", status.alias("status"), "old_digest",
+                    "new_digest")
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input-table", required=True,
