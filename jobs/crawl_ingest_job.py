@@ -48,15 +48,25 @@ def _page_text_kernel(batches) -> Iterator:
     projection after this kernel; chaining a second Python crossing per
     page measurably anti-scaled (the +14 s lang stage cost the same
     wall at 16 cores as at 4 on 2.56M pages) — fusing it makes the
-    whole decode path one JVM<->Python round trip."""
+    whole decode path one JVM<->Python round trip.
+
+    Binary image-PDF payloads (SPDF magic — the same sniff
+    kernels/decode.py uses) are NOT text: their ``text`` stays NULL and
+    ``lang`` reads ``unknown``, with the payload preserved in ``html``
+    so the OCR pipeline (``extract_pages``) picks them up downstream —
+    the crawl→extraction composition the north rule describes.
+    Shredding them through the charset ladder + HTML stripper would
+    emit mojibake text for every scanned-PDF capture in the crawl."""
     import pandas as pd
 
     from image_pdf_ocr_suite_spark.analytics.text import classify_script
     from image_pdf_ocr_suite_spark.kernels.charset import decode_bytes
     from image_pdf_ocr_suite_spark.kernels.html import extract_main_text
+    from image_pdf_ocr_suite_spark.payload import MAGIC as _SPDF
 
     for pdf in batches:
-        texts = [extract_main_text(decode_bytes(raw)[0])
+        texts = [None if raw is not None and bytes(raw[:4]) == _SPDF
+                 else extract_main_text(decode_bytes(raw)[0])
                  for raw in pdf["html"]]
         yield pd.DataFrame({
             "record_id": pdf["record_id"], "url": pdf["url"],

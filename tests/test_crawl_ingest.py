@@ -262,3 +262,33 @@ def test_headers_walk_parity(spark, recrawl_archives):
     assert full == narrow
     assert any(r[-1] and "truncated" in r[-1] for r in narrow)
     assert any(r[-1] and "Content-Length" in r[-1] for r in narrow)
+
+
+# ---- binary image-PDF payloads in the crawl (the OCR composition) ------
+
+def test_ingest_preserves_pdf_payloads_then_ocr(spark):
+    """A crawl archive carrying an image-PDF response is NOT shredded
+    through the HTML stripper: its text stays NULL / lang unknown with
+    the payload intact, and extract_pages over the ingested pages table
+    produces the refmodel's byte-identical OCR text — the end-to-end
+    crawl→extraction composition."""
+    from image_pdf_ocr_suite_spark import extract_pages
+    from image_pdf_ocr_suite_spark.fixtures import make_payload
+    from image_pdf_ocr_suite_spark.refmodel import extract_text
+
+    payload = make_payload(3, "scanned page words for the ocr path")
+    blob = (_raw_record("https://c/html", "2026-01-01T00:00:00Z", HTML_EN)
+            + _raw_record("https://c/pdf", "2026-01-01T00:00:00Z",
+                          payload, ctype=b"application/pdf"))
+    pages, rejects = ingest_pages(
+        spark.createDataFrame([(blob,)], "warc binary"))
+    rows = {r["url"]: r for r in pages.collect()}
+    assert rejects.count() == 0 and len(rows) == 2
+    pdf_row = rows["https://c/pdf"]
+    assert pdf_row["text"] is None and pdf_row["lang"] == "unknown"
+    assert bytes(pdf_row["html"]) == payload
+    assert rows["https://c/html"]["text"].startswith("plain english")
+
+    res = extract_pages(pages)
+    texts = {r["url"]: r["extracted_text"] for r in res.text.collect()}
+    assert texts["https://c/pdf"] == extract_text(payload)
