@@ -2270,6 +2270,32 @@ def q_crawl_delta(spark, sf_dir):
     return crawl_delta(old, new)
 
 
+# Mojibake fixtures shared by q_fix_mojibake and its oracle: the clean
+# form is a plain literal both engines state verbatim; the corrupted
+# INPUT forms (which contain C1 control characters no SQL literal
+# should carry) are computed here in Python and enter only the Spark
+# side via F.lit — the oracle states the expected REPAIRED output
+# closed-form.
+_MOJI_BASE = "café £5 — 日本語"
+_MOJI_1 = _MOJI_BASE.encode("utf-8").decode("cp1252")      # one decode slip
+_MOJI_2 = _MOJI_1.encode("utf-8").decode("latin-1")        # nested slip
+
+
+def q_fix_mojibake(spark, sf_dir):
+    """Double-encoding repair (analytics/corpusprep.py fix_mojibake —
+    ftfy's core rule): doc_id%3 prefixes the corpus text with a
+    once- or twice-corrupted form of a Latin/CJK sample; the kernel
+    must undo exactly the right number of passes and leave the plain
+    rows untouched.  Map-only Arrow kernel; the oracle states the
+    repaired text and pass counts closed-form."""
+    d = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 3
+    t2 = (F.when(v == 1, F.concat(F.lit(_MOJI_1 + " "), F.col("text")))
+          .when(v == 2, F.concat(F.lit(_MOJI_2 + " "), F.col("text")))
+          .otherwise(F.col("text")))
+    return corpusprep.fix_mojibake(d.select("doc_id", t2.alias("text")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order matters: the driver's CORRECTNESS gate records
     exactly the first 50 entries.  Window layout (round 5, final): the
@@ -2371,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cjk_text_stats": q_cjk_text_stats,
         "frequent_line_filter": q_frequent_line_filter,
         "crawl_delta": q_crawl_delta,
+        "fix_mojibake": q_fix_mojibake,
         # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
         "winnow_fingerprints": q_winnow_fingerprints,
         "topk_cosine": q_topk_cosine,
@@ -3441,6 +3468,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
                    COALESCE(a.kept_text, '') AS kept_text
             FROM n LEFT JOIN a USING (doc_id)""",
+        # expected REPAIRED text stated closed-form (the corrupted
+        # inputs exist only Spark-side; see _MOJI_BASE note above)
+        "fix_mojibake": """
+            SELECT doc_id,
+                   CASE WHEN doc_id %% 3 = 0 THEN text
+                        ELSE '%(base)s ' || text END AS text,
+                   CAST(doc_id %% 3 AS INTEGER) AS n_passes
+            FROM documents""" % {"base": _MOJI_BASE},
         "crawl_delta": """
             WITH o AS (
                 SELECT 'https://d/' || CAST(doc_id AS VARCHAR) AS url,

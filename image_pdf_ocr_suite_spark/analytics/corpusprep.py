@@ -634,3 +634,67 @@ def frequent_line_filter(lines: DataFrame, min_docs: int = 2,
             .select(id_col, "n_lines",
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
                     F.coalesce("kept_text", F.lit("")).alias("kept_text")))
+
+
+def fix_mojibake(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", max_passes: int = 3) -> DataFrame:
+    """Repair double-encoding damage ("mojibake") — UTF-8 bytes that
+    were decoded as cp1252/latin-1 somewhere upstream, the classic
+    Common-Crawl artifact (``café`` → ``cafÃ©``, ``—`` → ``â€”``).
+
+    A pass re-encodes the string as cp1252 (falling back to latin-1,
+    which covers the 0x81/0x8D/0x8F/0x90/0x9D holes that latin-1-style
+    corruption produces as C1 controls) and strictly decodes UTF-8; it
+    is accepted only if BOTH conversions round-trip and the result
+    differs.  Up to ``max_passes`` passes undo nested corruption.
+    Legitimate text is a fixed point by construction: ASCII round-trips
+    to itself (0 passes), non-西欧 scripts (Japanese, ...) fail the
+    cp1252/latin-1 encode, and ordinary Latin-1 prose (``naïve café``)
+    encodes to bytes that are NOT valid UTF-8 — all three leave the
+    text untouched.  The known residual false-positive class —
+    intentional strings like ``Â£`` that ARE valid mojibake — is the
+    standard trade-off of the public algorithm (ftfy's core rule).
+
+    Returns ``(id, text, n_passes)`` with ``text`` repaired.  Arrow
+    kernel, map-only: no shuffle, rides the scan at any scale; NULL
+    text stays NULL with ``n_passes`` 0."""
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+
+    def _fix_one(s: str) -> tuple[str, int]:
+        cur, passes = s, 0
+        for _ in range(max_passes):
+            try:
+                b = cur.encode("cp1252")
+            except UnicodeEncodeError:
+                try:
+                    b = cur.encode("latin-1")
+                except UnicodeEncodeError:
+                    break
+            try:
+                dec = b.decode("utf-8")
+            except UnicodeDecodeError:
+                break
+            if dec == cur:
+                break
+            cur, passes = dec, passes + 1
+        return cur, passes
+
+    def kernel(batches) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            fixed, n_passes = [], []
+            for s in pdf[text_col]:
+                if s is None:
+                    fixed.append(None)
+                    n_passes.append(0)
+                else:
+                    f, p = _fix_one(s)
+                    fixed.append(f)
+                    n_passes.append(p)
+            yield pd.DataFrame({id_col: pdf[id_col], text_col: fixed,
+                                "n_passes": n_passes})
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, {text_col} string, "
+                       f"n_passes int")

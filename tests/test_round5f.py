@@ -145,3 +145,26 @@ def test_crawl_delta_never_shuffles_bodies(spark, two_snapshots):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "html" not in ln, plan
+
+
+# ---- fix_mojibake ---------------------------------------------------------
+
+def test_fix_mojibake_hand_cases(spark):
+    from image_pdf_ocr_suite_spark.analytics.corpusprep import fix_mojibake
+
+    base = "café £5 — 日本語"
+    m1 = base.encode("utf-8").decode("cp1252")
+    m2 = m1.encode("utf-8").decode("latin-1")
+    rows = [(0, "plain ascii"), (1, m1), (2, m2), (3, base),
+            (4, "naïve café"), (5, "日本語そのまま"), (6, None), (7, "")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in fix_mojibake(df).collect()}
+    assert (out[0]["text"], out[0]["n_passes"]) == ("plain ascii", 0)
+    assert (out[1]["text"], out[1]["n_passes"]) == (base, 1)
+    assert (out[2]["text"], out[2]["n_passes"]) == (base, 2)
+    # legitimate non-ASCII text is a fixed point: the clean form,
+    # Latin-1 prose, and CJK all come back byte-identical
+    for i in (3, 4, 5):
+        assert out[i]["text"] == rows[i][1] and out[i]["n_passes"] == 0
+    assert out[6]["text"] is None and out[6]["n_passes"] == 0
+    assert out[7]["text"] == "" and out[7]["n_passes"] == 0
