@@ -270,6 +270,19 @@ def main() -> None:
         _force(clf_mod.score_documents(docs, w))
     queries["quality_classifier"] = time_query(run_clf, "quality_classifier")
 
+    # round-5f legs: corpus-frequency boilerplate removal (digest-only
+    # frequency shuffle + broadcast anti join + per-doc reassembly) and
+    # mojibake repair (map-only Arrow kernel, the cleaning-pass shape)
+    from image_pdf_ocr_suite_spark.analytics import corpusprep as cp_mod
+
+    def run_flf():
+        lines = cp_mod.split_token_lines(docs, tokens_per_line=8)
+        _force(cp_mod.frequent_line_filter(lines, min_docs=2))
+    queries["frequent_line_filter"] = time_query(
+        run_flf, "frequent_line_filter")
+    queries["fix_mojibake"] = time_query(
+        lambda: _force(cp_mod.fix_mojibake(docs)), "fix_mojibake")
+
     docs_per_sec = round(n_docs / queries["ocr_extract"], 2)
     print(json.dumps({
         "metric": "extract_docs_per_sec",
