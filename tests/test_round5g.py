@@ -1,0 +1,160 @@
+"""Round-5g operators: trained language-ID classifier, URL quality
+filter, compression-ratio quality signal."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_pdf_ocr_suite_spark.analytics import corpusprep, langclf
+
+
+# ---------------------------------------------------------------------------
+# trained language-ID classifier
+# ---------------------------------------------------------------------------
+
+LANG_SAMPLES = {
+    "en": "the cat and the dog were in the house for the winter and it was",
+    "de": "der hund und die katze sind nicht in dem haus mit einem kind",
+    "fr": "le chien et le chat sont dans la maison pour les enfants et des",
+}
+
+
+def _mk_rows(n_per_lang: int = 12):
+    rows, i = [], 0
+    for lang, base in LANG_SAMPLES.items():
+        for k in range(n_per_lang):
+            rows.append((i, f"{base} variant {k} extra words here", lang))
+            i += 1
+    return rows
+
+
+def test_langid_train_is_deterministic_and_learns():
+    rows = _mk_rows()
+    train = [(t, y) for _i, t, y in rows]
+    c1, w1 = langclf.replay_train(train)
+    c2, w2 = langclf.replay_train(train)
+    assert c1 == c2 == sorted(LANG_SAMPLES)
+    assert (w1 == w2).all()
+    scores = langclf.replay_scores(rows, c1, w1)
+    acc = sum(v[2] for v in scores.values()) / len(rows)
+    assert acc == 1.0  # fully separable marker vocabularies
+
+
+def test_langid_spark_scoring_matches_replay_bitwise(spark):
+    rows = _mk_rows()
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    classes, w = langclf.train_langid(df, ref_mod=1)
+    # driver-side replay trains over the id-ordered slice — same rows
+    c2, w2 = langclf.replay_train([(t, y) for _i, t, y in rows])
+    assert classes == c2 and (w == w2).all()
+    got = {r["doc_id"]: (r["pred_lang"], r["score_q"], r["correct"])
+           for r in langclf.score_langid(df, classes, w).collect()}
+    exp = langclf.replay_scores(rows, classes, w)
+    assert got == exp
+
+
+def test_langid_edge_rows(spark):
+    rows = [(0, LANG_SAMPLES["en"], "en"), (1, LANG_SAMPLES["de"], "de"),
+            (2, "ab", "en"),      # shorter than one trigram: bias-only
+            (3, "", "en"),        # empty
+            (4, LANG_SAMPLES["en"], None)]   # unlabeled: correct = 0
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    classes, w = langclf.train_langid(df, ref_mod=1)
+    out = {r["doc_id"]: r for r in langclf.score_langid(df, classes, w)
+           .collect()}
+    assert len(out) == 5
+    # bias-only rows share one prediction (no feature signal)
+    assert out[2]["pred_lang"] == out[3]["pred_lang"]
+    assert out[4]["correct"] == 0 and out[4]["true_lang"] is None
+    # unlabeled rows are excluded from training
+    assert classes == ["de", "en"]
+
+
+def test_langid_training_slice_is_label_filtered(spark):
+    rows = [(0, LANG_SAMPLES["en"], "en"), (5, LANG_SAMPLES["de"], "de"),
+            (10, LANG_SAMPLES["fr"], None), (3, LANG_SAMPLES["fr"], "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # ref_mod=5 keeps ids 0,5,10; the NULL-label row 10 must drop out
+    classes, _w = langclf.train_langid(df, ref_mod=5)
+    assert classes == ["de", "en"]
+
+
+def test_langid_scoring_plan_is_map_only(spark):
+    rows = _mk_rows()
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    classes, w = langclf.train_langid(df, ref_mod=1)
+    plan = langclf.score_langid(df, classes, w) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# URL quality filter
+# ---------------------------------------------------------------------------
+
+URL_CASES = [
+    (0, "https://badsite.example/x", "blocked_domain"),        # exact host
+    (1, "https://dl.badsite.example/x", "blocked_domain"),     # subdomain
+    (2, "HTTPS://WWW.SPAM.EXAMPLE.ORG/x", "blocked_domain"),   # case+www
+    (3, "https://ok.example.com/free-casino/x", "score_reject"),  # 65 >= 50
+    (4, "https://ok.example.com/free-download/x", "keep"),        # 15 < 50
+    (5, "https://notbadsite.example.xyz/x", "keep"),   # suffix needs a dot
+    (6, "plain text no scheme casino poker", "score_reject"),  # unparseable
+    (7, "https://clean.example.com/docs/1", "keep"),
+    (8, "https://poker.badsite.example/casino", "blocked_domain"),  # both
+]
+
+
+def test_url_filter_verdict_matrix(spark):
+    df = spark.createDataFrame([(i, u) for i, u, _v in URL_CASES],
+                               "doc_id long, url string")
+    out = {r["doc_id"]: r for r in
+           corpusprep.url_quality_filter(df).collect()}
+    for i, _u, verdict in URL_CASES:
+        assert out[i]["verdict"] == verdict, (i, out[i])
+    # host parsing details
+    assert out[2]["host"] == "spam.example.org"       # lowercased, www cut
+    assert out[6]["host"] is None                     # unparseable
+    assert out[6]["kw_score"] == 105                  # casino+poker on raw
+    assert out[8]["kw_score"] == 105                  # blocklist wins anyway
+
+
+def test_url_filter_plan_is_map_only(spark):
+    df = spark.createDataFrame([(1, "https://a.example.com/x")],
+                               "doc_id long, url string")
+    plan = corpusprep.url_quality_filter(df) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio quality signal
+# ---------------------------------------------------------------------------
+
+def test_compression_ratio_separates_repetitive_text(spark):
+    prose = ("the quick brown fox jumps over one lazy dog while seventeen "
+             "violinists argue about baroque ornamentation in the rain")
+    spammy = "buy now " * 40
+    rows = [(0, prose), (1, spammy), (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           corpusprep.compression_ratio(df).collect()}
+    assert out[1]["ratio_bp"] < out[0]["ratio_bp"]
+    for i, t in rows[:2]:
+        assert out[i]["raw_len"] == len(t.encode("utf-8"))
+        assert out[i]["comp_len"] == len(zlib.compress(t.encode("utf-8"), 6))
+        assert out[i]["ratio_bp"] == \
+            (10000 * out[i]["comp_len"]) // out[i]["raw_len"]
+    assert out[2]["raw_len"] == 0 and out[2]["ratio_bp"] is None
+    assert out[3]["raw_len"] is None and out[3]["ratio_bp"] is None
+
+
+def test_compression_ratio_cjk_bytes_not_chars(spark):
+    jp = "日本語のテキストです。" * 3
+    df = spark.createDataFrame([(0, jp)], "doc_id long, text string")
+    row = corpusprep.compression_ratio(df).collect()[0]
+    assert row["raw_len"] == len(jp.encode("utf-8"))  # 3 bytes per char
+    assert row["raw_len"] > len(jp)
