@@ -283,6 +283,23 @@ def main() -> None:
     queries["fix_mojibake"] = time_query(
         lambda: _force(cp_mod.fix_mojibake(docs)), "fix_mojibake")
 
+    # round-5g legs: trained lang-ID (driver-side softmax training on
+    # the bounded labeled slice + broadcast-weights map-only scoring —
+    # times train + score) and the deflate-ratio quality kernel
+    from image_pdf_ocr_suite_spark.analytics import langclf as lid_mod
+
+    import __spark_entry__ as entry_mod
+
+    def run_langid():
+        marked = docs.select(
+            "doc_id", entry_mod._synth_lang_text_expr().alias("text"),
+            "lang")
+        classes, w = lid_mod.train_langid(marked)
+        _force(lid_mod.score_langid(marked, classes, w))
+    queries["langid_trained"] = time_query(run_langid, "langid_trained")
+    queries["compression_ratio"] = time_query(
+        lambda: _force(cp_mod.compression_ratio(docs)), "compression_ratio")
+
     docs_per_sec = round(n_docs / queries["ocr_extract"], 2)
     print(json.dumps({
         "metric": "extract_docs_per_sec",
