@@ -576,3 +576,132 @@ def video_frame_features(df, every_n: int = 30, video_col: str = "video",
     return df.select(df[id_col].cast("string").alias("id"),
                      df[video_col].alias("video")) \
              .mapInPandas(kernel, schema=VIDEO_FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (dHash) + Hamming-banded near-dup pairs
+# ---------------------------------------------------------------------------
+
+DHASH_SIZE = 8
+
+
+def dhash_from_array(arr, hash_size: int = DHASH_SIZE) -> int:
+    """64-bit difference hash (dHash — the standard perceptual image
+    fingerprint: Krawetz 2013) of a decoded raster, ALL-INTEGER so the
+    value is bit-identical cross-run and SQL-pinnable: integer ITU-601
+    luma ``(299R+587G+114B)//1000``, integral-image block means with
+    floor division over a ``(hash_size+1)×hash_size`` grid (floor cell
+    boundaries ``i·w//(hash_size+1)``), strict ``>`` on horizontally
+    adjacent cell means, bits packed row-major, returned as signed
+    int64 (two's complement).  Single spelling shared by the Spark
+    kernel and the oracle replay."""
+    import numpy as np
+
+    if arr.ndim == 3 and arr.shape[2] >= 3:
+        a = arr.astype(np.int64)
+        g = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+    elif arr.ndim == 3:                                  # gray+alpha
+        g = arr[..., 0].astype(np.int64)
+    else:
+        g = arr.astype(np.int64)
+    h, w = g.shape
+    if h < hash_size or w < hash_size + 1:
+        raise ValueError(
+            f"raster {w}x{h} smaller than the {hash_size + 1}x{hash_size} "
+            f"dhash grid")
+    s = np.zeros((h + 1, w + 1), dtype=np.int64)
+    s[1:, 1:] = g.cumsum(0).cumsum(1)
+    xs = [i * w // (hash_size + 1) for i in range(hash_size + 2)]
+    ys = [j * h // hash_size for j in range(hash_size + 1)]
+    bits = 0
+    for r in range(hash_size):
+        y0, y1 = ys[r], ys[r + 1]
+        means = []
+        for c in range(hash_size + 1):
+            x0, x1 = xs[c], xs[c + 1]
+            cell = s[y1, x1] - s[y0, x1] - s[y1, x0] + s[y0, x0]
+            means.append(int(cell) // ((y1 - y0) * (x1 - x0)))
+        for c in range(hash_size):
+            bits = (bits << 1) | (1 if means[c] > means[c + 1] else 0)
+    if bits >= 1 << 63:
+        bits -= 1 << 64                                  # signed int64
+    return bits
+
+
+IMAGE_DHASH_SCHEMA = "id string, dhash bigint, err string"
+
+
+def image_dhash(df, image_col: str = "image", id_col: str = "id"):
+    """(id, image binary) → (id, dhash, err): perceptual 64-bit dHash
+    via the same dependency-free decoders as ``image_features``.
+    Undecodable or sub-grid payloads report ``err`` instead of failing
+    the task (the quarantine contract).  Arrow kernel, map-only — the
+    hash rides the scan; downstream dedup shuffles 8-byte hashes, never
+    pixels, which is what makes image-level dedup tractable at 10^12
+    documents."""
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, raw in zip(pdf["id"], pdf["image"]):
+                if raw is None:
+                    rows.append((rid, None, "null_payload"))
+                    continue
+                try:
+                    rows.append(
+                        (rid, dhash_from_array(decode_image(bytes(raw))),
+                         None))
+                except (NotImplementedError, ValueError) as e:
+                    rows.append((rid, None, type(e).__name__))
+            if rows:
+                # nullable Int64, NOT the float64 a mixed None+int column
+                # infers — 64-bit hashes do not round-trip through double
+                yield pd.DataFrame({
+                    "id": [r[0] for r in rows],
+                    "dhash": pd.array([r[1] for r in rows], dtype="Int64"),
+                    "err": [r[2] for r in rows]})
+
+    return df.select(df[id_col].cast("string").alias("id"),
+                     df[image_col].alias("image")) \
+             .mapInPandas(kernel, schema=IMAGE_DHASH_SCHEMA)
+
+
+def image_near_dup_pairs(hashes, id_col: str = "id",
+                         hash_col: str = "dhash", max_hamming: int = 3,
+                         n_bands: int = 4):
+    """Near-duplicate image pairs within ``max_hamming`` bits of dHash
+    — the pigeonhole band-LSH shape of dedup.simhash_near_pairs applied
+    to the perceptual hash: any pair ≤ max_hamming < n_bands bits apart
+    agrees on at least one whole 16-bit band, so candidates = pairs
+    sharing a band value (a tiny (band, value, id) shuffle; pixels
+    never move), verified with an exact JVM-side popcount.  Returns
+    (id_a, id_b, hamming)."""
+    from pyspark.sql import functions as F
+
+    assert max_hamming < n_bands, "pigeonhole requires max_hamming < n_bands"
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    src = hashes.where(F.col(hash_col).isNotNull())
+    bands = [
+        F.shiftright(F.col(hash_col), i * width)
+         .bitwiseAND(F.lit(mask)).alias("bv")
+        for i in range(n_bands)
+    ]
+    sig = src.select(
+        F.col(id_col), F.col(hash_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"), b) for i, b in enumerate(bands)
+        ])).alias("bb"),
+    ).select(id_col, hash_col, "bb.band", "bb.bv")
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (a.join(b, ["band", "bv"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col(f"a.{hash_col}").alias("h_a"),
+                    F.col(f"b.{hash_col}").alias("h_b"))
+            .distinct())
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")) \
+               .where(F.col("hamming") <= max_hamming)

@@ -504,3 +504,43 @@ def adversarial_html_cases() -> list[tuple[str, str, str]]:
          "&quot;twenty&quot; &#8364; in the market today</p></body></html>",
          'salt & pepper <tags> cost "twenty" € in the market today'),
     ]
+
+
+def dhash_gray_rows(doc_id: int):
+    """Deterministic 72x64 gray raster for the perceptual-hash queries:
+    documents in the same group (doc_id // 4) share an 8px-cell base
+    pattern; the variant (doc_id % 4) brightens ``variant`` cells by 96
+    (mod 256) — measured within-group dHash Hamming <= 2 and, on the
+    32-id test slice, cross-group >= 13, so max_hamming=3 banding
+    finds the planted groups there (at 200 ids a few modular pattern
+    aliases also come within range; the exhaustive oracles count
+    them identically).  Shared by the Spark fixture payload and the
+    oracle's Python replay."""
+    import numpy as np
+
+    group, variant = doc_id // 4, doc_id % 4
+    w, h = 72, 64
+    xc = (np.arange(w) // 8) * 17
+    yc = (np.arange(h) // 8) * 29
+    img = (np.add.outer(yc, xc) * (group + 3)) % 256
+    for k in range(variant):
+        cx, cy = k % 8, k // 8
+        img[cy * 8:(cy + 1) * 8, cx * 8:(cx + 1) * 8] = \
+            (img[cy * 8:(cy + 1) * 8, cx * 8:(cx + 1) * 8] + 96) % 256
+    return img.astype(np.uint8)
+
+
+def dhash_image_payload_for(doc_id: int) -> bytes | None:
+    """doc_id → gradient image payload for the dHash queries: PGM gray
+    by default; every third group encodes the SAME raster as P6 RGB
+    with R=G=B (integer ITU-601 luma of (v,v,v) is exactly v, so the
+    hash is format-stable — asserted in test_round5g); doc_id % 31 == 30
+    → null payload (err-row contract)."""
+    if doc_id % 31 == 30:
+        return None
+    rows = dhash_gray_rows(doc_id)
+    h, w = rows.shape
+    if (doc_id // 4) % 3 == 1:
+        rgb = rows.repeat(3).tobytes()
+        return b"P6 %d %d 255\n" % (w, h) + rgb
+    return b"P5 %d %d 255\n" % (w, h) + rows.tobytes()

@@ -158,3 +158,72 @@ def test_compression_ratio_cjk_bytes_not_chars(spark):
     row = corpusprep.compression_ratio(df).collect()[0]
     assert row["raw_len"] == len(jp.encode("utf-8"))  # 3 bytes per char
     assert row["raw_len"] > len(jp)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hash + image near-dup
+# ---------------------------------------------------------------------------
+
+def test_dhash_ramp_hand_checks():
+    import numpy as np
+    from image_pdf_ocr_suite_spark.analytics.multimodal import (
+        dhash_from_array)
+    inc = np.tile(np.arange(9, dtype=np.uint8) * 20, (8, 1))
+    dec = inc[:, ::-1].copy()
+    assert dhash_from_array(inc) == 0          # left<right everywhere
+    assert dhash_from_array(dec) == -1         # all 64 bits set (signed)
+    with pytest.raises(ValueError):
+        dhash_from_array(np.zeros((4, 4), dtype=np.uint8))
+
+
+def test_dhash_format_stable_and_quarantine(spark):
+    from image_pdf_ocr_suite_spark.analytics import multimodal
+    from image_pdf_ocr_suite_spark.fixtures import (
+        dhash_gray_rows, dhash_image_payload_for)
+    rows = dhash_gray_rows(7)
+    h, w = rows.shape
+    p5 = b"P5 %d %d 255\n" % (w, h) + rows.tobytes()
+    p6 = b"P6 %d %d 255\n" % (w, h) + rows.repeat(3).tobytes()
+    df = spark.createDataFrame(
+        [("gray", bytearray(p5)), ("rgb", bytearray(p6)),
+         ("null", None), ("junk", bytearray(b"GIF89a" + bytes(64))),
+         ("tiny", bytearray(b"P5 4 4 255\n" + bytes(16)))],
+        "id string, image binary")
+    out = {r["id"]: r for r in multimodal.image_dhash(df).collect()}
+    assert out["gray"]["dhash"] == out["rgb"]["dhash"]  # luma(v,v,v) == v
+    assert out["gray"]["err"] is None
+    assert out["null"]["err"] == "null_payload"
+    assert out["junk"]["err"] == "NotImplementedError"
+    assert out["tiny"]["err"] == "ValueError"
+    # the replay never decodes bytes — decoder round-trip cross-check
+    from image_pdf_ocr_suite_spark.analytics.multimodal import (
+        dhash_from_array)
+    assert out["gray"]["dhash"] == dhash_from_array(rows)
+    assert dhash_image_payload_for(30) is None            # %31 null row
+
+
+def test_image_near_dup_recovers_planted_groups(spark):
+    import itertools
+    from image_pdf_ocr_suite_spark.analytics import multimodal
+    from image_pdf_ocr_suite_spark.analytics.multimodal import (
+        dhash_from_array)
+    from image_pdf_ocr_suite_spark.fixtures import (
+        dhash_gray_rows, dhash_image_payload_for)
+    ids = [i for i in range(32) if dhash_image_payload_for(i) is not None]
+    df = spark.createDataFrame(
+        [(str(i), bytearray(dhash_image_payload_for(i))) for i in ids],
+        "id string, image binary")
+    hashes = multimodal.image_dhash(df)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in multimodal.image_near_dup_pairs(hashes).collect()}
+    # brute-force ground truth (pigeonhole losslessness at <= 3 bits)
+    hs = {str(i): dhash_from_array(dhash_gray_rows(i)) for i in ids}
+    exp = {}
+    for a, b in itertools.combinations(sorted(hs), 2):
+        d = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+        if d <= 3:
+            exp[(a, b)] = d
+    assert got == exp
+    # the planted structure is non-trivial: pairs exist, all within-group
+    assert got
+    assert all(int(a) // 4 == int(b) // 4 for a, b in got)
