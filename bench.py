@@ -300,6 +300,34 @@ def main() -> None:
     queries["compression_ratio"] = time_query(
         lambda: _force(cp_mod.compression_ratio(docs)), "compression_ratio")
 
+    # round-5h leg: perceptual image dedup — dHash Arrow kernel over the
+    # repo's own PGM/PPM decoders + pigeonhole 16-bit-band LSH pairs
+    # with exact bit_count verify.  4096 images (the first 16 multiplier
+    # repeats of the fixture pattern, so alias families keep the pair
+    # count bounded); only 8-byte hashes ride the shuffle.
+    from image_pdf_ocr_suite_spark.analytics import multimodal as mm_mod
+    from image_pdf_ocr_suite_spark.fixtures import dhash_image_payload_for
+
+    def _dhash_bench_df():
+        import pandas as pd
+
+        d = docs.select("doc_id").where(F.col("doc_id") < 4096) \
+                .repartition(CPUS)
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf):
+                    ids = [int(x) for x in pdf["doc_id"]]
+                    yield pd.DataFrame({
+                        "id": [str(i) for i in ids],
+                        "image": [dhash_image_payload_for(i) for i in ids]})
+        return d.mapInPandas(gen, schema="id string, image binary")
+
+    def run_image_dedup():
+        hashes = mm_mod.image_dhash(_dhash_bench_df())
+        _force(mm_mod.image_near_dup_pairs(hashes))
+    queries["image_near_dup"] = time_query(run_image_dedup, "image_near_dup")
+
     docs_per_sec = round(n_docs / queries["ocr_extract"], 2)
     print(json.dumps({
         "metric": "extract_docs_per_sec",
