@@ -1,0 +1,112 @@
+"""Quality-funnel composition (analytics/funnel.py): attrition
+arithmetic, first-reject attribution, and the sequential-filter
+equivalence the docstring promises."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_pdf_ocr_suite_spark.analytics import funnel
+from image_pdf_ocr_suite_spark.analytics import corpusprep
+from image_pdf_ocr_suite_spark.analytics import text as textops
+
+
+def _docs(spark):
+    """Hand-built corpus hitting every stage: doc 1 keeps, 2 fails the
+    URL gate, 3 fails lang, 4 fails gopher (short), 5 fails compression
+    (repetitive), 6 is contaminated, 7 fails BOTH url and gopher (must
+    count once, at url)."""
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "the dog turns around to have a look at the fox with "
+            "great interest because that is what dogs do every day "
+            "when they meet a fox that has jumped over them and "
+            "fifty more words of plain english text that have the "
+            "usual mix of short and long words with sensible length "
+            "and structure to pass the gopher rules easily today "
+            "indeed my friends this text is long enough now yes")
+    rows = [
+        (1, "https://news.example.org/a", good + " unique one."),
+        (2, "https://downloads.badsite.example/x", good + " unique two."),
+        (3, "https://ok.example.org/b", "voila un texte sans mots anglais "
+            "frequents vraiment tres long pour rien du tout ici bas"),
+        (4, "https://ok.example.org/c", "the short one that we have with."),
+        (5, "https://ok.example.org/d", good + " " + "spam spam " * 200),
+        (6, "https://ok.example.org/e",
+         "every held out row needs its own long and fully distinct "
+         "body of plain english prose because any shared five gram "
+         "with the training corpus would mark other documents as "
+         "contaminated too and that is not what this fixture wants "
+         "to exercise here so these fifty or more words have been "
+         "written to be different from the good text in every single "
+         "window while still passing the gopher rules with the usual "
+         "stop words that sentences have with them in normal prose"),
+        (7, "https://downloads.badsite.example/y", "the tiny have with."),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, url string, text string")
+
+
+def test_funnel_attrition_arithmetic(spark):
+    d = _docs(spark)
+    test = d.where(F.col("doc_id") == 6).select("doc_id", "url", "text")
+    out = {r["stage"]: r for r in
+           funnel.quality_funnel(d, test_df=test).collect()}
+    assert [out[s]["stage_ord"] for s in funnel.FUNNEL_STAGES] == [1, 2, 3, 4, 5]
+    # chain invariant: n_out(k) == n_in(k+1), n_in - n_rejected == n_out
+    for i, s in enumerate(funnel.FUNNEL_STAGES):
+        assert out[s]["n_in"] - out[s]["n_rejected"] == out[s]["n_out"]
+        if i:
+            assert out[funnel.FUNNEL_STAGES[i - 1]]["n_out"] == out[s]["n_in"]
+    assert out["url_filter"]["n_in"] == 7
+    assert out["url_filter"]["n_rejected"] == 2        # docs 2 and 7
+    assert out["lang_id"]["n_rejected"] == 1           # doc 3
+    assert out["gopher"]["n_rejected"] == 1            # doc 4 (7 already gone)
+    assert out["compression"]["n_rejected"] == 1       # doc 5
+    assert out["decontaminate"]["n_rejected"] == 1     # doc 6 (self-hit)
+    assert out["decontaminate"]["n_out"] == 1          # doc 1 admitted
+
+
+def test_funnel_matches_sequential_filters(spark):
+    """First-reject attribution == literally running the gates as
+    sequential filters on survivor sets."""
+    d = _docs(spark)
+    out = {r["stage"]: r for r in funnel.quality_funnel(d).collect()}
+
+    ids = set(r["doc_id"] for r in d.select("doc_id").collect())
+    u = {r["doc_id"]: r["verdict"]
+         for r in corpusprep.url_quality_filter(d).collect()}
+    l = {r["doc_id"]: r["pred_lang"] for r in textops.lang_id(d).collect()}
+    g = {r["doc_id"]: r["gopher_pass"]
+         for r in textops.gopher_quality(d).collect()}
+    c = {r["doc_id"]: r["ratio_bp"]
+         for r in corpusprep.compression_ratio(d).collect()}
+    gates = [
+        ("url_filter", lambda i: u[i] != "keep"),
+        ("lang_id", lambda i: l[i] != "en"),
+        ("gopher", lambda i: g[i] == 0),
+        ("compression", lambda i: c[i] is None or not 4300 <= c[i] <= 9000),
+        ("decontaminate", lambda i: False),            # no test_df passed
+    ]
+    surv = set(ids)
+    for name, rej in gates:
+        dropped = {i for i in surv if rej(i)}
+        assert out[name]["n_in"] == len(surv), name
+        assert out[name]["n_rejected"] == len(dropped), name
+        surv -= dropped
+        assert out[name]["n_out"] == len(surv), name
+
+
+def test_funnel_no_test_df_stage5_zero(spark):
+    d = _docs(spark)
+    out = {r["stage"]: r for r in funnel.quality_funnel(d).collect()}
+    assert out["decontaminate"]["n_rejected"] == 0
+
+
+def test_funnel_plan_single_data_shuffle(spark):
+    """The only data-sized exchange is the (id, stage, rej) triple
+    shuffle; text gates stay map-only over the scans (no join on the
+    document side before aggregation)."""
+    d = _docs(spark)
+    plan = funnel.quality_funnel(d)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "Union" in plan
