@@ -328,6 +328,13 @@ def main() -> None:
         _force(mm_mod.image_near_dup_pairs(hashes))
     queries["image_near_dup"] = time_query(run_image_dedup, "image_near_dup")
 
+    # round-5h leg: the composed corpus-admission funnel (url gate ->
+    # lang-ID -> Gopher -> compression bounds -> decontamination) —
+    # five map-only gates, one (id, stage, rej) integer shuffle
+    queries["quality_funnel"] = time_query(
+        lambda: _force(entrymod.q_quality_funnel(spark, SF_DIR)),
+        "quality_funnel")
+
     docs_per_sec = round(n_docs / queries["ocr_extract"], 2)
     print(json.dumps({
         "metric": "extract_docs_per_sec",
