@@ -705,3 +705,78 @@ def image_near_dup_pairs(hashes, id_col: str = "id",
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return cand.select("id_a", "id_b", hamming.alias("hamming")) \
                .where(F.col("hamming") <= max_hamming)
+
+
+VIDEO_DHASH_SCHEMA = "id string, frame_idx int, dhash bigint, err string"
+
+
+def video_dhash(df, every_n: int = 1, video_col: str = "video",
+                id_col: str = "id"):
+    """(id, video binary) → (id, frame_idx, dhash, err): per-sampled-
+    frame perceptual dHash via ``sample_frames`` (SVID container; real
+    codecs behind the documented ffmpeg seam → err rows) and the same
+    all-integer ``dhash_from_array`` the image path uses.  Arrow
+    kernel, map-only; downstream video dedup joins 8-byte frame hashes
+    — pixels never ride a shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, raw in zip(pdf["id"], pdf["video"]):
+                if raw is None:
+                    rows.append((rid, -1, None, "null_payload"))
+                    continue
+                try:
+                    frames = sample_frames(bytes(raw), every_n)
+                    for idx, frame in frames:
+                        rows.append(
+                            (rid, idx, dhash_from_array(frame), None))
+                except (NotImplementedError, ValueError) as e:
+                    rows.append((rid, -1, None, type(e).__name__))
+            if rows:
+                yield pd.DataFrame({
+                    "id": [r[0] for r in rows],
+                    "frame_idx": np.array([r[1] for r in rows],
+                                          dtype=np.int32),
+                    "dhash": pd.array([r[2] for r in rows], dtype="Int64"),
+                    "err": [r[3] for r in rows]})
+
+    return df.select(df[id_col].cast("string").alias("id"),
+                     df[video_col].alias("video")) \
+             .mapInPandas(kernel, schema=VIDEO_DHASH_SCHEMA)
+
+
+def video_near_dup_pairs(frame_hashes, min_shared: int = 2,
+                         max_hash_freq: int | None = None,
+                         id_col: str = "id", hash_col: str = "dhash"):
+    """Near-duplicate video pairs: videos sharing at least
+    ``min_shared`` DISTINCT frame dHashes (the keyframe-fingerprint
+    shape of content-ID systems).  Candidates come from an exact
+    self-join on the 8-byte hash, so only (hash, id) pairs shuffle.
+
+    ``max_hash_freq`` is the boilerplate-frame guard: a hash carried
+    by more than that many videos (black/white/intro cards — the
+    video analog of stop-grams) is dropped from candidate generation,
+    bounding the worst hash bucket's join fan-out at
+    ``max_hash_freq²``; the frequency count is a window over the same
+    hash partitioning the self-join uses, so Catalyst reuses one
+    exchange.  Returns (id_a, id_b, n_shared)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = (frame_hashes.where(F.col(hash_col).isNotNull())
+         .select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+         .distinct())
+    if max_hash_freq is not None:
+        d = d.withColumn(
+            "__nv", F.count("*").over(Window.partitionBy("h"))) \
+             .where(F.col("__nv") <= max_hash_freq).drop("__nv")
+    a, b = d.alias("a"), d.alias("b")
+    return (a.join(b, "h")
+            .where(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+            .agg(F.count("*").cast("bigint").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))

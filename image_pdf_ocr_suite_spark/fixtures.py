@@ -544,3 +544,36 @@ def dhash_image_payload_for(doc_id: int) -> bytes | None:
         rgb = rows.repeat(3).tobytes()
         return b"P6 %d %d 255\n" % (w, h) + rgb
     return b"P5 %d %d 255\n" % (w, h) + rows.tobytes()
+
+
+def dhash_video_frames(vid: int):
+    """Deterministic 6-frame 72x64 raster list for the video near-dup
+    queries.  Videos in the same trio (vid // 3) share the base
+    patterns of frames 0-4 except the variant's own slot (vid % 3),
+    which is replaced by a variant-unique pattern — so any two trio
+    members share exactly 3 patterned frames.  Frame 5 is all-zero for
+    EVERY video: the boilerplate "black frame" whose dHash the
+    frequency cap in video_near_dup_pairs must drop.  Shared by the
+    Spark fixture payload and the oracle's Python replay."""
+    import numpy as np
+
+    g, v = vid // 3, vid % 3
+    frames = []
+    for f in range(5):
+        key = 16 * g + (8 + v if f == v else f)
+        frames.append(dhash_gray_rows(key))
+    frames.append(np.zeros((64, 72), dtype=np.uint8))
+    return frames
+
+
+def dhash_video_payload_for(vid: int) -> bytes | None:
+    """vid → SVID payload carrying dhash_video_frames(vid);
+    vid % 17 == 13 → null payload (err-row contract)."""
+    import struct
+
+    if vid % 17 == 13:
+        return None
+    frames = dhash_video_frames(vid)
+    h, w = frames[0].shape
+    head = (b"SVID" + bytes([1]) + struct.pack("<HHH", w, h, len(frames)))
+    return head + b"".join(f.tobytes() for f in frames)

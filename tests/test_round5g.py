@@ -227,3 +227,51 @@ def test_image_near_dup_recovers_planted_groups(spark):
     # the planted structure is non-trivial: pairs exist, all within-group
     assert got
     assert all(int(a) // 4 == int(b) // 4 for a, b in got)
+
+
+def test_video_dhash_frames_and_errs(spark):
+    from image_pdf_ocr_suite_spark.analytics import multimodal
+    from image_pdf_ocr_suite_spark.analytics.multimodal import (
+        dhash_from_array)
+    from image_pdf_ocr_suite_spark.fixtures import (
+        dhash_video_frames, dhash_video_payload_for)
+    rows = [(str(i), dhash_video_payload_for(i)) for i in (0, 1, 13)]
+    rows.append(("junk", bytearray(b"\x00\x00\x00\x20ftypmp42" + bytes(16))))
+    df = spark.createDataFrame(
+        [(i, bytearray(p) if p is not None else None) for i, p in rows],
+        "id string, video binary")
+    out = multimodal.video_dhash(df).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    assert len(by_id["0"]) == 6 and all(r["err"] is None for r in by_id["0"])
+    assert by_id["13"][0]["err"] == "null_payload"
+    assert by_id["junk"][0]["err"] == "NotImplementedError"  # codec seam
+    # frame hashes replay from the raster, never the container
+    exp = [dhash_from_array(a) for a in dhash_video_frames(0)]
+    got = [r["dhash"] for r in sorted(by_id["0"], key=lambda r: r["frame_idx"])]
+    assert got == exp
+    assert got[5] == 0                       # the all-zero boilerplate frame
+
+
+def test_video_near_dup_trios_and_frequency_cap(spark):
+    from pyspark.sql import functions as F
+    from image_pdf_ocr_suite_spark.analytics import multimodal
+    from image_pdf_ocr_suite_spark.fixtures import dhash_video_payload_for
+    ids = [i for i in range(12) if dhash_video_payload_for(i) is not None]
+    df = spark.createDataFrame(
+        [(str(i), bytearray(dhash_video_payload_for(i))) for i in ids],
+        "id string, video binary")
+    hashes = multimodal.video_dhash(df)
+    # capped: only within-trio pairs, >= 3 shared patterned frames
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in multimodal.video_near_dup_pairs(
+               hashes, min_shared=2, max_hash_freq=8).collect()}
+    assert got and all(int(a) // 3 == int(b) // 3 for a, b in got)
+    assert all(n >= 3 for n in got.values())
+    # uncapped at min_shared=1: the shared all-zero frame links
+    # EVERY video pair — exactly what the boilerplate guard prevents
+    uncapped = multimodal.video_near_dup_pairs(
+        hashes, min_shared=1, max_hash_freq=None).count()
+    n = len(ids)
+    assert uncapped == n * (n - 1) // 2
