@@ -328,6 +328,12 @@ def main() -> None:
         _force(mm_mod.image_near_dup_pairs(hashes))
     queries["image_near_dup"] = time_query(run_image_dedup, "image_near_dup")
 
+    # round-5h leg: video near-dup over per-frame perceptual hashes
+    # (exact 8-byte-hash self-join + boilerplate-frame frequency cap)
+    queries["video_near_dup"] = time_query(
+        lambda: _force(entrymod.q_video_near_dup(spark, SF_DIR)),
+        "video_near_dup")
+
     # round-5h leg: the composed corpus-admission funnel (url gate ->
     # lang-ID -> Gopher -> compression bounds -> decontamination) —
     # five map-only gates, one (id, stage, rej) integer shuffle
