@@ -124,6 +124,10 @@ def decontaminate_ngrams(corpus: DataFrame, test: DataFrame | None = None,
     ``test_grams`` table instead of ``test`` when probing repeatedly."""
     if (test is None) == (test_grams is None):
         raise ValueError("pass exactly one of test / test_grams")
+    if impl == "probe":
+        if test is None:
+            raise ValueError("impl='probe' needs the raw test frame")
+        return _decontaminate_probe(corpus, test, n, text_col, id_col)
     cg = _ngram_hashes(corpus, n, text_col, id_col, impl=impl)
     tg = (test_grams if test_grams is not None
           else test_gram_table(test, n, text_col, id_col, impl=impl))
@@ -135,6 +139,60 @@ def decontaminate_ngrams(corpus: DataFrame, test: DataFrame | None = None,
               .select(F.col(id_col), F.col("__h")).distinct()
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared")))
+
+
+def _decontaminate_probe(corpus: DataFrame, test: DataFrame, n: int,
+                         text_col: str, id_col: str) -> DataFrame:
+    """``impl='probe'``: zero corpus-side hashing.  The held-out set's
+    RAW grams are built driver-side (bounded by the same broadcast-size
+    contract as the md5 join path — the IVF-quantizer bounded-collect
+    device) and shipped once per executor via ``sc.broadcast``; the
+    corpus kernel counts distinct shared grams per document with C-speed
+    set membership, guarded by a FIRST-TOKEN prefilter so the vast
+    majority of corpus positions never even materialize a gram string.
+    Output is row-identical to the md5 path (exact string matching both
+    ways — the funnel-scaling profile measured the md5 kernel as the
+    funnel's floor stage, BENCH/BASELINE.md 2026-08-18; this path
+    removes it).  Still one tiny aggregate-free map stage: each doc's
+    count is complete within its row."""
+    import pandas as pd
+
+    gram_set: set[str] = set()
+    # bounded driver-side pass over the (broadcast-sized) held-out set
+    for row in test.select(text_col).collect():
+        t = row[0]
+        if not isinstance(t, str) or not t:
+            continue
+        toks = [x for x in t.split(" ") if x]
+        for j in range(len(toks) - n + 1):
+            gram_set.add(" ".join(toks[j:j + n]))
+    first_toks = frozenset(g.split(" ", 1)[0] for g in gram_set)
+    b = corpus.sparkSession.sparkContext.broadcast(
+        (frozenset(gram_set), first_toks))
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        grams, firsts = b.value
+        for pdf in batches:
+            ids, counts = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(t, str) or not t:
+                    continue
+                toks = [x for x in t.split(" ") if x]
+                if len(toks) < n:
+                    continue
+                hits = {g for j in range(len(toks) - n + 1)
+                        if toks[j] in firsts
+                        and (g := " ".join(toks[j:j + n])) in grams}
+                if hits:
+                    ids.append(i)
+                    counts.append(len(hits))
+            if ids:
+                yield pd.DataFrame({id_col: ids, "n_shared": counts})
+
+    return corpus.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, n_shared bigint")
 
 
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"

@@ -76,10 +76,14 @@ def funnel_verdicts(df: DataFrame, test_df: DataFrame | None = None,
                    | (F.col("ratio_bp") > max_ratio_bp))),
     ]
     if test_df is not None or test_grams is not None:
-        dec = corpusprep.decontaminate_ngrams(df, test_df, n=ngram_n,
-                                              text_col=text_col,
-                                              id_col=id_col,
-                                              test_grams=test_grams)
+        # raw test frame -> the zero-hash set-probe path (the md5 gram
+        # kernel was the funnel's measured floor stage — 0.76 per-stage
+        # scaling at 1M docs, BENCH/BASELINE.md 2026-08-18); precomputed
+        # md5 test_grams (the streaming twin) keep the join path
+        dec = corpusprep.decontaminate_ngrams(
+            df, test_df, n=ngram_n, text_col=text_col, id_col=id_col,
+            impl="probe" if test_grams is None else "arrow",
+            test_grams=test_grams)
         legs.append(leg(dec, 5, F.lit(True)))
 
     long = reduce(DataFrame.unionByName, legs)

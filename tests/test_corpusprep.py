@@ -56,6 +56,16 @@ def test_decontaminate_arrow_matches_catalyst(spark):
     c = sorted(map(tuple, corpusprep.decontaminate_ngrams(
         corpus, test, n=5, impl="catalyst").collect()))
     assert a == c and len(a) >= 2
+    # the zero-hash set-probe path (funnel-scaling floor-stage fix,
+    # BENCH/BASELINE.md 2026-08-18) is row-identical too
+    p = sorted(map(tuple, corpusprep.decontaminate_ngrams(
+        corpus, test, n=5, impl="probe").collect()))
+    assert p == a
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        corpusprep.decontaminate_ngrams(
+            corpus, n=5, impl="probe",
+            test_grams=corpusprep.test_gram_table(test, n=5))
 
 
 def test_decontaminate_precomputed_grams_and_arg_guard(spark):
