@@ -28,6 +28,9 @@ from image_pdf_ocr_suite_spark import ExtractConfig, extract_pages
 from image_pdf_ocr_suite_spark.analytics import (
     corpusprep, dedup, funnel, graph, multimodal, similarity, sketches,
     text as textops)
+from image_pdf_ocr_suite_spark.analytics import dsir as dsirmod
+from image_pdf_ocr_suite_spark.analytics import hll as hllmod
+from image_pdf_ocr_suite_spark.analytics import pq as pqmod
 from image_pdf_ocr_suite_spark.fixtures import build_pages_df
 
 CFG = ExtractConfig()
@@ -2761,6 +2764,194 @@ def _video_near_dup_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
         HAVING COUNT(*) >= 2"""
 
 
+# ---------------------------------------------------------------------------
+# round-5i: product-quantization ANN, HyperLogLog sketch, DSIR selection
+# ---------------------------------------------------------------------------
+
+def _query_vec(spark, sf_dir, vid: int = 0):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb, [float(x) for x in emb.where(F.col("vec_id") == vid)
+                 .select("embedding").head()[0]]
+
+
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (analytics/pq.py; Jégou et al.
+    2011): 8 subspaces × 16 codes trained on the bounded deterministic
+    sample, Arrow encode (left-assoc distance contract), integer-LUT ADC
+    scan.  The oracle retrains identical codebooks driver-side and pins
+    the assignment chains + the same integer LUT — exact, ties included."""
+    emb, qvec = _query_vec(spark, sf_dir)
+    return pqmod.pq_topk(emb, qvec, k=10, m_sub=8, n_codes=16)
+
+
+_PQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_pq_topk_codes(spark, sf_dir):
+    """Same top-k from the MATERIALIZED PQ index: (id, codes, embedding)
+    parquet + codebook sidecar; the ADC pass reads ONLY (vec_id, codes)
+    — plan-asserted column pruning in tests/test_round5i.py, the 32×
+    scan-byte reduction that is PQ's whole point at 100 TB.  Same
+    codebooks, same LUT → same oracle as pq_topk."""
+    import tempfile
+    emb, qvec = _query_vec(spark, sf_dir)
+    path = _PQ_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="pq_index_") + "/index"
+        pqmod.pq_write_index(emb, path, m_sub=8, n_codes=16)
+        _PQ_INDEX_CACHE[sf_dir] = path
+    return pqmod.pq_topk_from_index(spark, path, qvec, k=10)
+
+
+def q_hll_distinct_trigrams(spark, sf_dir):
+    """Per-language distinct-trigram estimate via the from-scratch
+    HyperLogLog sketch (analytics/hll.py, p=10 → 1024 registers) — the
+    fixed-size sibling of kmv_distinct_trigrams over the same gram
+    stream.  Registers, harmonic sum, and the linear-counting regime are
+    all integer-exact (pinned LC table), so the DuckDB oracle matches
+    the estimate bit-for-bit and the accuracy itself is pytest-pinned."""
+    return hllmod.hll_distinct(_trigram_rows(spark, sf_dir), "gram",
+                               p=10, group_cols=["lang"])
+
+
+_DSIR_MODEL_CACHE: dict[str, object] = {}
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR importance selection (analytics/dsir.py; Xie et al. 2023):
+    hashed unigram+bigram bucket counts for the deterministic target
+    slice (doc_id % 7 == 0) vs the raw corpus, pinned log-ratio table,
+    map-only Arrow scoring, threshold at the target slice's own median
+    score.  (doc_id, score_e6, selected) for every document."""
+    docs = _t(spark, sf_dir, "documents")
+    model = _DSIR_MODEL_CACHE.get(sf_dir)
+    if model is None:
+        model = dsirmod.fit_dsir(docs, target_mod=7, n_buckets=1024,
+                                 frac=0.5)
+        _DSIR_MODEL_CACHE[sf_dir] = model
+    return dsirmod.dsir_select(docs, model)
+
+
+_PQ_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _pq_topk_oracle(k: int = 10, m_sub: int = 8, n_codes: int = 16,
+                    sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB replication of pq_topk: retrain the identical codebooks on
+    the identical float64 sample (train_pq_codebooks_np — shared numpy),
+    pin per-subspace assignment chains in the SAME left-assoc dim order
+    the Arrow encoder accumulates (bit-identical IEEE adds), first-argmin
+    via list_position(list_min), then the SAME integer LUT summed —
+    integer compare, exact."""
+    import duckdb
+
+    if sf_dir in _PQ_ORACLE_CACHE:
+        return _PQ_ORACLE_CACHE[sf_dir]
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT CAST(embedding AS DOUBLE[]) FROM "
+        f"'{sf_dir}/embeddings.parquet' WHERE embedding IS NOT NULL "
+        f"ORDER BY vec_id LIMIT 2048").fetchall()
+    import numpy as np
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    books = pqmod.train_pq_codebooks_np(X, m_sub=m_sub, n_codes=n_codes)
+    qv = con.sql(
+        f"SELECT CAST(embedding AS DOUBLE[]) FROM "
+        f"'{sf_dir}/embeddings.parquet' WHERE vec_id = 0").fetchone()[0]
+    lut = pqmod.adc_lut_e6(qv, books)
+    sub = books.shape[2]
+    sel = []
+    for s in range(m_sub):
+        chains = []
+        for c in range(n_codes):
+            terms = " + ".join(
+                f"(v[{s * sub + d + 1}] - {books[s][c][d]!r})"
+                f"*(v[{s * sub + d + 1}] - {books[s][c][d]!r})"
+                for d in range(sub))
+            chains.append(f"({terms})")
+        arr = ",\n                 ".join(chains)
+        sel.append(f"CAST(list_position([{arr}], list_min([{arr}])) "
+                   f"AS INTEGER) - 1 AS code{s}")
+    luts = [f"([{','.join(str(int(x)) for x in lut[s])}][code{s}+1])"
+            for s in range(m_sub)]
+    sql = f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE embedding IS NOT NULL),
+        c AS (SELECT vec_id, {', '.join(sel)} FROM v)
+        SELECT vec_id, CAST({' + '.join(luts)} AS BIGINT) AS adc_e6
+        FROM c ORDER BY adc_e6, vec_id LIMIT {k}"""
+    _PQ_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
+# the kmv trigram gram stream, shared by the HLL oracle (same inner SQL)
+_TRIGRAM_INNER_SQL = """SELECT lang, array_to_string(toks[i:i+2], ' ') AS gram
+           FROM (SELECT lang, list_filter(string_split(text, ' '),
+                                          x -> x <> '') AS toks
+                 FROM documents WHERE text IS NOT NULL) t,
+                unnest(CASE WHEN len(toks) >= 3 THEN range(1, len(toks) - 1)
+                            ELSE [] END) AS u(i)"""
+
+
+_DSIR_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _dsir_oracle(target_mod: int = 7, n_buckets: int = 1024,
+                 frac: float = 0.5,
+                 sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB replication of dsir_select: recompute the EXACT integer
+    bucket counts in SQL, feed them through the SAME lr_table_from_counts
+    (one CPython libm → bit-equal pinned table), replay the bounded
+    target-slice scores through the SAME replay/cutoff functions, then
+    restate the scoring as a per-gram lookup-sum over the pinned table."""
+    import duckdb
+
+    key = f"{sf_dir}|{target_mod}|{n_buckets}|{frac}"
+    if key in _DSIR_ORACLE_CACHE:
+        return _DSIR_ORACLE_CACHE[key]
+    con = duckdb.connect()
+    gram_sql = f"""
+      SELECT doc_id, gram FROM (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS gram
+        FROM read_parquet('{sf_dir}/documents.parquet')
+        UNION ALL
+        SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                                         x -> x <> '') AS toks
+              FROM read_parquet('{sf_dir}/documents.parquet')) t,
+             unnest(CASE WHEN len(toks) >= 2 THEN range(1, len(toks))
+                         ELSE [] END) AS u(i))"""
+    bexpr = (f"CAST('0x' || substr(md5(gram), 1, 12) AS BIGINT) "
+             f"% {n_buckets}")
+    ct = dict(con.sql(f"SELECT {bexpr} AS b, COUNT(*) FROM ({gram_sql}) g "
+                      f"WHERE doc_id % {target_mod} = 0 GROUP BY b")
+              .fetchall())
+    cr = dict(con.sql(f"SELECT {bexpr} AS b, COUNT(*) FROM ({gram_sql}) g "
+                      f"GROUP BY b").fetchall())
+    lr = dsirmod.lr_table_from_counts(
+        {int(k): int(v) for k, v in ct.items()},
+        {int(k): int(v) for k, v in cr.items()}, n_buckets)
+    texts = [r[0] for r in con.sql(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE doc_id % {target_mod} = 0 ORDER BY doc_id").fetchall()]
+    cutoff = dsirmod.cutoff_from_scores(
+        dsirmod.replay_scores(texts, lr, n_buckets), frac=frac)
+    lrlit = "[" + ",".join(str(x) for x in lr) + "]"
+    # view-relative gram stream (the driver pre-registers `documents`)
+    view_grams = gram_sql.replace(
+        f"read_parquet('{sf_dir}/documents.parquet')", "documents")
+    sql = f"""
+        WITH g AS ({view_grams}),
+        s AS (SELECT doc_id, SUM({lrlit}[{bexpr} + 1]) AS sc
+              FROM g GROUP BY doc_id)
+        SELECT d.doc_id, CAST(COALESCE(s.sc, 0) AS BIGINT) AS score_e6,
+               COALESCE(s.sc, 0) >= {cutoff} AS selected
+        FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"""
+    _DSIR_ORACLE_CACHE[key] = sql
+    return sql
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order matters: the driver's CORRECTNESS gate records
     exactly the first 50 entries.  Window layout (round 5, final): the
@@ -2856,6 +3047,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      relational shapes, lowest novelty — first in line for
         #      the r6 rotation); images_to_pdf_stats is r4-green with
         #      its code path untouched in round 5. ----
+        # round-5i (post-freeze): PQ-ADC ANN, HyperLogLog, DSIR —
+        # parity-covered locally, first in line with video_dhash for r6
+        "pq_topk": q_pq_topk,
+        "pq_topk_codes": q_pq_topk_codes,
+        "hll_distinct_trigrams": q_hll_distinct_trigrams,
+        "dsir_sample": q_dsir_sample,
         "video_dhash": q_video_dhash,
         "tpch_q4_semijoin": q_tpch_q4_semijoin,
         "tpch_q2_mincost": q_tpch_q2_mincost,
@@ -4135,6 +4332,14 @@ def oracle_sql() -> dict[str, str]:
         # decode round-trip is what the hash check certifies
         "quality_funnel": _quality_funnel_oracle(),
         "video_dhash": _video_dhash_oracle(),
+        # round-5i: PQ (retrained-codebook pinned chains + integer LUT),
+        # HLL (full SQL recompute, integer staging + pinned LC table),
+        # DSIR (SQL-recomputed counts through the shared lr builder)
+        "pq_topk": _pq_topk_oracle(),
+        "pq_topk_codes": _pq_topk_oracle(),
+        "hll_distinct_trigrams": hllmod.hll_oracle_sql(
+            _TRIGRAM_INNER_SQL, "gram", p=10, group_cols=("lang",)),
+        "dsir_sample": _dsir_oracle(),
         "video_near_dup": _video_near_dup_oracle(),
         "image_dhash": _image_dhash_oracle(),
         "image_near_dup": _image_near_dup_oracle(),

@@ -1,0 +1,249 @@
+"""Product-quantization ANN (Jégou, Douze, Schmid: "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011) — the vector-COMPRESSION half of
+the 100 TB similarity story, next to the IVF/LSH partition-pruning half
+(similarity.py).
+
+A 64-dim float32 embedding is 256 bytes; its PQ code (``m_sub`` = 8
+subspaces × 1 byte) is 8 bytes — a 32× scan-size reduction.  At 100 TB the
+ADC (asymmetric-distance) top-k pass reads ONLY the code column of a
+materialized index table; raw vectors are touched just for the bounded
+rerank of the top candidates.  Everything here is deterministic and
+integer-exact at the comparison layer so the DuckDB oracle matches
+bit-for-bit:
+
+- **Training** (``train_pq_codebooks_np`` / ``train_pq``): plain k-means
+  per contiguous subspace on a bounded deterministic sample (lowest ids,
+  nulls excluded — the ``train_ivf_centroids`` recipe).  Fixed seed, fixed
+  Lloyd iterations; empty clusters keep their previous centroid.  The
+  oracle retrains the identical codebooks driver-side (same numpy code on
+  the same float64 sample) and pins them as SQL literals.
+- **Encoding** (``pq_codes_np``): one Arrow kernel per batch.  Squared-L2
+  distances accumulate LEFT-ASSOCIATIVELY over the subspace dims —
+  ``acc += (x_d - c_d)^2`` in dim order — which is bit-identical to the
+  SQL chain ``(v[1]-c1)*(v[1]-c1) + (v[2]-c2)*(v[2]-c2) + ...`` (IEEE adds
+  in the same order; ``0 + t == t`` for the non-negative first term), so
+  Spark codes and DuckDB codes agree exactly.  Ties take the FIRST minimal
+  code (``np.argmin`` == ``list_position(ds, list_min(ds))``).
+- **ADC scoring** (``adc_lut_e6`` / ``pq_topk``): the query builds one
+  ``m_sub × n_codes`` lookup table of ``floor(1e6 · ||q_s − c||²)``
+  INTEGERS driver-side; the scan sums ``m_sub`` ``element_at`` lookups
+  JVM-side (pure Catalyst, whole-stage codegen) — integer adds, exact on
+  both engines.  Quantization error is bounded by ``m_sub`` µ-units,
+  orders below the codebook quantization error ADC already accepts.
+- **Materialized layout** (``pq_write_index`` / ``pq_topk_from_index``):
+  ``(id, codes, embedding)`` parquet + ``_pq_codebooks.json`` sidecar.
+  The ADC pass reads ONLY ``(id, codes)`` (column pruning, plan-asserted
+  in tests) and ``rerank`` joins the top-R candidate ids back to the
+  embedding column for an exact-cosine rerank — the standard ADC+rerank
+  serving shape.
+
+Reference parity note: the reference engine (Hiro-Chiba/image-pdf-ocr-suite)
+has no vector search; this module is part of the mandated training-data-
+pipeline surface (similarity search at scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import reduce
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from image_pdf_ocr_suite_spark.analytics.similarity import cosine_expr
+
+LUT_SCALE = 1_000_000
+
+
+def _leftassoc_sq_dists(X: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(n, n_codes) squared-L2 distances accumulated left-associatively
+    over dims — the ONE summation order shared by training, encoding,
+    the query LUT, and the SQL oracle's literal chains."""
+    acc = np.zeros((len(X), len(cent)), dtype=np.float64)
+    for d in range(X.shape[1]):
+        t = X[:, d, None] - cent[None, :, d]
+        acc += t * t
+    return acc
+
+
+def train_pq_codebooks_np(X: np.ndarray, m_sub: int = 8, n_codes: int = 16,
+                          iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Driver-side PQ training core shared by the Spark path and the
+    DuckDB oracle generator (identical float64 ops → identical codebooks
+    bit-for-bit).  Returns ``(m_sub, n_codes, sub_dim)``; dims split into
+    ``m_sub`` contiguous equal slices (dim must divide evenly)."""
+    X = np.asarray(X, dtype=np.float64)
+    if X.ndim != 2 or len(X) == 0:
+        raise ValueError(
+            f"PQ training needs a non-empty 2-D sample, got {X.shape}")
+    dim = X.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
+    books = []
+    for s in range(m_sub):
+        Xs = X[:, s * sub:(s + 1) * sub]
+        rng = np.random.RandomState(seed + s)
+        cent = Xs[rng.choice(len(Xs), size=min(n_codes, len(Xs)),
+                             replace=False)].copy()
+        for _ in range(iters):
+            assign = _leftassoc_sq_dists(Xs, cent).argmin(axis=1)
+            for c in range(len(cent)):
+                members = Xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append(cent)
+    return np.stack(books)
+
+
+def train_pq(df: DataFrame, m_sub: int = 8, n_codes: int = 16,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             sample: int = 2048, iters: int = 10,
+             seed: int = 42) -> np.ndarray:
+    """Train PQ codebooks on a BOUNDED deterministic sample (lowest
+    ``sample`` ids, nulls excluded) collected to the driver — the
+    standard recipe: codebooks train on a sample, encoding runs
+    distributed with the books broadcast in the kernel closure."""
+    rows = (df.where(F.col(vec_col).isNotNull())
+            .orderBy(id_col).limit(sample)
+            .select(F.col(vec_col).cast("array<double>")).collect())
+    if not rows:
+        raise ValueError(f"PQ training found no non-null '{vec_col}'")
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    return train_pq_codebooks_np(X, m_sub=m_sub, n_codes=n_codes,
+                                 iters=iters, seed=seed)
+
+
+def pq_codes_np(vec_col, codebooks: np.ndarray):
+    """Arrow PQ encoder: per batch, per subspace, left-assoc squared-L2
+    against the codebook and first-argmin — bit-identical to the SQL
+    chain form (module docstring).  Returns ``array<int>`` of length
+    ``m_sub`` (int, not tinyint: exact on both engines, and the parquet
+    dictionary/RLE encoding keeps 16-code columns ~1 byte on disk)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m_sub, _, sub = codebooks.shape
+    books = codebooks.copy()
+
+    def _fn(s):
+        vals = s.to_numpy()
+        out = np.full(len(vals), None, dtype=object)
+        idx = [i for i, v in enumerate(vals) if v is not None]
+        if idx:
+            m = np.stack([np.asarray(vals[i], dtype=np.float64)
+                          for i in idx])
+            codes = np.empty((len(idx), m_sub), dtype=np.int32)
+            for sidx in range(m_sub):
+                d = _leftassoc_sq_dists(
+                    m[:, sidx * sub:(sidx + 1) * sub], books[sidx])
+                codes[:, sidx] = d.argmin(axis=1)
+            for k, i in enumerate(idx):
+                out[i] = [int(c) for c in codes[k]]
+        return pd.Series(out)
+
+    return pandas_udf(_fn, "array<int>")(vec_col)
+
+
+def adc_lut_e6(query_vec, codebooks: np.ndarray) -> np.ndarray:
+    """(m_sub, n_codes) int64 LUT: ``floor(1e6 · ||q_s − c||²)`` with the
+    shared left-assoc summation.  Computed ONCE driver-side; both the
+    Spark scorer and the SQL oracle consume these exact integers."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    m_sub, _, sub = codebooks.shape
+    if len(q) != m_sub * sub:
+        raise ValueError(f"query dim {len(q)} != codebook dim {m_sub * sub}")
+    lut = np.empty(codebooks.shape[:2], dtype=np.int64)
+    for s in range(m_sub):
+        d = _leftassoc_sq_dists(q[None, s * sub:(s + 1) * sub],
+                                codebooks[s])[0]
+        lut[s] = np.floor(d * LUT_SCALE).astype(np.int64)
+    return lut
+
+
+def adc_score_expr(codes_col, lut: np.ndarray):
+    """ADC score from a codes array: ``m_sub`` literal-array lookups
+    summed in subspace order — pure Catalyst integer arithmetic."""
+    terms = [
+        F.element_at(
+            F.array(*[F.lit(int(x)) for x in lut[s]]),
+            F.col(codes_col).getItem(s) + 1).cast("bigint")
+        for s in range(lut.shape[0])]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def pq_topk(df: DataFrame, query_vec, k: int = 10, m_sub: int = 8,
+            n_codes: int = 16, vec_col: str = "embedding",
+            id_col: str = "vec_id",
+            codebooks: np.ndarray | None = None) -> DataFrame:
+    """Online PQ-ADC top-k: encode (Arrow kernel, map-only) + integer ADC
+    scan + ``ORDER BY (adc_e6, id)`` — fully deterministic, ties included.
+    Returns ``(id, adc_e6)``.  The materialized form
+    (``pq_topk_from_index``) skips the encode and reads codes only."""
+    if codebooks is None:
+        codebooks = train_pq(df, m_sub, n_codes, vec_col, id_col)
+    lut = adc_lut_e6(query_vec, codebooks)
+    codes = (df.where(F.col(vec_col).isNotNull())
+             .select(F.col(id_col),
+                     pq_codes_np(F.col(vec_col), codebooks).alias("codes")))
+    scored = codes.select(F.col(id_col),
+                          adc_score_expr("codes", lut).alias("adc_e6"))
+    return scored.orderBy(F.asc("adc_e6"), F.asc(id_col)).limit(k)
+
+
+def pq_write_index(df: DataFrame, path: str, m_sub: int = 8,
+                   n_codes: int = 16, vec_col: str = "embedding",
+                   id_col: str = "vec_id",
+                   codebooks: np.ndarray | None = None) -> np.ndarray:
+    """Materialize the PQ index: ``(id, codes, embedding)`` parquet with
+    the codebooks as a ``_pq_codebooks.json`` sidecar (underscore prefix
+    → invisible to parquet readers).  The vectors ride along so the SAME
+    table serves both the code-only ADC scan (column-pruned) and the
+    exact rerank — at 100 TB parquet column pruning means the ADC pass
+    reads ~3% of the table's bytes."""
+    if codebooks is None:
+        codebooks = train_pq(df, m_sub, n_codes, vec_col, id_col)
+    out = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        pq_codes_np(F.col(vec_col), codebooks).alias("codes"),
+        F.col(vec_col))
+    out.write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_pq_codebooks.json"), "w") as fh:
+        json.dump([[[float(x) for x in c] for c in book]
+                   for book in codebooks], fh)
+    return codebooks
+
+
+def pq_read_codebooks(path: str) -> np.ndarray:
+    with open(os.path.join(path, "_pq_codebooks.json")) as fh:
+        return np.asarray(json.load(fh), dtype=np.float64)
+
+
+def pq_topk_from_index(spark, path: str, query_vec, k: int = 10,
+                       rerank: int = 0, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Query a materialized PQ index.
+
+    ``rerank == 0``: pure ADC — the scan reads ONLY ``(id, codes)``
+    (plan-asserted column pruning); returns ``(id, adc_e6)``, identical
+    to ``pq_topk`` with the same codebooks.
+
+    ``rerank = R > 0``: take the top-R ADC candidates, then join back to
+    the embedding column for an exact-cosine rerank of that bounded set
+    — returns ``(id, sim)`` top-k.  The join side is R rows, broadcast."""
+    codebooks = pq_read_codebooks(path)
+    lut = adc_lut_e6(query_vec, codebooks)
+    codes = spark.read.parquet(path).select(id_col, "codes")
+    scored = codes.select(F.col(id_col),
+                          adc_score_expr("codes", lut).alias("adc_e6"))
+    if rerank <= 0:
+        return scored.orderBy(F.asc("adc_e6"), F.asc(id_col)).limit(k)
+    cand = scored.orderBy(F.asc("adc_e6"), F.asc(id_col)).limit(rerank) \
+                 .select(id_col)
+    vecs = spark.read.parquet(path).select(id_col, vec_col) \
+        .join(F.broadcast(cand), id_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    emb = F.col(vec_col).cast("array<double>")
+    out = vecs.select(F.col(id_col), cosine_expr(emb, q).alias("sim"))
+    return out.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
