@@ -30,6 +30,7 @@ from image_pdf_ocr_suite_spark.analytics import (
     text as textops)
 from image_pdf_ocr_suite_spark.analytics import dsir as dsirmod
 from image_pdf_ocr_suite_spark.analytics import hll as hllmod
+from image_pdf_ocr_suite_spark.analytics import ivfpq as ivfpqmod
 from image_pdf_ocr_suite_spark.analytics import pq as pqmod
 from image_pdf_ocr_suite_spark.fixtures import build_pages_df
 
@@ -2832,6 +2833,27 @@ def q_dsir_sample(spark, sf_dir):
     return dsirmod.dsir_select(docs, model)
 
 
+_IVFPQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed index (analytics/ivfpq.py — FAISS IndexIVFPQ
+    shape, non-residual): coarse-list partitions × PQ codes, so ONE
+    scan composes PartitionFilters pruning (n_probe/n_lists of the
+    files) with code-column pruning (8 bytes/row) — plan-asserted in
+    tests/test_ivfpq.py.  Oracle replays coarse assignment AND code
+    assignment from retrained pinned literals, then the integer ADC."""
+    import tempfile
+    emb, qvec = _query_vec(spark, sf_dir)
+    path = _IVFPQ_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivfpq_index_") + "/index"
+        ivfpqmod.ivfpq_write_index(emb, path, n_lists=16, m_sub=8,
+                                   n_codes=16)
+        _IVFPQ_INDEX_CACHE[sf_dir] = path
+    return ivfpqmod.ivfpq_topk(spark, path, qvec, k=10, n_probe=4)
+
+
 _PQ_ORACLE_CACHE: dict[str, str] = {}
 
 
@@ -2881,6 +2903,79 @@ def _pq_topk_oracle(k: int = 10, m_sub: int = 8, n_codes: int = 16,
         SELECT vec_id, CAST({' + '.join(luts)} AS BIGINT) AS adc_e6
         FROM c ORDER BY adc_e6, vec_id LIMIT {k}"""
     _PQ_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
+_IVFPQ_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _ivfpq_topk_oracle(k: int = 10, n_lists: int = 16, n_probe: int = 4,
+                       m_sub: int = 8, n_codes: int = 16,
+                       sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB replication of ivfpq_topk: retrain BOTH quantizers on the
+    identical float64 sample (train_centroids_np + train_pq_codebooks_np
+    — the shared numpy), pin the coarse argmax-dot chains (the
+    _ivf_topk_oracle pattern) to restrict rows to the probed lists, then
+    the PQ assignment chains + integer LUT (the _pq_topk_oracle pattern)
+    — integer compare, exact."""
+    import duckdb
+    import numpy as np
+
+    if sf_dir in _IVFPQ_ORACLE_CACHE:
+        return _IVFPQ_ORACLE_CACHE[sf_dir]
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT CAST(embedding AS DOUBLE[]) FROM "
+        f"'{sf_dir}/embeddings.parquet' WHERE embedding IS NOT NULL "
+        f"ORDER BY vec_id LIMIT 2048").fetchall()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    cent = similarity.train_centroids_np(X, n_lists=n_lists)
+    books = pqmod.train_pq_codebooks_np(X, m_sub=m_sub, n_codes=n_codes)
+    qv = np.asarray(con.sql(
+        f"SELECT CAST(embedding AS DOUBLE[]) FROM "
+        f"'{sf_dir}/embeddings.parquet' WHERE vec_id = 0").fetchone()[0],
+        dtype=np.float64)
+    # probe-list selection — the same driver-side arithmetic
+    # similarity._probe_lists runs (descending dot, index tie-break)
+    qn = np.linalg.norm(qv)
+    qdots = cent @ (qv / qn if qn > 0 else qv)
+    order = np.lexsort((np.arange(len(cent)), -qdots))
+    probe = ", ".join(str(int(i)) for i in order[:n_probe])
+    coarse = []
+    for row in cent:
+        terms = " + ".join(f"v[{i + 1}]*{float(x)!r}"
+                           for i, x in enumerate(row))
+        coarse.append(f"({terms})")
+    ds = "[" + ",\n                 ".join(coarse) + "]"
+    lut = pqmod.adc_lut_e6(qv, books)
+    sub = books.shape[2]
+    sel = []
+    for s in range(m_sub):
+        chains = []
+        for c in range(n_codes):
+            terms = " + ".join(
+                f"(v[{s * sub + d + 1}] - {books[s][c][d]!r})"
+                f"*(v[{s * sub + d + 1}] - {books[s][c][d]!r})"
+                for d in range(sub))
+            chains.append(f"({terms})")
+        arr = ",\n                 ".join(chains)
+        sel.append(f"CAST(list_position([{arr}], list_min([{arr}])) "
+                   f"AS INTEGER) - 1 AS code{s}")
+    luts = [f"([{','.join(str(int(x)) for x in lut[s])}][code{s}+1])"
+            for s in range(m_sub)]
+    sql = f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE embedding IS NOT NULL),
+        d AS (SELECT vec_id, v, {ds} AS ds FROM v),
+        a AS (SELECT vec_id, v,
+                     CAST(list_position(ds, list_max(ds)) AS INTEGER) - 1
+                         AS lst
+              FROM d),
+        probed AS (SELECT vec_id, v FROM a WHERE lst IN ({probe})),
+        c AS (SELECT vec_id, {', '.join(sel)} FROM probed)
+        SELECT vec_id, CAST({' + '.join(luts)} AS BIGINT) AS adc_e6
+        FROM c ORDER BY adc_e6, vec_id LIMIT {k}"""
+    _IVFPQ_ORACLE_CACHE[sf_dir] = sql
     return sql
 
 
@@ -3051,6 +3146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parity-covered locally, first in line with video_dhash for r6
         "pq_topk": q_pq_topk,
         "pq_topk_codes": q_pq_topk_codes,
+        "ivfpq_topk": q_ivfpq_topk,
         "hll_distinct_trigrams": q_hll_distinct_trigrams,
         "dsir_sample": q_dsir_sample,
         "video_dhash": q_video_dhash,
@@ -4337,6 +4433,7 @@ def oracle_sql() -> dict[str, str]:
         # DSIR (SQL-recomputed counts through the shared lr builder)
         "pq_topk": _pq_topk_oracle(),
         "pq_topk_codes": _pq_topk_oracle(),
+        "ivfpq_topk": _ivfpq_topk_oracle(),
         "hll_distinct_trigrams": hllmod.hll_oracle_sql(
             _TRIGRAM_INNER_SQL, "gram", p=10, group_cols=("lang",)),
         "dsir_sample": _dsir_oracle(),

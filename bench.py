@@ -341,6 +341,42 @@ def main() -> None:
         lambda: _force(entrymod.q_quality_funnel(spark, SF_DIR)),
         "quality_funnel")
 
+    # round-5i legs: PQ-ADC probe over the materialized code table
+    # (index build untimed — indexes amortize over many queries; the
+    # probe reads ONLY the 8-byte code column), the HyperLogLog
+    # distinct-trigram sketch (map-side-combinable register max, <=1024
+    # rows per lang ever shuffle), and the full DSIR selection job
+    # (two bounded bucket-count aggregates + map-only scoring)
+    from image_pdf_ocr_suite_spark.analytics import dsir as dsir_mod
+    from image_pdf_ocr_suite_spark.analytics import hll as hll_mod
+    from image_pdf_ocr_suite_spark.analytics import pq as pq_mod
+    pq_path = f"/tmp/bench_pq_{sf_tag}"
+    if not os.path.isdir(pq_path):
+        pq_mod.pq_write_index(emb, pq_path, m_sub=8, n_codes=16)
+    queries["pq_topk"] = time_query(
+        lambda: pq_mod.pq_topk_from_index(spark, pq_path, qvec, k=10,
+                                          rerank=100).collect(), "pq_topk")
+    # the composed IVF-PQ probe: PartitionFilters (n_probe/n_lists of
+    # the files) × code-column pruning in ONE scan, + exact rerank
+    from image_pdf_ocr_suite_spark.analytics import ivfpq as ivfpq_mod
+    ivfpq_path = f"/tmp/bench_ivfpq_{sf_tag}"
+    if not os.path.isdir(ivfpq_path):
+        ivfpq_mod.ivfpq_write_index(emb, ivfpq_path, n_lists=16,
+                                    m_sub=8, n_codes=16)
+    queries["ivfpq_topk"] = time_query(
+        lambda: ivfpq_mod.ivfpq_topk(spark, ivfpq_path, qvec, k=10,
+                                     n_probe=4, rerank=100).collect(),
+        "ivfpq_topk")
+    queries["hll_distinct"] = time_query(
+        lambda: _force(hll_mod.hll_distinct(
+            entrymod._trigram_rows(spark, SF_DIR), "gram", p=10,
+            group_cols=["lang"])), "hll_distinct")
+
+    def run_dsir():
+        model = dsir_mod.fit_dsir(docs, target_mod=7, n_buckets=1024)
+        _force(dsir_mod.dsir_select(docs, model))
+    queries["dsir_select"] = time_query(run_dsir, "dsir_select")
+
     docs_per_sec = round(n_docs / queries["ocr_extract"], 2)
     print(json.dumps({
         "metric": "extract_docs_per_sec",

@@ -139,6 +139,17 @@ def test_hll_error_bound_and_register_bound(spark, grams):
     assert all(r["count"] <= 1024 for r in counts)
 
 
+def test_hll_arrow_equals_catalyst(spark, grams):
+    """The Arrow partial-register kernel and the all-JVM spelling build
+    BIT-identical register tables (same md5, same integer rho, same max
+    — no float anywhere), so the oracle pins either."""
+    a = hll.hll_registers(grams, "gram", p=10, group_cols=["lang"],
+                          impl="arrow").collect()
+    c = hll.hll_registers(grams, "gram", p=10, group_cols=["lang"],
+                          impl="catalyst").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, c))
+
+
 def test_hll_merge_equals_full(spark, grams):
     """merge(registers(A), registers(B)) == registers(A ∪ B) — the law
     that makes the sketch shippable across 10^6 partitions."""
