@@ -2789,8 +2789,8 @@ _PQ_INDEX_CACHE: dict[str, str] = {}
 
 
 def q_pq_topk_codes(spark, sf_dir):
-    """Same top-k from the MATERIALIZED PQ index: (id, codes, embedding)
-    parquet + codebook sidecar; the ADC pass reads ONLY (vec_id, codes)
+    """Same top-k from the MATERIALIZED PQ index: (id, code, embedding)
+    parquet + codebook sidecar; the ADC pass reads ONLY (vec_id, code) — one flat BIGINT of packed byte-codes
     — plan-asserted column pruning in tests/test_round5i.py, the 32×
     scan-byte reduction that is PQ's whole point at 100 TB.  Same
     codebooks, same LUT → same oracle as pq_topk."""

@@ -50,7 +50,7 @@ def ivfpq_write_index(df: DataFrame, path: str, n_lists: int = 16,
                       codebooks: np.ndarray | None = None,
                       coarse_impl: str = "auto") -> tuple[np.ndarray,
                                                           np.ndarray]:
-    """Materialize the IVF-PQ layout: ``(id, codes, embedding)`` parquet
+    """Materialize the IVF-PQ layout: ``(id, code, embedding)`` parquet
     partitioned by the coarse list, with ``_ivf_centroids.json`` and
     ``_pq_codebooks.json`` sidecars.  One pass: coarse assignment and PQ
     encoding run in the same projection (two kernel columns, zero extra
@@ -72,7 +72,7 @@ def ivfpq_write_index(df: DataFrame, path: str, n_lists: int = 16,
              else ivf_list_np(F.col(vec_col), centroids))
     out = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
-        pqmod.pq_codes_np(F.col(vec_col), codebooks).alias("codes"),
+        pqmod.pq_codes_np(F.col(vec_col), codebooks).alias("code"),
         F.col(vec_col),
         lists.alias("ivf_list"))
     out.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
@@ -106,9 +106,9 @@ def ivfpq_topk(spark, path: str, query_vec, k: int = 10,
     lut = pqmod.adc_lut_e6(query_vec, codebooks)
     codes = (spark.read.parquet(path)
              .where(F.col("ivf_list").isin(probe))
-             .select(id_col, "codes"))
+             .select(id_col, "code"))
     scored = codes.select(
-        F.col(id_col), pqmod.adc_score_expr("codes", lut).alias("adc_e6"))
+        F.col(id_col), pqmod.adc_score_expr("code", lut).alias("adc_e6"))
     if rerank <= 0:
         return scored.orderBy(F.asc("adc_e6"), F.asc(id_col)).limit(k)
     cand = scored.orderBy(F.asc("adc_e6"), F.asc(id_col)).limit(rerank) \

@@ -52,7 +52,7 @@ def test_ivfpq_equals_flat_pq_on_probed_lists(spark, emb, index):
 
 def test_ivfpq_scan_composes_both_prunings(spark, emb, index):
     """THE plan assertion: one scan with PartitionFilters on ivf_list
-    (n_probe/n_lists of the files) AND a ReadSchema of (vec_id, codes)
+    (n_probe/n_lists of the files) AND a ReadSchema of (vec_id, code)
     only (no embedding bytes)."""
     path, cent, _ = index
     qvec = _qvec(emb)
@@ -62,7 +62,7 @@ def test_ivfpq_scan_composes_both_prunings(spark, emb, index):
     pf = scan[scan.index("PartitionFilters"):][:220]
     assert "ivf_list" in pf
     rs = scan[scan.index("ReadSchema"):][:220]
-    assert "codes" in rs and "embedding" not in rs
+    assert "code" in rs and "embedding" not in rs
 
 
 def test_ivfpq_rerank_recovers_exact_head(spark, emb, index):

@@ -42,13 +42,14 @@ def test_pq_training_partitioning_invariant(emb):
 
 def test_pq_encode_matches_python_replay(emb):
     """The Arrow encoder's left-assoc distance + first-argmin == a plain
-    per-row Python replay with the same summation order."""
+    per-row Python replay with the same summation order (codes unpacked
+    from the canonical one-BIGINT layout)."""
     books = pq.train_pq(emb, m_sub=8, n_codes=16)
     rows = (emb.where(F.col("embedding").isNotNull())
             .select("vec_id",
-                    pq.pq_codes_np(F.col("embedding"), books).alias("codes"))
+                    pq.pq_codes_np(F.col("embedding"), books).alias("code"))
             .collect())
-    got = {r["vec_id"]: list(r["codes"]) for r in rows}
+    got = {r["vec_id"]: pq.unpack_code(r["code"], 8) for r in rows}
     raw = emb.where(F.col("embedding").isNotNull()) \
              .select("vec_id", "embedding").collect()
     for r in raw:
@@ -96,10 +97,10 @@ def test_pq_index_roundtrip_pruning_and_rerank(spark, emb, tmp_path):
               pq.pq_topk(emb, qvec, k=10, codebooks=books).collect()]
     from_idx = pq.pq_topk_from_index(spark, path, qvec, k=10)
     assert [(r[0], r[1]) for r in from_idx.collect()] == online
-    # the ADC scan must read ONLY (vec_id, codes) — vectors stay on disk
+    # the ADC scan must read ONLY (vec_id, code) — vectors stay on disk
     plan = from_idx._jdf.queryExecution().executedPlan().toString()
     read_schema = plan.split("ReadSchema")[1][:200]
-    assert "codes" in read_schema and "embedding" not in read_schema
+    assert "code" in read_schema and "embedding" not in read_schema
     # rerank scores its ADC candidate set by EXACT cosine — the head of
     # the list must match the true top-k exactly; the tail may trade one
     # member when a true neighbor fell outside the 100 ADC candidates
