@@ -32,6 +32,7 @@ from image_pdf_ocr_suite_spark.analytics import dsir as dsirmod
 from image_pdf_ocr_suite_spark.analytics import hll as hllmod
 from image_pdf_ocr_suite_spark.analytics import ivfpq as ivfpqmod
 from image_pdf_ocr_suite_spark.analytics import pq as pqmod
+from image_pdf_ocr_suite_spark.analytics import sampling
 from image_pdf_ocr_suite_spark.fixtures import build_pages_df
 
 CFG = ExtractConfig()
@@ -2833,6 +2834,28 @@ def q_dsir_sample(spark, sf_dir):
     return dsirmod.dsir_select(docs, model)
 
 
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced sampling (analytics/sampling.py — the mixer's
+    topic-balance pass): hard per-cluster quota (20) over the shared
+    spherical-k-means quantizer; keep-order = deterministic
+    (md5_48(id), id) rank; one short-key shuffle keyed on cluster.
+    Oracle retrains identical centroids (pinned chains) and replays the
+    same ROW_NUMBER rank — integer/bool output, exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sampling.cluster_balanced_sample(emb, quota=20, n_clusters=16)
+
+
+def q_export_windows(spark, sf_dir):
+    """Training-shard export windows (jobs/export_job.pack_windows): the
+    pack_chunks binning arithmetic with the chunk TEXT carried into an
+    ordered assembly — (shard, bin_id, window_text, n_chunks, n_tokens,
+    source_ids) real training windows with sorted provenance.  Oracle
+    restates chunking + windowed cum-sum binning + ordered string_agg."""
+    from jobs.export_job import pack_windows
+    return pack_windows(_t(spark, sf_dir, "documents"),
+                        capacity=256, n_shards=8)
+
+
 _IVFPQ_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -2904,6 +2927,89 @@ def _pq_topk_oracle(k: int = 10, m_sub: int = 8, n_codes: int = 16,
         FROM c ORDER BY adc_e6, vec_id LIMIT {k}"""
     _PQ_ORACLE_CACHE[sf_dir] = sql
     return sql
+
+
+_CBS_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _cluster_balanced_sample_oracle(quota: int = 20, n_clusters: int = 16,
+                                    sf_dir: str =
+                                    "/root/testdata/sf0.01") -> str:
+    """DuckDB replication of sampling.cluster_balanced_sample: retrain
+    the identical spherical centroids, pin the argmax-dot chains, then
+    the same deterministic (md5_48(id), id) ROW_NUMBER rank + quota."""
+    import duckdb
+    import numpy as np
+
+    if sf_dir in _CBS_ORACLE_CACHE:
+        return _CBS_ORACLE_CACHE[sf_dir]
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT CAST(embedding AS DOUBLE[]) FROM "
+        f"'{sf_dir}/embeddings.parquet' WHERE embedding IS NOT NULL "
+        f"ORDER BY vec_id LIMIT 2048").fetchall()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    cent = similarity.train_centroids_np(X, n_lists=n_clusters)
+    chains = []
+    for row in cent:
+        terms = " + ".join(f"v[{i + 1}]*{float(x)!r}"
+                           for i, x in enumerate(row))
+        chains.append(f"({terms})")
+    ds = "[" + ",\n                 ".join(chains) + "]"
+    sql = f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE embedding IS NOT NULL),
+        d AS (SELECT vec_id, {ds} AS ds FROM v),
+        a AS (SELECT vec_id,
+                     CAST(list_position(ds, list_max(ds)) AS INTEGER) - 1
+                         AS cluster,
+                     CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                         1, 12) AS BIGINT) AS kh
+              FROM d),
+        r AS (SELECT vec_id, cluster,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+                                             ORDER BY kh, vec_id)
+                          AS INTEGER) AS rk
+              FROM a)
+        SELECT vec_id, cluster, rk, rk <= {quota} AS kept FROM r"""
+    _CBS_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
+_EXPORT_WINDOWS_ORACLE = """
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '),
+                                      x -> x <> '') AS toks
+                   FROM documents),
+        s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        c AS (SELECT doc_id, toks, n,
+                     unnest(CASE WHEN n >= 1
+                                 THEN range(1, greatest(n - 10, 1) + 1, 40)
+                                 ELSE [] END) AS strt
+              FROM s),
+        ch AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+                      CAST((strt - 1) // 40 AS INTEGER) AS chunk_idx,
+                      array_to_string(toks[strt:strt + 49], ' ')
+                          AS chunk_text,
+                      CAST(least(50, n - strt + 1) AS BIGINT)
+                          AS chunk_tokens
+               FROM c),
+        sh AS (SELECT CAST(CAST('0x' || substr(md5(id), 1, 4) AS INTEGER)
+                           % 8 AS BIGINT) AS shard, *
+               FROM ch),
+        b AS (SELECT *, SUM(chunk_tokens) OVER (
+                  PARTITION BY shard ORDER BY id, chunk_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - chunk_tokens AS tokens_before
+              FROM sh)
+        SELECT shard, CAST(tokens_before // 256 AS BIGINT) AS bin_id,
+               string_agg(chunk_text, ' ' ORDER BY id, chunk_idx)
+                   AS window_text,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(chunk_tokens) AS BIGINT) AS n_tokens,
+               array_to_string(list_sort(list(DISTINCT id)), ',')
+                   AS source_ids
+        FROM b GROUP BY shard, bin_id"""
 
 
 _IVFPQ_ORACLE_CACHE: dict[str, str] = {}
@@ -3149,6 +3255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "hll_distinct_trigrams": q_hll_distinct_trigrams,
         "dsir_sample": q_dsir_sample,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
+        "export_windows": q_export_windows,
         "video_dhash": q_video_dhash,
         "tpch_q4_semijoin": q_tpch_q4_semijoin,
         "tpch_q2_mincost": q_tpch_q2_mincost,
@@ -4434,6 +4542,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": _pq_topk_oracle(),
         "pq_topk_codes": _pq_topk_oracle(),
         "ivfpq_topk": _ivfpq_topk_oracle(),
+        "cluster_balanced_sample": _cluster_balanced_sample_oracle(),
+        "export_windows": _EXPORT_WINDOWS_ORACLE,
         "hll_distinct_trigrams": hllmod.hll_oracle_sql(
             _TRIGRAM_INNER_SQL, "gram", p=10, group_cols=("lang",)),
         "dsir_sample": _dsir_oracle(),

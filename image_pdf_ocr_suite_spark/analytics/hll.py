@@ -44,6 +44,15 @@ from image_pdf_ocr_suite_spark.analytics.sketches import (HASH_BITS,
                                                           hash48_expr)
 
 
+def _check_p(p: int) -> None:
+    """The staged integer estimate needs ``m·m·2^(maxrho)`` in BIGINT and
+    the classic alpha_m constant: ``7 <= p <= 14`` (m = 128..16384)."""
+    if not 7 <= p <= 14:
+        raise ValueError(f"p must be in [7, 14] (got {p}): p < 7 has no "
+                         f"pinned alpha, p > 14 overflows the BIGINT "
+                         f"estimate staging")
+
+
 def alpha_e9(m: int) -> int:
     """``floor(1e9 · alpha_m)`` for ``m >= 128`` (the classic constant
     0.7213/(1 + 1.079/m)) — pinned as an integer so both engines stage
@@ -84,6 +93,7 @@ def hll_registers(df: DataFrame, col: str, p: int = 10,
     equivalence is pytest-pinned.  ``impl="catalyst"`` keeps the
     all-JVM spelling (hash48_expr + bin-length rho), the direct
     restatement of the oracle SQL."""
+    _check_p(p)
     gcols = list(group_cols)
     rem_bits = HASH_BITS - p
     max_rho = rem_bits + 1
@@ -170,6 +180,7 @@ def hll_estimate(registers: DataFrame, p: int = 10,
     Integer-overflow bound: the staging holds in BIGINT for estimates to
     ~1.3e13 (s ≥ m) — beyond the 48-bit hash's collision validity
     anyway; use p ≤ 14 with this staging."""
+    _check_p(p)
     gcols = list(group_cols)
     m = 1 << p
     rem_bits = HASH_BITS - p

@@ -196,6 +196,14 @@ def test_hll_rho_contract(spark):
 # DSIR
 # ---------------------------------------------------------------------------
 
+def test_hll_p_range_enforced(spark):
+    df = spark.createDataFrame([("a",)], "x string")
+    with pytest.raises(ValueError):
+        hll.hll_registers(df, "x", p=6)
+    with pytest.raises(ValueError):
+        hll.hll_distinct(df, "x", p=15)
+
+
 def test_dsir_kernel_matches_replay(docs):
     model = dsir.fit_dsir(docs, target_mod=7, n_buckets=1024)
     got = {r["doc_id"]: r["score_e6"]
