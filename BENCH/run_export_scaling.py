@@ -1,0 +1,115 @@
+"""N vs 4N scaling evidence for the shard-export packing job
+(jobs/export_job.pack_windows) — the round-5i composition whose ONE
+data-sized shuffle carries chunk text into the per-shard packing
+window.
+
+Methodology is run_scaling.py's verbatim (CLAUDE.md measurement rules):
+PAIRED legs inside one noise window (fresh JVM each), slots <= cores/2
+at both levels, median of per-pair ratios, corpus sized to amortize
+the ~4-5 s per-job fixed costs.  Input = the sf documents table
+replicated with DISTINCT doc_ids, written once to parquet so the timed
+job measures chunk+pack, not synthesis.  n_shards is fixed at 64 at
+both levels (identical task graph).
+
+Usage: SCALING_N=4 python BENCH/run_export_scaling.py [sf_dir]
+Appends a dated section to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_CPUS = int(os.environ.get("SCALING_N", "4"))
+N4_CPUS = 4 * N_CPUS
+RUNS = int(os.environ.get("SCALING_RUNS", "3"))
+REPLICATE = int(os.environ.get("SCALING_REPLICATE", "100"))
+
+
+def _materialize_docs(sf_dir: str, replicate: int) -> str:
+    from pyspark.sql import functions as F
+
+    from image_pdf_ocr_suite_spark.session import build_session
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/export_docs_{tag}_x{replicate}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path  # deterministic synthesis — safe to reuse
+    spark = build_session(app="export-scaling-prep", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    n = base.count()
+    rep = spark.range(replicate).select(F.col("id").alias("__r"))
+    wide = base.crossJoin(rep).select(
+        (F.col("doc_id") + F.col("__r") * F.lit(n)).alias("doc_id"),
+        "text")
+    wide.repartition(64).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def _run_once(cpus: int, docs_path: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "BENCH", "export_once.py"),
+         str(cpus), docs_path],
+        capture_output=True, text=True, cwd=REPO, timeout=3600)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs_path = _materialize_docs(sf_dir, REPLICATE)
+    pairs = []
+    for _ in range(RUNS):
+        r_n = _run_once(N_CPUS, docs_path)
+        r_4n = _run_once(N4_CPUS, docs_path)
+        pairs.append({
+            "n": r_n, "n4": r_4n,
+            "eff": round(r_4n["docs_per_sec"]
+                         / (4.0 * r_n["docs_per_sec"]), 3)})
+    effs = sorted(p["eff"] for p in pairs)
+    eff = effs[len(effs) // 2]
+    best = max(pairs, key=lambda p: p["n"]["docs_per_sec"])
+    result = {
+        "metric": "export_scaling_efficiency_N_to_4N", "value": eff,
+        "unit": "ratio", "pair_efficiencies": effs,
+        "n": best["n"], "n4": best["n4"], "sf_dir": sf_dir,
+        "pass_0_8_gate": eff >= 0.8,
+        "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    print(json.dumps(result), flush=True)
+
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(md, "a") as f:
+        f.write(f"""
+
+## Shard-export packing scaling run {result['measured_at']}
+
+jobs/export_job.pack_windows (chunk flatMap + per-shard text-carrying
+packing window + ordered assembly) over {best['n']['n_docs']} documents
+({REPLICATE}x {sf_dir}, pre-synthesized parquet), fixed 64-way task
+graph, {RUNS} interleaved pairs, slots <= cores/2 at both levels.
+
+| level | cores | wall sec | docs/sec |
+|---|---|---|---|
+| N | {best['n']['cpus']} | {best['n']['sec']} | {best['n']['docs_per_sec']} |
+| 4N | {best['n4']['cpus']} | {best['n4']['sec']} | {best['n4']['docs_per_sec']} |
+
+**Scaling efficiency** = throughput(4N) / (4 x throughput(N)):
+**{eff}** (pairs: {effs}; gate >= 0.8 -> {'PASS' if eff >= 0.8 else 'FAIL'})
+""")
+
+
+if __name__ == "__main__":
+    main()
