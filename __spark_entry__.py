@@ -2193,6 +2193,59 @@ def q_bpe_encode_stats(spark, sf_dir):
                                       merges)
 
 
+_UNIGRAM_TRAIN_CACHE: dict[str, list] = {}
+
+
+def _unigram_docs(spark, sf_dir):
+    """documents with an id-parameterized token tail: the word-soup
+    corpus has only ~31 distinct words, so two synthetic tokens per doc
+    (``w<id%173>``, ``seg<id%37>``) add ~210 distinct words of length
+    2..6 and make unigram seeding + pruning non-degenerate (the
+    cjk_text_stats synthesis convention)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "text",
+        F.concat_ws(
+            " ", F.col("text"),
+            F.concat(F.lit("w"), (F.col("doc_id") % 173).cast("string")),
+            F.concat(F.lit("seg"), (F.col("doc_id") % 37).cast("string"))))
+
+
+def _unigram_trained(spark, sf_dir):
+    if sf_dir not in _UNIGRAM_TRAIN_CACHE:
+        from image_pdf_ocr_suite_spark.analytics import unigram as ug
+        _UNIGRAM_TRAIN_CACHE[sf_dir] = ug.unigram_train(
+            _unigram_docs(spark, sf_dir))
+    return _UNIGRAM_TRAIN_CACHE[sf_dir]
+
+
+def q_unigram_vocab(spark, sf_dir):
+    """Unigram-LM tokenizer training (Kudo 2018, SentencePiece unigram;
+    analytics/unigram.py): the learned vocabulary relation
+    (rank, piece, piece_count, qlog) after bounded hard-EM over the
+    word-frequency vocab — one corpus-sized shuffle (word_vocab), then
+    vocab-sized substring seeding and per-round Viterbi E-steps whose
+    shuffles carry (piece, count) partials only.  All counts are exact
+    integers and scores are integer-quantized log-probs, so the oracle
+    pins the single-process replay's rows verbatim (the bpe_merges
+    pattern)."""
+    from image_pdf_ocr_suite_spark.analytics import unigram as ug
+
+    return ug.vocab_table(spark, _unigram_trained(spark, sf_dir))
+
+
+def q_unigram_encode_stats(spark, sf_dir):
+    """Encoded-stream size under the learned unigram vocab: map-only
+    Viterbi segmentation (broadcast integer scores, per-batch word
+    memo) + one short-key aggregate per language.  ``n_docs`` is
+    recomputed independently in DuckDB; ``n_tokens_unigram`` is pinned
+    from the deterministic replay."""
+    from image_pdf_ocr_suite_spark.analytics import unigram as ug
+
+    return ug.encode_token_stats(_unigram_docs(spark, sf_dir),
+                                 _unigram_trained(spark, sf_dir))
+
+
 def q_quality_classifier(spark, sf_dir):
     """GPT-3/LLaMA-style trained CC quality filter
     (analytics/classifier.py): full-batch logistic regression over
@@ -3257,6 +3310,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "export_windows": q_export_windows,
+        # round-5j (post-freeze): unigram-LM tokenizer (Kudo 2018) —
+        # parity-covered locally, queued with the 5i rows for r6
+        "unigram_vocab": q_unigram_vocab,
+        "unigram_encode_stats": q_unigram_encode_stats,
         "video_dhash": q_video_dhash,
         "tpch_q4_semijoin": q_tpch_q4_semijoin,
         "tpch_q2_mincost": q_tpch_q2_mincost,
@@ -4098,6 +4155,71 @@ def _bpe_merges_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
                 {vals}) AS t(rnk, "left", "right", pair_count)"""
 
 
+_UNIGRAM_REPLAY_CACHE: dict[str, tuple] = {}
+
+
+def _unigram_replay(sf_dir: str = "/root/testdata/sf0.01"):
+    """(synthesized texts-with-lang, trained vocab) replayed
+    single-process from the same parquet with the same id-parameterized
+    token tail as ``_unigram_docs`` — cached per sf_dir."""
+    import duckdb
+
+    from image_pdf_ocr_suite_spark.analytics import unigram as ug
+    from image_pdf_ocr_suite_spark.analytics.bpe import replay_word_freq
+
+    if sf_dir not in _UNIGRAM_REPLAY_CACHE:
+        rows = duckdb.sql(
+            f"SELECT lang, text, doc_id FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        texts = []
+        for g, t, i in rows:
+            parts = [x for x in (t, f"w{i % 173}", f"seg{i % 37}")
+                     if x is not None]
+            texts.append((g, " ".join(parts)))
+        trained = ug.replay_train(
+            replay_word_freq([t for _g, t in texts]))
+        _UNIGRAM_REPLAY_CACHE[sf_dir] = (texts, trained)
+    return _UNIGRAM_REPLAY_CACHE[sf_dir]
+
+
+def _unigram_vocab_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """q_unigram_vocab oracle: the vocabulary replayed single-process
+    (exact integer counts, shared integer-quantized scores, identical
+    count-DESC/piece-ASC ranking), pinned as literals."""
+    _texts, trained = _unigram_replay(sf_dir)
+    vals = ",\n                ".join(
+        f"({i + 1}, {_sql_str(p)}, {c}, {q})"
+        for i, (p, c, q) in enumerate(trained))
+    return f"""
+        SELECT CAST(rnk AS INTEGER) AS "rank", piece,
+               CAST(pc AS BIGINT) AS piece_count, CAST(ql AS BIGINT) AS qlog
+        FROM (VALUES
+                {vals}) AS t(rnk, piece, pc, ql)"""
+
+
+def _unigram_encode_stats_oracle(sf_dir: str = "/root/testdata/sf0.01"
+                                 ) -> str:
+    """q_unigram_encode_stats oracle: per-language ``n_docs`` recomputed
+    in DuckDB (independent); ``n_tokens_unigram`` pinned from the
+    deterministic replay of the same Viterbi segmenter under the
+    replayed vocabulary."""
+    from image_pdf_ocr_suite_spark.analytics import unigram as ug
+
+    texts, trained = _unigram_replay(sf_dir)
+    stats = ug.replay_encode_stats(texts, trained)
+    vals = ",\n                ".join(
+        f"({_sql_str(g)}, {n})"
+        for g, (_d, n) in sorted(stats.items()))
+    return f"""
+        WITH pin(lang, n_tokens_unigram) AS (VALUES
+                {vals}),
+        d AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY lang)
+        SELECT d.lang, d.n_docs,
+               CAST(p.n_tokens_unigram AS BIGINT) AS n_tokens_unigram
+        FROM d JOIN pin p ON p.lang = d.lang"""
+
+
 def _bpe_encode_stats_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """q_bpe_encode_stats oracle: per-language ``n_docs`` recomputed in
     DuckDB (independent); ``n_tokens_bpe`` pinned from the deterministic
@@ -4547,6 +4669,11 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_trigrams": hllmod.hll_oracle_sql(
             _TRIGRAM_INNER_SQL, "gram", p=10, group_cols=("lang",)),
         "dsir_sample": _dsir_oracle(),
+        # round-5j: unigram-LM tokenizer — vocab rows pinned from the
+        # single-process replay (the bpe_merges pattern), encode n_docs
+        # recomputed independently
+        "unigram_vocab": _unigram_vocab_oracle(),
+        "unigram_encode_stats": _unigram_encode_stats_oracle(),
         "video_near_dup": _video_near_dup_oracle(),
         "image_dhash": _image_dhash_oracle(),
         "image_near_dup": _image_near_dup_oracle(),

@@ -260,6 +260,14 @@ def main() -> None:
     queries["bpe_train"] = time_query(
         lambda: bpe_mod.bpe_train(docs, n_merges=8), "bpe_train")
 
+    # round-5j leg: unigram-LM tokenizer training (Kudo 2018) — one
+    # corpus shuffle to the word-frequency vocab, then vocab-sized
+    # substring seeding + 4 Viterbi hard-EM rounds whose shuffles carry
+    # (piece, count) partials only
+    from image_pdf_ocr_suite_spark.analytics import unigram as ug_mod
+    queries["unigram_train"] = time_query(
+        lambda: ug_mod.unigram_train(docs), "unigram_train")
+
     # round-5e leg: trained quality classifier (5 full-batch epochs of
     # hashed-BoW logistic regression with integer-quantized gradient
     # aggregation, then map-only scoring) — times train + score
