@@ -2246,6 +2246,24 @@ def q_unigram_encode_stats(spark, sf_dir):
                                  _unigram_trained(spark, sf_dir))
 
 
+def q_curriculum_order(spark, sf_dir):
+    """Distributed stable global rank (relational/globalrank.py): the
+    corpus in curriculum order — ranked by (n_tokens DESC, doc_id) and
+    cut into 100-doc shards — WITHOUT the single-partition
+    ROW_NUMBER-over-everything window.  One range exchange +
+    sortWithinPartitions, bounded per-partition counts prefix-summed
+    into offsets, map-only rank kernel; plan-asserted Window-free
+    (tests/test_globalrank.py).  Oracle: DuckDB's actual
+    ROW_NUMBER() OVER (ORDER BY ...) — the semantics the scalable
+    spelling must reproduce exactly."""
+    from image_pdf_ocr_suite_spark.relational.globalrank import (
+        curriculum_shards)
+
+    toks = textops.token_counts(_t(spark, sf_dir, "documents"))
+    return curriculum_shards(
+        toks, [F.desc("n_tokens"), F.asc("doc_id")], shard_size=100)
+
+
 def q_quality_classifier(spark, sf_dir):
     """GPT-3/LLaMA-style trained CC quality filter
     (analytics/classifier.py): full-batch logistic regression over
@@ -3314,6 +3332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parity-covered locally, queued with the 5i rows for r6
         "unigram_vocab": q_unigram_vocab,
         "unigram_encode_stats": q_unigram_encode_stats,
+        "curriculum_order": q_curriculum_order,
         "video_dhash": q_video_dhash,
         "tpch_q4_semijoin": q_tpch_q4_semijoin,
         "tpch_q2_mincost": q_tpch_q2_mincost,
@@ -4674,6 +4693,24 @@ def oracle_sql() -> dict[str, str]:
         # recomputed independently
         "unigram_vocab": _unigram_vocab_oracle(),
         "unigram_encode_stats": _unigram_encode_stats_oracle(),
+        # round-5j: the scalable global rank must equal the actual
+        # window-function semantics
+        "curriculum_order": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(text) > 0
+                            THEN length(text) - length(replace(text, ' ', '')) + 1
+                            ELSE 0 END AS n_tokens
+                FROM documents),
+            r AS (
+                SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                       CAST(ROW_NUMBER() OVER
+                            (ORDER BY n_tokens DESC, doc_id) - 1
+                            AS BIGINT) AS rk
+                FROM t)
+            SELECT doc_id, n_tokens, rk,
+                   CAST(rk // 100 AS BIGINT) AS shard
+            FROM r""",
         "video_near_dup": _video_near_dup_oracle(),
         "image_dhash": _image_dhash_oracle(),
         "image_near_dup": _image_near_dup_oracle(),
