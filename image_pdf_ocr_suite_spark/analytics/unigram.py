@@ -143,7 +143,11 @@ def _em_next(new_counts: dict[str, int], singles: Iterable[str],
 
 
 def _finalize(counts: dict[str, int]) -> list[tuple[str, int, int]]:
-    """[(piece, count, qlog)] ranked (count DESC, piece ASC)."""
+    """[(piece, count, qlog)] ranked (count DESC, piece ASC).  An
+    empty/all-null corpus yields an empty vocabulary (encode then
+    falls back to UNK single-char pieces)."""
+    if not counts:
+        return []
     total = sum(counts.values())
     ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
     return [(p, c, _qlog(c, total)) for p, c in ranked]

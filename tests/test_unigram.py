@@ -105,3 +105,17 @@ def test_encode_plan_map_only(docs_df, trained):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # one short-key aggregate; the only exchange is on the group key
     assert plan.count("Exchange") == 1
+
+
+def test_empty_corpus_trains_empty_vocab(spark):
+    empty = spark.createDataFrame(
+        [("en", None), ("en", "")], "lang string, text string")
+    trained = unigram.unigram_train(empty, **PARAMS)
+    assert trained == unigram.replay_train({}, **PARAMS) == []
+    # encode under an empty vocab: UNK single-char fallback still
+    # tokenizes, docs with null/empty text count zero tokens
+    docs = spark.createDataFrame(
+        [("en", "ab c"), ("en", None)], "lang string, text string")
+    got = {r["lang"]: (r["n_docs"], r["n_tokens_unigram"])
+           for r in unigram.encode_token_stats(docs, trained).collect()}
+    assert got == {"en": (2, 3)}
