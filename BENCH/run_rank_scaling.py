@@ -45,7 +45,8 @@ def _materialize_rows(n_rows: int) -> str:
     (spark.range(n_rows)
      .select(F.col("id").alias("doc_id"),
              # heavy ties: 4k distinct token counts over n_rows rows
-             (F.xxhash64("id") % 4096).alias("n_tokens"))
+             # (pmod — a signed % would yield ~8191 distinct values)
+             F.pmod(F.xxhash64("id"), F.lit(4096)).alias("n_tokens"))
      .repartition(64).write.mode("overwrite").parquet(path))
     spark.stop()
     return path

@@ -214,13 +214,18 @@ def unigram_train(docs: DataFrame, text_col: str = "text",
     vocab = word_vocab(docs, text_col).persist()
     try:
         vocab.count()
-        seed = _piece_partials(vocab, _seed_kernel(max_len))
-        singles = {r["piece"]: int(r["c"])
-                   for r in seed.where(F.length("piece") == 1).collect()}
-        multi_top = [(r["piece"], int(r["c"]))
-                     for r in seed.where(F.length("piece") > 1)
-                                  .orderBy(F.desc("c"), F.asc("piece"))
-                                  .limit(seed_multi).collect()]
+        # persist: the two bounded collects below must not re-run the
+        # substring enumeration (the heaviest pass) twice
+        seed = _piece_partials(vocab, _seed_kernel(max_len)).persist()
+        try:
+            singles = {r["piece"]: int(r["c"])
+                       for r in seed.where(F.length("piece") == 1).collect()}
+            multi_top = [(r["piece"], int(r["c"]))
+                         for r in seed.where(F.length("piece") > 1)
+                                      .orderBy(F.desc("c"), F.asc("piece"))
+                                      .limit(seed_multi).collect()]
+        finally:
+            seed.unpersist()
         counts = _seed_from_counts(singles, multi_top)
         for rnd in range(rounds):
             b = sc.broadcast(_scores(counts))
@@ -241,15 +246,25 @@ def vocab_table(spark, trained: list[tuple[str, int, int]]) -> DataFrame:
         rows, "rank int, piece string, piece_count bigint, qlog bigint")
 
 
+def _vocab_max_len(trained: list[tuple[str, int, int]]) -> int:
+    """Viterbi window for a trained vocab = its longest piece — derived
+    from the artifact itself so an encode can never silently miss
+    pieces trained with a different ``max_len``."""
+    return max((len(p) for p, _c, _q in trained), default=1)
+
+
 def encode_token_stats(docs: DataFrame, trained: list[tuple[str, int, int]],
                        text_col: str = "text", group_col: str = "lang",
-                       max_len: int = MAX_LEN) -> DataFrame:
+                       max_len: int | None = None) -> DataFrame:
     """(group, n_docs, n_tokens_unigram): map-only Viterbi token counts
     under the broadcast final scores (per-batch distinct-word memo) +
     one short-key aggregate.  ``n_docs`` is independently SQL-checkable;
-    ``n_tokens_unigram`` is the pinned training artifact."""
+    ``n_tokens_unigram`` is the pinned training artifact.  ``max_len``
+    defaults to the vocab's own longest piece."""
     import pandas as pd
 
+    if max_len is None:
+        max_len = _vocab_max_len(trained)
     scores = {p: q for p, _c, q in trained}
     b = docs.sparkSession.sparkContext.broadcast(scores)
     src = docs.select(group_col, text_col)
@@ -311,10 +326,12 @@ def replay_train(word_freq: dict[str, int], max_len: int = MAX_LEN,
 
 def replay_encode_stats(rows: list[tuple[str | None, str | None]],
                         trained: list[tuple[str, int, int]],
-                        max_len: int = MAX_LEN
+                        max_len: int | None = None
                         ) -> dict[str | None, tuple[int, int]]:
     """{group: (n_docs, n_tokens_unigram)} — mirror of
     ``encode_token_stats``."""
+    if max_len is None:
+        max_len = _vocab_max_len(trained)
     scores = {p: q for p, _c, q in trained}
     memo: dict[str, int] = {}
     out: dict[str | None, list[int]] = {}

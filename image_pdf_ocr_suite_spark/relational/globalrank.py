@@ -14,8 +14,8 @@ the two-pass range-sort:
    whole-stage codegen, no Python stage.
 2. Per-partition row counts (bounded: ``n_partitions`` rows to the
    driver), prefix-summed into offsets.
-3. ``rank = offsets[pid] + (mid & (2^33 - 1))`` — a constant-folded
-   literal-map lookup plus integer ops, pure Catalyst.
+3. ``rank = offsets[pid] + (mid & (2^33 - 1))`` — a dense array-literal
+   lookup (O(1) per row) plus integer ops, pure Catalyst.
 
 Boundary-consistency invariant: the offsets from pass 2 must describe
 the SAME partitioning pass 3 reads.  ``RangePartitioner`` samples its
@@ -86,17 +86,17 @@ def global_rank(df: DataFrame, order_cols: Sequence[str | Column],
                   F.count(F.lit(1)).alias("c")).collect()}
     if not counts:
         return df.withColumn(rank_col, F.lit(None).cast("bigint"))
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
 
-    # pass 2: pure Catalyst — literal-map offset lookup + integer ops
-    off_map = F.create_map(
-        *[F.lit(v) for pid in sorted(offsets)
-          for v in (pid, offsets[pid])])
-    rank = (F.element_at(off_map, F.col(_PID)).cast("bigint")
+    # pass 2: pure Catalyst — dense array-literal offset lookup (O(1)
+    # per row; a create_map literal scans its key list per row, which
+    # is O(n_partitions) per row at 10^12 scale) + integer ops.  Empty
+    # partitions get the running offset — no row ever reads them.
+    n_parts = max(counts) + 1
+    arr, acc = [], 0
+    for pid in range(n_parts):
+        arr.append(acc)
+        acc += counts.get(pid, 0)
+    rank = (F.element_at(F.lit(arr), F.col(_PID) + 1).cast("bigint")
             + F.col(_MID).bitwiseAND(F.lit(_LOCAL_MASK)))
     return (srt.withColumn(rank_col, rank.cast("bigint"))
             .drop(_PID, _MID))

@@ -41,6 +41,19 @@ def fold_sketch(partials: DataFrame) -> DataFrame:
             .agg(F.sum("cnt").cast("bigint").alias("cnt")))
 
 
+def live_sketch(spark: SparkSession, output_root: str) -> DataFrame:
+    """The current folded sketch of a running (or finished) stream.
+    Before the first micro-batch commits — or after zero input files —
+    the partial table has no snapshot yet (``SnapshotTable.read``
+    returns None); that reads as an EMPTY sketch (every estimate 0,
+    count-min's correct zero-mass answer), not an error."""
+    partials = SnapshotTable(f"{output_root}/cm_partials").read(spark)
+    if partials is None:
+        partials = spark.createDataFrame(
+            [], "row int, bucket bigint, cnt bigint")
+    return fold_sketch(partials)
+
+
 def start_cm_sketch_stream(spark: SparkSession, input_dir: str, schema,
                            output_root: str, checkpoint_dir: str,
                            item_col: str = "text", depth: int = 4,
@@ -48,7 +61,8 @@ def start_cm_sketch_stream(spark: SparkSession, input_dir: str, schema,
     """Continuous count-min ingest: parquet file stream → per-batch
     partial sketch → snapshot-committed partial table (exactly-once).
     Returns the StreamingQuery; read the live sketch with
-    ``fold_sketch(SnapshotTable(f"{output_root}/cm_partials").read(spark))``."""
+    ``live_sketch(spark, output_root)`` (empty-sketch-safe before the
+    first commit)."""
     table = SnapshotTable(f"{output_root}/cm_partials")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from image_pdf_ocr_suite_spark.analytics.sketches import cm_build, cm_estimate
 from image_pdf_ocr_suite_spark.streaming.sketch_stream import (
-    fold_sketch, start_cm_sketch_stream)
+    fold_sketch, live_sketch, start_cm_sketch_stream)
 from image_pdf_ocr_suite_spark.tableio.snapshot import SnapshotTable
 
 SCHEMA = "doc_id long, text string"
@@ -43,7 +43,7 @@ def test_stream_sketch_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
 
     table = SnapshotTable(f"{out_root}/cm_partials")
-    folded = fold_sketch(table.read(spark))
+    folded = live_sketch(spark, out_root)
     got = {(r["row"], r["bucket"]): r["cnt"] for r in folded.collect()}
     want = {(r["row"], r["bucket"]): r["cnt"]
             for r in cm_build(docs.select("text"), "text",
@@ -70,6 +70,15 @@ def test_stream_sketch_matches_batch(spark, tmp_path):
     if not ss._batch_committed(table, "cm-batch-0"):
         table.append(partial, run_id="cm-batch-0")
     assert table.read(spark).count() == n_before
+
+
+def test_live_sketch_empty_before_first_commit(spark, tmp_path):
+    # no snapshot yet: an empty sketch (zero estimates), not an error
+    folded = live_sketch(spark, str(tmp_path / "nothing"))
+    assert folded.count() == 0
+    probes = spark.createDataFrame([("x",)], "text string")
+    est = cm_estimate(folded, probes, "text", depth=3, width=64).collect()
+    assert est[0]["est_count"] == 0
 
 
 def test_fold_is_batch_order_independent(spark):
