@@ -268,6 +268,14 @@ def main() -> None:
     queries["unigram_train"] = time_query(
         lambda: ug_mod.unigram_train(docs), "unigram_train")
 
+    # round-5j leg: distributed stable global rank (curriculum order) —
+    # one range exchange pinned by a localCheckpoint, pure-Catalyst
+    # rank projection (its N-vs-4N evidence lives in
+    # BENCH/run_rank_scaling.py against the orderBy baseline)
+    queries["curriculum_order"] = time_query(
+        lambda: _force(entrymod.q_curriculum_order(spark, SF_DIR)),
+        "curriculum_order")
+
     # round-5e leg: trained quality classifier (5 full-batch epochs of
     # hashed-BoW logistic regression with integer-quantized gradient
     # aggregation, then map-only scoring) — times train + score

@@ -95,3 +95,40 @@ def test_fold_is_batch_order_independent(spark):
              for r in cm_build(docs.select("text"), "text",
                                depth=3, width=64).collect()}
     assert ab == ba == whole
+
+
+def test_stream_hll_matches_batch(spark, tmp_path):
+    from image_pdf_ocr_suite_spark.analytics.hll import (hll_estimate,
+                                                         hll_registers)
+    from image_pdf_ocr_suite_spark.streaming.sketch_stream import (
+        live_hll, start_hll_sketch_stream)
+
+    rows = [(i, "en" if i % 3 else "ja", f"v{i % 37}") for i in range(90)]
+    schema = "doc_id long, lang string, text string"
+    docs = spark.createDataFrame(rows, schema)
+    input_dir = str(tmp_path / "in")
+    docs.where("doc_id < 40").coalesce(1).write.mode("append").parquet(input_dir)
+    docs.where("doc_id >= 40").coalesce(1).write.mode("append").parquet(input_dir)
+
+    out_root = str(tmp_path / "out")
+    q = start_hll_sketch_stream(spark, input_dir, schema, out_root,
+                                str(tmp_path / "ckpt"), p=7)
+    q.awaitTermination(120)
+
+    folded = live_hll(spark, out_root)
+    got = {(r["lang"], r["bucket"]): r["r"] for r in folded.collect()}
+    want = {(r["lang"], r["bucket"]): r["r"]
+            for r in hll_registers(docs, "text", p=7,
+                                   group_cols=["lang"]).collect()}
+    assert got == want
+    # estimates through the folded registers equal the batch estimates
+    ge = {r["lang"]: r["est_distinct"]
+          for r in hll_estimate(folded, p=7, group_cols=["lang"]).collect()}
+    be = {r["lang"]: r["est_distinct"]
+          for r in hll_estimate(
+              hll_registers(docs, "text", p=7, group_cols=["lang"]),
+              p=7, group_cols=["lang"]).collect()}
+    assert ge == be
+
+    # empty table reads as an empty register set
+    assert live_hll(spark, str(tmp_path / "nothing")).count() == 0
