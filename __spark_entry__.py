@@ -3078,7 +3078,7 @@ _EXPORT_WINDOWS_ORACLE = """
                    AS window_text,
                CAST(COUNT(*) AS BIGINT) AS n_chunks,
                CAST(SUM(chunk_tokens) AS BIGINT) AS n_tokens,
-               array_to_string(list_sort(list(DISTINCT id)), ',')
+               array_to_string(list_sort(list(DISTINCT id)), chr(31))
                    AS source_ids
         FROM b GROUP BY shard, bin_id"""
 

@@ -69,25 +69,27 @@ def bucket_of(gram: str, n_buckets: int) -> int:
 
 
 def gram_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(gram) rows — unigrams + bigrams on the single-space contract."""
-    toks = token_array_expr(text_col)
-    uni = docs.select(F.explode(toks).alias("gram"))
-    t = docs.select(toks.alias("__toks"))
-    bi = t.where(F.size("__toks") >= 2).select(
-        F.explode(F.transform(
-            F.sequence(F.lit(1), F.size("__toks") - 1),
-            lambda i: F.concat_ws(" ", F.slice("__toks", i, 2))))
-        .alias("gram"))
-    return uni.unionByName(bi)
+    """(gram) rows — unigrams + bigrams on the single-space contract,
+    in ONE scan (the token array materializes first per the repo's
+    HOF rule, then one explode of unigrams ++ bigrams — a separate
+    unioned bigram projection would read the corpus twice)."""
+    t = docs.select(token_array_expr(text_col).alias("__toks"))
+    bigrams = F.when(
+        F.size("__toks") >= 2,
+        F.transform(F.sequence(F.lit(1), F.size("__toks") - 1),
+                    lambda i: F.concat_ws(" ", F.slice("__toks", i, 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    return t.select(
+        F.explode(F.concat(F.col("__toks"), bigrams)).alias("gram"))
 
 
 def bucket_counts(docs: DataFrame, n_buckets: int = 1024,
                   text_col: str = "text") -> dict[int, int]:
     """Exact hashed-bucket counts, collected (bounded: ≤ B rows)."""
+    from image_pdf_ocr_suite_spark.analytics.sketches import hash48_expr
+
     g = gram_rows(docs, text_col)
-    bucketed = g.select(
-        (F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10).cast("bigint")
-         % n_buckets).alias("bucket"))
+    bucketed = g.select((hash48_expr("gram") % n_buckets).alias("bucket"))
     rows = bucketed.groupBy("bucket").count().collect()
     return {int(r["bucket"]): int(r["count"]) for r in rows}
 
@@ -144,27 +146,40 @@ def fit_dsir(docs: DataFrame, text_col: str = "text",
              n_buckets: int = 1024, frac: float = 0.5) -> DsirModel:
     """Fit the importance table + cutoff.  Target = the deterministic
     curated slice ``id % target_mod == 0``; raw = the full corpus.  Two
-    bounded integer aggregates + one bounded slice collect."""
+    bounded integer aggregates, then a DISTRIBUTED exact order
+    statistic for the cutoff — the target slice is scored by the same
+    Arrow kernel as ``score_dsir`` (integer sums of the shared pinned
+    table, so the value is identical to the single-process
+    ``cutoff_from_scores(replay_scores(...))``) and the k-th ascending
+    (score, id) is picked via relational.globalrank — the slice's TEXT
+    never reaches the driver (it is ~1/target_mod of the corpus; a
+    collect here is the 100 TB driver-OOM anti-pattern)."""
+    from image_pdf_ocr_suite_spark.relational.globalrank import global_rank
+
     target = docs.where(F.col(id_col) % target_mod == 0)
     ct = bucket_counts(target, n_buckets, text_col)
     cr = bucket_counts(docs, n_buckets, text_col)
     lr = lr_table_from_counts(ct, cr, n_buckets)
-    slice_texts = [r[0] for r in
-                   target.select(text_col).orderBy(id_col).collect()]
-    cutoff = cutoff_from_scores(replay_scores(slice_texts, lr, n_buckets),
-                                frac=frac)
+    scored = _scored(target, lr, n_buckets, text_col, id_col)
+    ranked = global_rank(scored, ["score_e6", id_col])
+    n = ranked.count()
+    if n == 0:
+        raise ValueError("cutoff needs at least one target-slice score")
+    k = int(math.floor((1.0 - frac) * (n - 1)))
+    cutoff = int(ranked.where(F.col("rk") == k)
+                 .collect()[0]["score_e6"])
     return DsirModel(tuple(lr), cutoff, n_buckets, target_mod)
 
 
-def score_dsir(docs: DataFrame, model: DsirModel, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
-    """Map-only Arrow scoring: ``(id, score_e6 bigint)`` for EVERY input
-    document (null/empty text scores 0)."""
+def _scored(docs: DataFrame, lr_e6, n_buckets: int, text_col: str,
+            id_col: str) -> DataFrame:
+    """(id, score_e6) via the one shared Arrow scoring kernel — used by
+    both ``score_dsir`` and the fit-time cutoff statistic."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    lr = list(model.lr_e6)
-    nb = model.n_buckets
+    lr = list(lr_e6)
+    nb = n_buckets
 
     def _fn(s):
         cache: dict[str, int] = {}
@@ -183,6 +198,13 @@ def score_dsir(docs: DataFrame, model: DsirModel, text_col: str = "text",
     return docs.select(F.col(id_col),
                        pandas_udf(_fn, "long")(F.col(text_col))
                        .alias("score_e6"))
+
+
+def score_dsir(docs: DataFrame, model: DsirModel, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Map-only Arrow scoring: ``(id, score_e6 bigint)`` for EVERY input
+    document (null/empty text scores 0)."""
+    return _scored(docs, model.lr_e6, model.n_buckets, text_col, id_col)
 
 
 def dsir_select(docs: DataFrame, model: DsirModel | None = None,

@@ -23,7 +23,8 @@ Everything is INTEGER-exact so the DuckDB oracle matches bit-for-bit:
   order-independent.  The raw estimate
   ``alpha_m · m² / sum(2^-r)`` becomes the staged integer expression
   ``(ALPHA_E9 * ((m·m·2^maxrho) div S)) div 1e9`` — identical staging on
-  both engines, so identical rounding.  Valid to ~1e13 distinct (far
+  both engines, so identical rounding.  Valid to ~1e13 distinct with
+  the split staging in ``hll_estimate`` (far
   beyond the 48-bit hash's own birthday bound, documented in
   ``hll_estimate``).
 - small-range (linear-counting) correction: ``m · ln(m/V)`` is float, so
@@ -45,12 +46,14 @@ from image_pdf_ocr_suite_spark.analytics.sketches import (HASH_BITS,
 
 
 def _check_p(p: int) -> None:
-    """The staged integer estimate needs ``m·m·2^(maxrho)`` in BIGINT and
-    the classic alpha_m constant: ``7 <= p <= 14`` (m = 128..16384)."""
-    if not 7 <= p <= 14:
-        raise ValueError(f"p must be in [7, 14] (got {p}): p < 7 has no "
-                         f"pinned alpha, p > 14 overflows the BIGINT "
-                         f"estimate staging")
+    """The staged integer estimate needs ``m·m·2^(maxrho)`` =
+    ``2^(p+49)`` in BIGINT: ``p <= 13`` keeps it at ``2^62`` (p = 14
+    lands EXACTLY on ``2^63``, one past Long.MAX — Spark non-ANSI would
+    NULL it, DuckDB would raise); ``p >= 7`` has a pinned alpha."""
+    if not 7 <= p <= 13:
+        raise ValueError(f"p must be in [7, 13] (got {p}): p < 7 has no "
+                         f"pinned alpha, p >= 14 overflows the BIGINT "
+                         f"m*m*2^maxrho literal (2^(p+49))")
 
 
 def alpha_e9(m: int) -> int:
@@ -137,8 +140,10 @@ def hll_registers(df: DataFrame, col: str, p: int = 10,
             dedup = dedup.drop(columns="__v")
             dedup["bucket"] = pd.array(buckets, dtype="int32")
             dedup["rho"] = pd.array(rhos, dtype="int32")
+            # dropna=False: a NULL group key is a real group — the
+            # catalyst spelling and the oracle both keep it
             yield dedup.groupby([*gcols, "bucket"], sort=False,
-                                as_index=False)["rho"].max() \
+                                as_index=False, dropna=False)["rho"].max() \
                 if gcols else \
                 dedup.groupby(["bucket"], sort=False,
                               as_index=False)["rho"].max()
@@ -174,12 +179,16 @@ def hll_estimate(registers: DataFrame, p: int = 10,
 
     ``s_scaled = sum over ALL m buckets of 2^(maxrho - r)`` (absent
     buckets contribute ``2^maxrho``); raw estimate =
-    ``(ALPHA_E9 * ((m·m·2^maxrho) div s)) div 1e9``; when zero registers
-    remain and raw ≤ 5m/2 the pinned linear-counting table takes over
-    (the classic regime split).  All-integer, so the SQL oracle is exact.
-    Integer-overflow bound: the staging holds in BIGINT for estimates to
-    ~1.3e13 (s ≥ m) — beyond the 48-bit hash's collision validity
-    anyway; use p ≤ 14 with this staging."""
+    ``(ALPHA_E9 * q) div 1e9`` with ``q = (m·m·2^maxrho) div s``, staged
+    as ``(q div 1e9)·ALPHA_E9 + ((q % 1e9)·ALPHA_E9) div 1e9`` — an
+    EXACT identity that keeps every intermediate under ``ALPHA_E9·1e9 ≈
+    7.2e17`` instead of overflowing Long.MAX once ``q > ~1.28e10``
+    (i.e. estimates past ~9e9 with the naive single multiply).  When
+    zero registers remain and raw ≤ 5m/2 the pinned linear-counting
+    table takes over (the classic regime split).  All-integer, so the
+    SQL oracle is exact.  Remaining bounds: ``p ≤ 13`` (the
+    ``m·m·2^maxrho`` literal, _check_p) and the 48-bit hash's own
+    collision validity."""
     _check_p(p)
     gcols = list(group_cols)
     m = 1 << p
@@ -195,11 +204,13 @@ def hll_estimate(registers: DataFrame, p: int = 10,
     v = (F.lit(m) - F.col("__n_present")).cast("int")
     s = (F.col("__s_present")
          + v.cast("bigint") * F.lit(1 << max_rho).cast("bigint"))
-    # integer div staging: expr-level `div` twice, identical in the oracle
+    # overflow-safe split staging (exact identity with (a9*q) div 1e9;
+    # docstring) — identical spelling in the oracle
+    q_sql = f"(CAST({m * m * (1 << max_rho)} AS BIGINT) div __s)"
     raw = F.expr(
-        f"(CAST({a9} AS BIGINT) * "
-        f"(CAST({m * m * (1 << max_rho)} AS BIGINT) div __s)) "
-        f"div CAST(1000000000 AS BIGINT)")
+        f"({q_sql} div CAST(1000000000 AS BIGINT)) * CAST({a9} AS BIGINT)"
+        f" + (({q_sql} % CAST(1000000000 AS BIGINT)) *"
+        f" CAST({a9} AS BIGINT)) div CAST(1000000000 AS BIGINT)")
     lc_arr = F.array(*[F.lit(x).cast("bigint") for x in lc])
     est = F.when((v > 0) & (raw <= F.lit(5 * m // 2)),
                  F.element_at(lc_arr, v)).otherwise(raw)
@@ -252,11 +263,17 @@ def hll_oracle_sql(inner_sql: str, col: str = "gram", p: int = 10,
                        CAST(sp + ({m} - np) * {1 << max_rho} AS BIGINT)
                            AS s_scaled
                 FROM agg),
+        q AS (SELECT *,
+                     CAST({m * m * (1 << max_rho)} AS BIGINT) // s_scaled
+                         AS qv
+              FROM est),
         raw AS (SELECT *,
-                       (CAST({a9} AS BIGINT) *
-                        (CAST({m * m * (1 << max_rho)} AS BIGINT) // s_scaled))
-                       // CAST(1000000000 AS BIGINT) AS raw_est
-                FROM est)
+                       (qv // CAST(1000000000 AS BIGINT))
+                           * CAST({a9} AS BIGINT)
+                       + ((qv % CAST(1000000000 AS BIGINT))
+                           * CAST({a9} AS BIGINT))
+                           // CAST(1000000000 AS BIGINT) AS raw_est
+                FROM q)
         SELECT {gq} n_zero, s_scaled,
                CASE WHEN n_zero > 0 AND raw_est <= {5 * m // 2}
                     THEN CAST({lc}[n_zero] AS BIGINT)

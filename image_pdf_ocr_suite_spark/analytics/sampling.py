@@ -38,11 +38,13 @@ from image_pdf_ocr_suite_spark.analytics.similarity import (
 
 
 def keep_hash_expr(id_col: str):
-    """Deterministic 48-bit keep-order hash of the id — the md5 contract
-    every oracle restates (`CAST('0x' || substr(md5(CAST(id AS
-    VARCHAR)), 1, 12) AS BIGINT)`)."""
-    return (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12),
-                   16, 10).cast("bigint"))
+    """Deterministic 48-bit keep-order hash of the id — the ONE
+    repo-wide md5 contract (`sketches.hash48_expr`; every oracle
+    restates it as `CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1,
+    12) AS BIGINT)`)."""
+    from image_pdf_ocr_suite_spark.analytics.sketches import hash48_expr
+
+    return hash48_expr(id_col)
 
 
 def cluster_balanced_sample(df: DataFrame, quota: int, n_clusters: int = 16,

@@ -41,15 +41,28 @@ from image_pdf_ocr_suite_spark.session import build_session
 from image_pdf_ocr_suite_spark.tableio.snapshot import SnapshotTable
 
 
+# provenance join/split delimiter: U+001F (unit separator) — absent
+# from URLs and any sane document id, unlike ","
+SOURCE_IDS_SEP = "\x1f"
+
+
 def pack_windows(docs: DataFrame, capacity: int = 256, n_shards: int = 32,
                  chunk_tokens: int = 50, overlap: int = 10,
                  id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """(shard, bin_id, window_text, n_chunks, n_tokens, source_ids) —
     the pack_chunks binning arithmetic (floor(tokens_before/capacity)
-    per shard in (id, chunk_idx) order) with the chunk TEXT carried into
-    an ordered assembly, so the output is actual training windows, not
-    just bin statistics.  ``source_ids`` is the in-order provenance."""
+    per shard) with the chunk TEXT carried into an ordered assembly, so
+    the output is actual training windows, not just bin statistics.
+    ``source_ids`` is the in-order provenance.
+
+    Pack-order contract: chunks pack in (STRING-cast id, chunk_idx)
+    order — the id must be stringified anyway for the md5 shard bucket,
+    and string order is the cross-engine-stable total order the oracle
+    pins.  NOTE this diverges from corpusprep.pack_chunks (which orders
+    by the native-typed id) for NUMERIC ids of mixed digit count
+    ("10" < "2" lexicographically): the two operators are separately
+    oracle-pinned contracts, not interchangeable reports."""
     chunks = chunk_documents(docs, text_col=text_col, id_col=id_col,
                              chunk_tokens=chunk_tokens, overlap=overlap)
     base = chunks.select(
@@ -71,9 +84,11 @@ def pack_windows(docs: DataFrame, capacity: int = 256, n_shards: int = 32,
          .alias("window_text"),
         F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
         F.sum("chunk_tokens").cast("bigint").alias("n_tokens"),
-        # provenance as a sorted comma-joined string (cross-engine-stable
-        # scalar; the manifest re-splits it)
-        F.array_join(F.array_sort(F.collect_set("__id")), ",")
+        # provenance as a sorted joined string (cross-engine-stable
+        # scalar; the manifest re-splits it).  Delimiter = the ASCII
+        # unit separator: a comma would corrupt provenance for ids that
+        # legally contain one (e.g. --id-col url with query strings)
+        F.array_join(F.array_sort(F.collect_set("__id")), SOURCE_IDS_SEP)
          .alias("source_ids"))
 
 
@@ -83,7 +98,7 @@ def shard_manifest(windows: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_windows"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(F.flatten(
-            F.collect_list(F.split("source_ids", ",")))))
+            F.collect_list(F.split("source_ids", SOURCE_IDS_SEP)))))
          .cast("bigint").alias("n_docs"))
         .orderBy("shard"))
 
@@ -111,13 +126,20 @@ def main(argv: list[str] | None = None, *,
         capacity=args.capacity, n_shards=args.n_shards,
         chunk_tokens=args.chunk_tokens, overlap=args.overlap,
         id_col=args.id_col, text_col=args.text_col)
-    # per-table replay guard: re-running a committed run_id is a no-op
-    # (exactly-once across restarts, the streaming-commit convention)
-    for tbl, df in ((shards_tbl, windows),
-                    (manifest_tbl, shard_manifest(windows))):
-        if any(s.run_id == run_id for s in tbl.snapshots()):
-            continue
-        tbl.append(df, run_id=run_id)
+    # persist: the shards append and the manifest aggregate must not
+    # execute the chunk-explode + packing-window pipeline twice (its
+    # window shuffle carries all chunk text — the job's dominant cost)
+    windows = windows.persist()
+    try:
+        # per-table replay guard: re-running a committed run_id is a
+        # no-op (exactly-once across restarts, the streaming convention)
+        for tbl, df in ((shards_tbl, windows),
+                        (manifest_tbl, shard_manifest(windows))):
+            if any(s.run_id == run_id for s in tbl.snapshots()):
+                continue
+            tbl.append(df, run_id=run_id)
+    finally:
+        windows.unpersist()
     if stop_session:
         spark.stop()
 

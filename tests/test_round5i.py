@@ -202,6 +202,55 @@ def test_hll_p_range_enforced(spark):
         hll.hll_registers(df, "x", p=6)
     with pytest.raises(ValueError):
         hll.hll_distinct(df, "x", p=15)
+    # p=14 lands m*m*2^maxrho EXACTLY on 2^63 (one past Long.MAX):
+    # rejected, not silently NULLed (review fix)
+    with pytest.raises(ValueError):
+        hll.hll_distinct(df, "x", p=14)
+
+
+def test_hll_estimate_staging_survives_huge_estimates(spark):
+    """The split staging (q div 1e9)*a9 + ((q %% 1e9)*a9) div 1e9 must
+    not wrap where the naive a9*q overflows Long.MAX (q > ~1.28e10):
+    feed a register table whose every bucket is at max rho (minimal s
+    -> maximal q = m*2^maxrho ~ 5.6e14 at p=10) and require a huge
+    POSITIVE estimate on both engines."""
+    import duckdb
+
+    p, m = 10, 1 << 10
+    max_rho = 48 - p + 1
+    regs = spark.createDataFrame(
+        [("en", b, max_rho) for b in range(m)], "lang string, bucket int, r int")
+    est = hll.hll_estimate(regs, p=p, group_cols=["lang"]).collect()[0]
+    q = (m * m * (1 << max_rho)) // est["s_scaled"]
+    assert q > (1 << 63) // hll.alpha_e9(m)   # the naive multiply WOULD wrap
+    expected = (q // 10**9) * hll.alpha_e9(m) \
+        + ((q % 10**9) * hll.alpha_e9(m)) // 10**9
+    assert est["est_distinct"] == expected > 10**14
+    # and the oracle staging agrees bit-for-bit on the same registers
+    con = duckdb.connect()
+    got = con.sql(f"""
+        SELECT (qv // CAST(1000000000 AS BIGINT)) * {hll.alpha_e9(m)}
+               + ((qv % CAST(1000000000 AS BIGINT)) * {hll.alpha_e9(m)})
+                   // CAST(1000000000 AS BIGINT) AS e
+        FROM (SELECT CAST({m * m * (1 << max_rho)} AS BIGINT)
+                     // {est["s_scaled"]} AS qv)""").fetchone()[0]
+    assert got == expected
+
+
+def test_hll_arrow_keeps_null_group(spark):
+    """pandas groupby defaults to dropna=True — the arrow kernel must
+    keep NULL group keys like the catalyst spelling does (review fix)."""
+    rows = [(None, f"v{i}") for i in range(30)] + \
+        [("en", f"w{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "lang string, gram string")
+    a = {(r["lang"], r["bucket"]): r["r"]
+         for r in hll.hll_registers(df, "gram", p=7,
+                                    group_cols=["lang"]).collect()}
+    c = {(r["lang"], r["bucket"]): r["r"]
+         for r in hll.hll_registers(df, "gram", p=7, group_cols=["lang"],
+                                    impl="catalyst").collect()}
+    assert a == c
+    assert any(k[0] is None for k in a)
 
 
 def test_dsir_kernel_matches_replay(docs):

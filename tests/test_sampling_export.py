@@ -10,7 +10,8 @@ from pyspark.sql import functions as F
 
 from image_pdf_ocr_suite_spark.analytics import sampling
 from jobs.export_job import main as export_main
-from jobs.export_job import pack_windows, shard_manifest
+from jobs.export_job import (SOURCE_IDS_SEP, pack_windows,
+                             shard_manifest)
 
 SF = "/root/testdata/sf0.01"
 
@@ -71,7 +72,7 @@ def test_pack_windows_capacity_and_provenance(docs):
                docs.where(F.length("text") > 0).select("doc_id").collect()}
     seen = set()
     for r in win:
-        seen.update(r["source_ids"].split(","))
+        seen.update(r["source_ids"].split(SOURCE_IDS_SEP))
     assert doc_ids <= seen
 
 
@@ -114,3 +115,21 @@ def test_export_job_cli_commits_and_replays(spark, docs, tmp_path):
     assert len(SnapshotTable(f"{out}/shards").snapshots()) == n_before
     assert SnapshotTable(f"{out}/shards").read(spark).count() == \
         shards.count()
+
+
+def test_provenance_survives_ids_containing_commas(spark):
+    # --id-col url with query strings: a comma in the id must not
+    # fragment provenance (review fix: unit-separator join/split)
+    rows = [(f"http://x.com/p?ids=1,2&d={i}", "alpha beta gamma " * 20)
+            for i in range(4)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    win = pack_windows(docs, capacity=64, n_shards=2, id_col="url",
+                       text_col="text")
+    man = {r["shard"]: r["n_docs"] for r in shard_manifest(win).collect()}
+    per_shard = {r["shard"]: r["n"] for r in
+                 win.select("shard", F.explode(
+                     F.split("source_ids", SOURCE_IDS_SEP)).alias("id"))
+                 .groupBy("shard")
+                 .agg(F.countDistinct("id").alias("n")).collect()}
+    assert man == per_shard
+    assert sum(man.values()) == 4  # every id intact, none fragmented
