@@ -276,6 +276,18 @@ def main() -> None:
         lambda: _force(entrymod.q_curriculum_order(spark, SF_DIR)),
         "curriculum_order")
 
+    # round-5k legs: HTML table extraction (fused synth+parse map-only
+    # Arrow kernel, no shuffle — HTML 5 table-model grid resolution)
+    # and WordPiece training (likelihood-argmax merge loop over the
+    # word-frequency relation, broadcast symbol-count join per round)
+    from image_pdf_ocr_suite_spark.analytics import wordpiece as wp_mod
+    from image_pdf_ocr_suite_spark.kernels import htmltables as ht_mod
+    queries["html_tables"] = time_query(
+        lambda: _force(ht_mod.table_rows_from_docs(docs)), "html_tables")
+    queries["wordpiece_train"] = time_query(
+        lambda: wp_mod.wordpiece_train(docs, n_merges=8),
+        "wordpiece_train")
+
     # round-5e leg: trained quality classifier (5 full-batch epochs of
     # hashed-BoW logistic regression with integer-quantized gradient
     # aggregation, then map-only scoring) — times train + score
