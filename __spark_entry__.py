@@ -2264,6 +2264,69 @@ def q_curriculum_order(spark, sf_dir):
         toks, [F.desc("n_tokens"), F.asc("doc_id")], shard_size=100)
 
 
+_WP_TRAIN_CACHE: dict[str, tuple] = {}
+
+
+def _wp_trained(spark, sf_dir):
+    """(trained merges, alphabet) — cached per sf_dir (both WordPiece
+    queries share it)."""
+    if sf_dir not in _WP_TRAIN_CACHE:
+        from image_pdf_ocr_suite_spark.analytics import wordpiece as wp
+
+        docs = _t(spark, sf_dir, "documents")
+        _WP_TRAIN_CACHE[sf_dir] = (wp.wordpiece_train(docs, n_merges=8),
+                                   wp.corpus_alphabet(docs))
+    return _WP_TRAIN_CACHE[sf_dir]
+
+
+def q_wordpiece_vocab(spark, sf_dir):
+    """WordPiece merge training (Schuster & Nakajima 2012, the BERT/HF
+    likelihood objective; analytics/wordpiece.py): the top-8 merges by
+    ``pair_count / (left_count * right_count)`` over the word-frequency
+    vocabulary relation — one corpus shuffle (bpe.word_vocab), then
+    per-round vocab-sized tagged pair+symbol counts with a broadcast
+    symbol-count join and a TakeOrdered winner (IEEE-double score DESC,
+    pair ASC — one multiply + one divide on exact integer inputs is
+    bit-equal between the JVM and CPython).  The oracle replays the
+    identical algorithm single-process and pins the 8 rows (the
+    bpe_merges pattern)."""
+    from image_pdf_ocr_suite_spark.analytics import wordpiece as wp
+
+    trained, _alpha = _wp_trained(spark, sf_dir)
+    return wp.vocab_table(spark, trained)
+
+
+def q_wordpiece_encode_stats(spark, sf_dir):
+    """Encoded-stream size under the learned WordPiece vocabulary:
+    map-only greedy longest-match-first (broadcast final vocab =
+    alphabet ± ## + merge symbols; the HF whole-word [UNK] contract) +
+    one short-key aggregate per language.  ``n_docs`` and ``n_words``
+    are recomputed independently in DuckDB; ``n_pieces`` /
+    ``n_unk_words`` are pinned from the deterministic replay."""
+    from image_pdf_ocr_suite_spark.analytics import wordpiece as wp
+
+    trained, alpha = _wp_trained(spark, sf_dir)
+    return wp.encode_token_stats(_t(spark, sf_dir, "documents"),
+                                 trained, alpha)
+
+
+def q_html_tables(spark, sf_dir):
+    """HTML table extraction (kernels/htmltables.py — the DOM-heuristic
+    extraction tier next to html_main_text): the deterministic table
+    page synthesized per document (token-addressed cells, a nav table
+    every third doc, a colspan every even doc, a rowspan every fifth,
+    inline/entity/script noise, omitted close tags) parsed back to grid
+    rows by the HTML 5 table-model parser — one fused map-only Arrow
+    kernel, no shuffle.  The oracle REGENERATES the expected grid
+    relationally in DuckDB (generate_series + string_split arithmetic),
+    so colspan cursor advance, rowspan occupancy and implicit closes
+    are checked against an independent spelling, not the parser."""
+    from image_pdf_ocr_suite_spark.kernels.htmltables import (
+        table_rows_from_docs)
+
+    return table_rows_from_docs(_t(spark, sf_dir, "documents"))
+
+
 def q_quality_classifier(spark, sf_dir):
     """GPT-3/LLaMA-style trained CC quality filter
     (analytics/classifier.py): full-batch logistic regression over
@@ -3333,6 +3396,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_vocab": q_unigram_vocab,
         "unigram_encode_stats": q_unigram_encode_stats,
         "curriculum_order": q_curriculum_order,
+        # round-5k (post-freeze): WordPiece trainer (the third subword
+        # family) + HTML table extraction — parity-covered locally,
+        # queued with the 5i/5j rows for r6
+        "html_tables": q_html_tables,
+        "wordpiece_vocab": q_wordpiece_vocab,
+        "wordpiece_encode_stats": q_wordpiece_encode_stats,
         "video_dhash": q_video_dhash,
         "tpch_q4_semijoin": q_tpch_q4_semijoin,
         "tpch_q2_mincost": q_tpch_q2_mincost,
@@ -4261,6 +4330,154 @@ def _bpe_encode_stats_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
         FROM d JOIN pin p ON p.lang = d.lang"""
 
 
+_WP_REPLAY_CACHE: dict[str, tuple] = {}
+
+
+def _wp_replay(sf_dir: str = "/root/testdata/sf0.01"):
+    """(rows-with-lang, trained merges, alphabet) replayed
+    single-process from the same parquet — cached per sf_dir (both
+    WordPiece oracles share it)."""
+    import duckdb
+
+    from image_pdf_ocr_suite_spark.analytics import bpe as bpe_mod
+    from image_pdf_ocr_suite_spark.analytics import wordpiece as wp
+
+    if sf_dir not in _WP_REPLAY_CACHE:
+        rows = duckdb.sql(
+            f"SELECT lang, text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        texts = [t for _g, t in rows]
+        trained = wp.replay_train(bpe_mod.replay_word_freq(texts), 8)
+        _WP_REPLAY_CACHE[sf_dir] = (rows, trained,
+                                    wp.replay_alphabet(texts))
+    return _WP_REPLAY_CACHE[sf_dir]
+
+
+def _wordpiece_vocab_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """q_wordpiece_vocab oracle: the 8 merges replayed single-process
+    (exact integer counts, IEEE-double likelihood score — one multiply
+    + one divide, bit-equal across engines — identical score-DESC/
+    pair-ASC tie-break), pinned as literals."""
+    import math
+
+    from image_pdf_ocr_suite_spark.analytics import wordpiece as wp
+
+    _rows, trained, _alpha = _wp_replay(sf_dir)
+    vals = ",\n                ".join(
+        f"({i + 1}, {_sql_str(wp._merge_symbol(left, right))}, "
+        f"{_sql_str(left)}, {_sql_str(right)}, {p}, {lc}, {rc}, "
+        f"{int(math.floor(wp._score(p, lc, rc) * wp.SCORE_SCALE))})"
+        for i, (left, right, p, lc, rc) in enumerate(trained))
+    return f"""
+        SELECT CAST(rnk AS INTEGER) AS "rank", piece, "left", "right",
+               CAST(pc AS BIGINT) AS pair_count,
+               CAST(lc AS BIGINT) AS left_count,
+               CAST(rc AS BIGINT) AS right_count,
+               CAST(sq AS BIGINT) AS score_q
+        FROM (VALUES
+                {vals}) AS t(rnk, piece, "left", "right", pc, lc, rc, sq)"""
+
+
+def _wordpiece_encode_stats_oracle(sf_dir: str = "/root/testdata/sf0.01"
+                                   ) -> str:
+    """q_wordpiece_encode_stats oracle: per-language ``n_docs`` and
+    ``n_words`` recomputed in DuckDB (independent — the token contract
+    restated as list_filter(string_split(...))); ``n_pieces`` /
+    ``n_unk_words`` pinned from the deterministic replay of the same
+    greedy longest-match encoder under the replayed vocabulary."""
+    from image_pdf_ocr_suite_spark.analytics import wordpiece as wp
+
+    rows, trained, alpha = _wp_replay(sf_dir)
+    stats = wp.replay_encode_stats(rows, trained, alpha)
+    vals = ",\n                ".join(
+        f"({_sql_str(g)}, {p}, {u})"
+        for g, (_d, _w, p, u) in sorted(stats.items()))
+    return f"""
+        WITH pin(lang, n_pieces, n_unk_words) AS (VALUES
+                {vals}),
+        d AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(COALESCE(SUM(len(list_filter(
+                         string_split(coalesce(text, ''), ' '),
+                         x -> x <> ''))), 0) AS BIGINT) AS n_words
+              FROM documents GROUP BY lang)
+        SELECT d.lang, d.n_docs, d.n_words,
+               CAST(p.n_pieces AS BIGINT) AS n_pieces,
+               CAST(p.n_unk_words AS BIGINT) AS n_unk_words
+        FROM d JOIN pin p ON p.lang = d.lang"""
+
+
+# q_html_tables oracle: the expected grid regenerated relationally —
+# the layout arithmetic of kernels/htmltables.build_table_html restated
+# over constant-bound series (ncols <= 4, nrows <= 4) with per-doc
+# bound filters; cells addressed by grid column through the same
+# token-index arithmetic.  No parser involvement on this side.
+_HTML_TABLES_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(coalesce(text, ''), ' '),
+                         x -> x <> '') AS toks,
+             CAST(2 + doc_id % 3 AS INTEGER) AS ncols,
+             CAST(1 + doc_id % 4 AS INTEGER) AS nrows,
+             doc_id % 3 = 0 AS has_nav,
+             doc_id % 2 = 0 AS has_cs,
+             doc_id % 5 = 0 AND 1 + doc_id % 4 >= 2 AS has_rs,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                  AS INTEGER) AS base
+      FROM documents
+    ),
+    nav AS (
+      SELECT doc_id, 0 AS table_idx, 0 AS row_idx,
+             CAST(c.c AS INTEGER) AS col_idx,
+             CASE WHEN c.c = 0 THEN 'Home' ELSE 'About' END AS cell,
+             1 AS colspan, 1 AS rowspan, FALSE AS is_header
+      FROM tok, generate_series(0, 1) c(c) WHERE has_nav
+    ),
+    hdr AS (
+      SELECT doc_id, base AS table_idx, 0 AS row_idx,
+             CAST(c.c AS INTEGER) AS col_idx,
+             'h' || c.c AS cell,
+             1 AS colspan, 1 AS rowspan, TRUE AS is_header
+      FROM tok, generate_series(0, 3) c(c) WHERE c.c < ncols
+    ),
+    dat AS (
+      SELECT t.doc_id, t.base AS table_idx, CAST(r.r AS INTEGER) AS row_idx,
+             CAST(CASE
+               WHEN t.has_rs AND r.r = 2 THEN k.k + 1
+               WHEN t.has_cs AND r.r = t.nrows AND k.k > 0 THEN k.k + 1
+               ELSE k.k END AS INTEGER) AS col_idx,
+             CAST(CASE WHEN t.has_cs AND r.r = t.nrows AND k.k = 0
+                  THEN 2 ELSE 1 END AS INTEGER) AS colspan,
+             CAST(CASE WHEN t.has_rs AND r.r = 1 AND k.k = 0
+                  THEN 2 ELSE 1 END AS INTEGER) AS rowspan,
+             FALSE AS is_header, t.toks AS toks, t.ncols AS ncols
+      FROM tok t, generate_series(1, 4) r(r), generate_series(0, 3) k(k)
+      WHERE r.r <= t.nrows
+        AND k.k < CASE WHEN (t.has_rs AND r.r = 2)
+                         OR (t.has_cs AND r.r = t.nrows)
+                       THEN t.ncols - 1 ELSE t.ncols END
+    ),
+    dat2 AS (
+      SELECT doc_id, table_idx, row_idx, col_idx,
+             CASE WHEN len(toks) = 0
+                  THEN 'e' || row_idx || 'c' || col_idx
+                  ELSE toks[1 + CAST((doc_id + row_idx * ncols + col_idx)
+                                     % len(toks) AS INTEGER)]
+             END AS cell,
+             colspan, rowspan, is_header
+      FROM dat
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(table_idx AS INTEGER) AS table_idx,
+           CAST(row_idx AS INTEGER) AS row_idx,
+           CAST(col_idx AS INTEGER) AS col_idx, cell,
+           CAST(colspan AS INTEGER) AS colspan,
+           CAST(rowspan AS INTEGER) AS rowspan, is_header
+    FROM (SELECT * FROM nav
+          UNION ALL SELECT * FROM hdr
+          UNION ALL SELECT doc_id, table_idx, row_idx, col_idx, cell,
+                           colspan, rowspan, is_header FROM dat2)"""
+
+
 def _cjk_stats_oracle() -> str:
     """q_cjk_text_stats oracle: restates the engine's own \\x{...}
     class literals (analytics/text.py — the one-string-two-engines
@@ -4693,6 +4910,13 @@ def oracle_sql() -> dict[str, str]:
         # recomputed independently
         "unigram_vocab": _unigram_vocab_oracle(),
         "unigram_encode_stats": _unigram_encode_stats_oracle(),
+        # round-5k: WordPiece — vocab rows pinned from the replay
+        # (identical IEEE-double likelihood score), encode n_docs AND
+        # n_words recomputed independently; HTML tables — the expected
+        # grid REGENERATED relationally (no parser involvement)
+        "wordpiece_vocab": _wordpiece_vocab_oracle(),
+        "wordpiece_encode_stats": _wordpiece_encode_stats_oracle(),
+        "html_tables": _HTML_TABLES_ORACLE,
         # round-5j: the scalable global rank must equal the actual
         # window-function semantics
         "curriculum_order": """
