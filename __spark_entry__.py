@@ -2327,6 +2327,22 @@ def q_html_tables(spark, sf_dir):
     return table_rows_from_docs(_t(spark, sf_dir, "documents"))
 
 
+def q_table_linearize(spark, sf_dir):
+    """Table grid → training-text serialization (htmltables.
+    linearize_tables): cells joined ' | ' in column order, rows joined
+    newline in row order, per (doc, table) — the flatten an LLM data
+    pipeline applies to tabular content before tokenizing.  Pure
+    Catalyst on top of the html_tables kernel output: two short-key
+    aggregations with sort_array(struct)-ordered joins.  Oracle: the
+    regenerated grid piped through DuckDB's ordered string_agg twice —
+    the serialization semantics checked relationally end-to-end."""
+    from image_pdf_ocr_suite_spark.kernels.htmltables import (
+        linearize_tables, table_rows_from_docs)
+
+    return linearize_tables(
+        table_rows_from_docs(_t(spark, sf_dir, "documents")))
+
+
 def q_quality_classifier(spark, sf_dir):
     """GPT-3/LLaMA-style trained CC quality filter
     (analytics/classifier.py): full-batch logistic regression over
@@ -3400,6 +3416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family) + HTML table extraction — parity-covered locally,
         # queued with the 5i/5j rows for r6
         "html_tables": q_html_tables,
+        "table_linearize": q_table_linearize,
         "wordpiece_vocab": q_wordpiece_vocab,
         "wordpiece_encode_stats": q_wordpiece_encode_stats,
         "video_dhash": q_video_dhash,
@@ -4917,6 +4934,19 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_vocab": _wordpiece_vocab_oracle(),
         "wordpiece_encode_stats": _wordpiece_encode_stats_oracle(),
         "html_tables": _HTML_TABLES_ORACLE,
+        "table_linearize": f"""
+            WITH grid AS ({_HTML_TABLES_ORACLE}),
+            rws AS (
+              SELECT doc_id, table_idx, row_idx,
+                     string_agg(cell, ' | ' ORDER BY col_idx) AS row_text,
+                     COUNT(*) AS n_row_cells
+              FROM grid GROUP BY doc_id, table_idx, row_idx)
+            SELECT doc_id, table_idx,
+                   CAST(COUNT(*) AS INTEGER) AS n_rows,
+                   CAST(SUM(n_row_cells) AS INTEGER) AS n_cells,
+                   string_agg(row_text, chr(10) ORDER BY row_idx)
+                       AS table_text
+            FROM rws GROUP BY doc_id, table_idx""",
         # round-5j: the scalable global rank must equal the actual
         # window-function semantics
         "curriculum_order": """

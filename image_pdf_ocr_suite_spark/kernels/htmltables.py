@@ -271,6 +271,43 @@ _SCHEMA = ("doc_id bigint, table_idx int, row_idx int, col_idx int, "
            "cell string, colspan int, rowspan int, is_header boolean")
 
 
+def linearize_tables(grid_df):
+    """Table grid rows → one training-text serialization per table:
+    (doc_id, table_idx, n_rows, n_cells, table_text) with cells joined
+    ``" | "`` in column order and rows joined ``"\\n"`` in row order —
+    the flatten step an LLM data pipeline applies before tokenizing
+    tabular content.
+
+    Pure Catalyst: two short-key aggregations (row strings, then table
+    strings) over the already-short cell rows; the per-table arrays are
+    bounded by table size, so the interpreted higher-order ``transform``
+    is fine here (CLAUDE.md round-2 rule applies to corpus-wide
+    literal-matrix math, not ≤dozens-element arrays)."""
+    from pyspark.sql import functions as F
+
+    rows = (grid_df
+            .groupBy("doc_id", "table_idx", "row_idx")
+            .agg(F.array_join(
+                     F.transform(
+                         F.sort_array(F.collect_list(
+                             F.struct("col_idx", "cell"))),
+                         lambda x: x["cell"]),
+                     " | ").alias("row_text"),
+                 F.count(F.lit(1)).alias("n_row_cells")))
+    return (rows
+            .groupBy("doc_id", "table_idx")
+            .agg(F.array_join(
+                     F.transform(
+                         F.sort_array(F.collect_list(
+                             F.struct("row_idx", "row_text"))),
+                         lambda x: x["row_text"]),
+                     "\n").alias("table_text"),
+                 F.count(F.lit(1)).cast("int").alias("n_rows"),
+                 F.sum("n_row_cells").cast("int").alias("n_cells"))
+            .select("doc_id", "table_idx", "n_rows", "n_cells",
+                    "table_text"))
+
+
 def extract_tables(pages_df, id_col: str = "doc_id",
                    html_col: str = "page_html"):
     """Grid rows of every table of every page: map-only Arrow kernel

@@ -115,6 +115,23 @@ def test_no_tables_and_cell_free_data():
         == [(0, 0, 0, "x", 1, 1, False)]
 
 
+def test_linearize_tables(spark):
+    docs = spark.createDataFrame([(3, "aa bb cc")],
+                                 "doc_id bigint, text string")
+    out = {(r["doc_id"], r["table_idx"]):
+           (r["n_rows"], r["n_cells"], r["table_text"])
+           for r in ht.linearize_tables(
+               ht.table_rows_from_docs(docs)).collect()}
+    # doc 3: nav table (1 row) + main table (header + 4 data rows,
+    # ncols=2); grid cells from the independent generator
+    grid = _expected_grid(3, "aa bb cc")
+    want_main = "\n".join(
+        " | ".join(c[3] for c in grid if c[0] == 1 and c[1] == r)
+        for r in range(5))
+    assert out[(3, 0)] == (1, 2, "Home | About")
+    assert out[(3, 1)] == (5, 10, want_main)
+
+
 def test_spark_kernels(spark):
     docs = spark.createDataFrame(
         [(3, "aa bb cc"), (4, None), (10, "x y")],
