@@ -1,0 +1,114 @@
+"""Paired N vs 4N scaling evidence for HTML table extraction
+(kernels/htmltables.table_rows_from_docs) — the round-5k operator's
+100-TB design signal.
+
+Methodology per CLAUDE.md / run_scaling.py: paired back-to-back legs
+inside one noise window (host drifts ±25-30%/hr), fresh JVM per leg,
+fixed 64-way task graph, slots <= cores/2 at both levels, corpus sized
+to amortize the ~4-5 s per-job fixed costs (default 20x sf0.1 ≈ 1M
+docs ≈ 10.5M grid rows).  Efficiency = median per-pair
+throughput(4N) / (4 x throughput(N)).
+
+Usage: python BENCH/run_tables_scaling.py [sf_dir]
+Appends the result to BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_CPUS = int(os.environ.get("SCALING_N", "4"))
+N4_CPUS = 4 * N_CPUS
+RUNS = int(os.environ.get("SCALING_RUNS", "3"))
+REPLICATE = int(os.environ.get("SCALING_REPLICATE", "20"))
+
+
+def _materialize_docs(sf_dir: str, replicate: int) -> str:
+    from pyspark.sql import functions as F
+
+    from image_pdf_ocr_suite_spark.session import build_session
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/tables_docs_{tag}_x{replicate}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path  # deterministic synthesis — safe to reuse
+    spark = build_session(app="tables-scaling-prep", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = base.count()
+    rep = spark.range(replicate).select(F.col("id").alias("__r"))
+    # distinct doc_ids so every replica draws a different table layout
+    # (ncols/nrows/nav/span rules key on doc_id)
+    docs = base.crossJoin(rep).select(
+        (F.col("doc_id") + F.col("__r") * F.lit(n)).alias("doc_id"),
+        "text")
+    docs.repartition(64).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def _run_once(cpus: int, docs_path: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "BENCH", "tables_once.py"),
+         str(cpus), docs_path],
+        capture_output=True, text=True, cwd=REPO, timeout=3600)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs_path = _materialize_docs(sf_dir, REPLICATE)
+    pairs = []
+    for _ in range(RUNS):
+        r_n = _run_once(N_CPUS, docs_path)
+        r_4n = _run_once(N4_CPUS, docs_path)
+        pairs.append({
+            "n": r_n, "n4": r_4n,
+            "eff": round(r_4n["docs_per_sec"]
+                         / (4.0 * r_n["docs_per_sec"]), 3)})
+    effs = sorted(p["eff"] for p in pairs)
+    eff = effs[len(effs) // 2]
+    best = max(pairs, key=lambda p: p["n"]["docs_per_sec"])
+    result = {
+        "metric": "tables_scaling_efficiency_N_to_4N", "value": eff,
+        "unit": "ratio", "pair_efficiencies": effs,
+        "n": best["n"], "n4": best["n4"], "sf_dir": sf_dir,
+        "pass_0_8_gate": eff >= 0.8,
+        "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    print(json.dumps(result), flush=True)
+
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(md, "a") as f:
+        f.write(f"""
+
+## HTML-table-extraction scaling run {result['measured_at']}
+
+kernels/htmltables.table_rows_from_docs (fused synth+parse map-only
+Arrow kernel, no shuffle) over {best['n']['n_docs']} documents
+({REPLICATE}x {sf_dir}, pre-synthesized parquet), fixed 64-way task
+graph, {RUNS} interleaved pairs, slots <= cores/2 at both levels.
+
+| level | cores | wall sec | docs/sec |
+|---|---|---|---|
+| N | {best['n']['cpus']} | {best['n']['sec']} | {best['n']['docs_per_sec']} |
+| 4N | {best['n4']['cpus']} | {best['n4']['sec']} | {best['n4']['docs_per_sec']} |
+
+**Scaling efficiency** = throughput(4N) / (4 x throughput(N)):
+**{eff}** (pairs: {effs}; gate >= 0.8 -> {'PASS' if eff >= 0.8 else 'FAIL'})
+""")
+
+
+if __name__ == "__main__":
+    main()

@@ -189,9 +189,10 @@ def vocab_table(spark, trained: list[tuple[str, str, int, int, int]]
     (rank, piece, left, right, pair_count, left_count, right_count,
     score_q) with ``score_q = floor(score * 1e9)`` so the driver hash
     gate compares integers."""
+    import math
+
     rows = []
     for i, (left, right, p, lc, rc) in enumerate(trained):
-        import math
         sq = int(math.floor(_score(p, lc, rc) * SCORE_SCALE))
         rows.append((i + 1, _merge_symbol(left, right), left, right,
                      p, lc, rc, sq))

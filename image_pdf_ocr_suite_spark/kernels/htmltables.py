@@ -130,6 +130,11 @@ class _TableParser(HTMLParser):
         if tag in _SKIP_TAGS:
             self._skip_depth += 1
             return
+        if self._skip_depth:
+            # tables inside <noscript>/<template> are unrendered content
+            # (script/style bodies never get here — HTMLParser treats
+            # them as raw data); ignore their structure entirely
+            return
         if tag == "table":
             self._tables.append(_TableCtx(self._n_tables))
             self._n_tables += 1
@@ -148,7 +153,7 @@ class _TableParser(HTMLParser):
         if tag in _SKIP_TAGS:
             self._skip_depth = max(0, self._skip_depth - 1)
             return
-        if not self._tables:
+        if self._skip_depth or not self._tables:
             return
         t = self._tables[-1]
         if tag == "table":

@@ -108,6 +108,20 @@ def test_span_attrs_defensive_and_text_rules():
     assert got[0][4] == ht.MAX_SPAN
 
 
+def test_skip_region_tables_ignored():
+    # <noscript>/<template> content is parsed as markup by HTMLParser
+    # (unlike script/style raw bodies) but is unrendered — its tables
+    # must not be extracted, and table indexing must not count them
+    page = ("<template><table><tr><td>ghost</td></tr></table></template>"
+            "<table><tr><td>real</td></tr></table>")
+    assert ht.parse_tables(page) == [(0, 0, 0, "real", 1, 1, False)]
+    inner = ("<table><tr><td>a"
+             "<noscript><table><tr><td>n</td></tr></table></noscript>"
+             "b</td></tr></table>")
+    # "a" and "b" abut with no source whitespace → concatenate raw
+    assert ht.parse_tables(inner) == [(0, 0, 0, "ab", 1, 1, False)]
+
+
 def test_no_tables_and_cell_free_data():
     assert ht.parse_tables("<p>just text</p>") == []
     # data between cells (table whitespace) never creates rows
