@@ -4427,7 +4427,13 @@ def _wordpiece_encode_stats_oracle(sf_dir: str = "/root/testdata/sf0.01"
 # the layout arithmetic of kernels/htmltables.build_table_html restated
 # over constant-bound series (ncols <= 4, nrows <= 4) with per-doc
 # bound filters; cells addressed by grid column through the same
-# token-index arithmetic.  No parser involvement on this side.
+# token-index arithmetic.  No parser involvement on this side.  The
+# parser collapses cell whitespace with Python str.split(), so the
+# token lands in the grid in collapsed form: the oracle applies the
+# identical collapse via the shared Python==Java==RE2 whitespace class
+# (unicode_ws — tokens of the single-space contract CAN carry tabs/
+# NBSP/ideographic spaces; raw-token pinning would break the gate on
+# the first corpus that has one).
 _HTML_TABLES_ORACLE = """
     WITH tok AS (
       SELECT doc_id,
@@ -4477,8 +4483,12 @@ _HTML_TABLES_ORACLE = """
       SELECT doc_id, table_idx, row_idx, col_idx,
              CASE WHEN len(toks) = 0
                   THEN 'e' || row_idx || 'c' || col_idx
-                  ELSE toks[1 + CAST((doc_id + row_idx * ncols + col_idx)
-                                     % len(toks) AS INTEGER)]
+                  ELSE regexp_replace(regexp_replace(
+                           toks[1 + CAST((doc_id + row_idx * ncols
+                                          + col_idx)
+                                         % len(toks) AS INTEGER)],
+                           '__WS_STRIP__', '', 'g'),
+                       '__WS_RUNS__', ' ', 'g')
              END AS cell,
              colspan, rowspan, is_header
       FROM dat
@@ -4493,6 +4503,15 @@ _HTML_TABLES_ORACLE = """
           UNION ALL SELECT * FROM hdr
           UNION ALL SELECT doc_id, table_idx, row_idx, col_idx, cell,
                            colspan, rowspan, is_header FROM dat2)"""
+
+# inject the shared whitespace class (plain .replace — the \x{..}
+# escapes would collide with str.format/f-string braces)
+from image_pdf_ocr_suite_spark.unicode_ws import (  # noqa: E402
+    RUNS_PATTERN as _WS_RUNS, STRIP_PATTERN as _WS_STRIP)
+
+_HTML_TABLES_ORACLE = (_HTML_TABLES_ORACLE
+                       .replace("__WS_STRIP__", _WS_STRIP)
+                       .replace("__WS_RUNS__", _WS_RUNS))
 
 
 def _cjk_stats_oracle() -> str:

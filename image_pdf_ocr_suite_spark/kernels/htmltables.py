@@ -44,6 +44,7 @@ against the parser itself.
 from __future__ import annotations
 
 import html as _html
+import re
 from collections.abc import Iterator
 from html.parser import HTMLParser
 
@@ -53,15 +54,20 @@ MAX_SPAN = 1000
 
 _SKIP_TAGS = {"script", "style", "noscript", "template"}
 
+# the HTML "rules for parsing non-negative integers": skip ASCII
+# whitespace, take the leading ASCII-digit run, ignore any trailer —
+# so colspan="50%" parses 50 (as in browsers), while Python int()'s
+# extras (underscores, non-ASCII digits) are NOT accepted
+_SPAN_RE = re.compile(r"[ \t\n\f\r]*([0-9]+)")
+
 
 def _span_attr(attrs, name: str) -> int:
     for k, v in attrs:
         if k == name:
-            try:
-                n = int(str(v).strip())
-            except (TypeError, ValueError):
+            m = _SPAN_RE.match(str(v)) if v is not None else None
+            if m is None:
                 return 1
-            return max(1, min(MAX_SPAN, n))
+            return max(1, min(MAX_SPAN, int(m.group(1))))
     return 1
 
 
@@ -313,34 +319,40 @@ def linearize_tables(grid_df):
                     "table_text"))
 
 
+def _grid_kernel(pages: Iterator[tuple]) -> pd.DataFrame:
+    """One batch of (doc_id, html) pairs → the grid-rows DataFrame
+    (single copy of the row accumulation + nullable-dtype construction
+    shared by both kernels; Int64 per the round-5h nullable rule)."""
+    ids, ti, ri, ci, cells, cs, rs, hdr = [], [], [], [], [], [], [], []
+    for did, page in pages:
+        for (t, r, c, txt, c_n, r_n, h) in parse_tables(page):
+            ids.append(did)
+            ti.append(t)
+            ri.append(r)
+            ci.append(c)
+            cells.append(txt)
+            cs.append(c_n)
+            rs.append(r_n)
+            hdr.append(h)
+    return pd.DataFrame({
+        "doc_id": pd.array(ids, dtype="Int64"),
+        "table_idx": pd.array(ti, dtype="Int32"),
+        "row_idx": pd.array(ri, dtype="Int32"),
+        "col_idx": pd.array(ci, dtype="Int32"),
+        "cell": cells, "colspan": pd.array(cs, dtype="Int32"),
+        "rowspan": pd.array(rs, dtype="Int32"),
+        "is_header": pd.array(hdr, dtype="boolean")})
+
+
 def extract_tables(pages_df, id_col: str = "doc_id",
                    html_col: str = "page_html"):
     """Grid rows of every table of every page: map-only Arrow kernel
     (one parse per page, no shuffle)."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, ti, ri, ci, cells, cs, rs, hdr = \
-                [], [], [], [], [], [], [], []
-            for did, page in zip(pdf[id_col], pdf[html_col]):
-                if not isinstance(page, str):
-                    continue
-                for (t, r, c, txt, c_n, r_n, h) in parse_tables(page):
-                    ids.append(did)
-                    ti.append(t)
-                    ri.append(r)
-                    ci.append(c)
-                    cells.append(txt)
-                    cs.append(c_n)
-                    rs.append(r_n)
-                    hdr.append(h)
-            yield pd.DataFrame({
-                "doc_id": pd.array(ids, dtype="Int64"),
-                "table_idx": pd.array(ti, dtype="Int32"),
-                "row_idx": pd.array(ri, dtype="Int32"),
-                "col_idx": pd.array(ci, dtype="Int32"),
-                "cell": cells, "colspan": pd.array(cs, dtype="Int32"),
-                "rowspan": pd.array(rs, dtype="Int32"),
-                "is_header": pd.array(hdr, dtype="boolean")})
+            yield _grid_kernel(
+                (did, page) for did, page in zip(pdf[id_col], pdf[html_col])
+                if isinstance(page, str))
 
     return pages_df.select(id_col, html_col).mapInPandas(
         kernel, schema=_SCHEMA)
@@ -352,28 +364,9 @@ def table_rows_from_docs(docs_df):
     (chained Python stages barely scale — round-5 rule)."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, ti, ri, ci, cells, cs, rs, hdr = \
-                [], [], [], [], [], [], [], []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                did = int(did)
-                page = build_table_html(did, text)
-                for (t, r, c, txt, c_n, r_n, h) in parse_tables(page):
-                    ids.append(did)
-                    ti.append(t)
-                    ri.append(r)
-                    ci.append(c)
-                    cells.append(txt)
-                    cs.append(c_n)
-                    rs.append(r_n)
-                    hdr.append(h)
-            yield pd.DataFrame({
-                "doc_id": pd.array(ids, dtype="Int64"),
-                "table_idx": pd.array(ti, dtype="Int32"),
-                "row_idx": pd.array(ri, dtype="Int32"),
-                "col_idx": pd.array(ci, dtype="Int32"),
-                "cell": cells, "colspan": pd.array(cs, dtype="Int32"),
-                "rowspan": pd.array(rs, dtype="Int32"),
-                "is_header": pd.array(hdr, dtype="boolean")})
+            yield _grid_kernel(
+                (int(did), build_table_html(int(did), text))
+                for did, text in zip(pdf["doc_id"], pdf["text"]))
 
     return docs_df.select("doc_id", "text").mapInPandas(
         kernel, schema=_SCHEMA)

@@ -35,8 +35,11 @@ def _expected_grid(doc_id: int, text: str | None) -> list[tuple]:
         rows.append((base, 0, c, f"h{c}", 1, 1, True))
 
     def ct(r: int, c: int) -> str:
-        return (f"e{r}c{c}" if nt == 0
-                else toks[(doc_id + r * ncols + c) % nt])
+        if nt == 0:
+            return f"e{r}c{c}"
+        # the parser collapses cell whitespace (str.split()); tokens of
+        # the single-space contract can carry tabs/NBSP — mirror it
+        return " ".join(toks[(doc_id + r * ncols + c) % nt].split())
 
     for r in range(1, nrows + 1):
         if has_rowspan and r == 2:
@@ -61,6 +64,13 @@ def test_synthesis_roundtrip_matches_independent_grid():
     # None text → e{r}c{c} fallback cells
     got = sorted(ht.parse_tables(ht.build_table_html(7, None)))
     assert got == _expected_grid(7, None)
+    # tokens carrying non-space whitespace (legal under the
+    # single-space token contract) land collapsed, on both sides
+    for doc_id, text, collapsed in [(1, "a b x\ty", "x y"),
+                                    (5, "p\u3000q lone", "p q")]:
+        got = sorted(ht.parse_tables(ht.build_table_html(doc_id, text)))
+        assert got == _expected_grid(doc_id, text)
+        assert collapsed in {c[3] for c in got}
 
 
 def test_rowspan_occupancy_blocks_and_frees():
@@ -98,6 +108,14 @@ def test_span_attrs_defensive_and_text_rules():
     assert ht.parse_tables(
         '<table><tr><td colspan="zz" rowspan="-3">bad</td></tr>'
         "</table>") == [(0, 0, 0, "bad", 1, 1, False)]
+    # the HTML non-negative-integer rules: leading ASCII digits win,
+    # trailers ignored ("50%" → 50 as in browsers); Python-int extras
+    # (underscores, non-ASCII digits) are NOT accepted
+    got = ht.parse_tables('<table><tr><td colspan=" 3%x">a</td>'
+                          '<td colspan="2_0">b</td>'
+                          '<td rowspan="٢">c</td></tr></table>')
+    assert [(r[2], r[4], r[5]) for r in got] == \
+        [(0, 3, 1), (3, 2, 1), (5, 1, 1)]
     # entity decode, whitespace collapse, inline markup, skip tags
     page = ('<table><tr><td> a &amp;\n <b>b</b> '
             "<script>var t = '<td>ignored';</script></td></tr></table>")
@@ -144,6 +162,32 @@ def test_linearize_tables(spark):
         for r in range(5))
     assert out[(3, 0)] == (1, 2, "Home | About")
     assert out[(3, 1)] == (5, 10, want_main)
+
+
+def test_oracle_whitespace_parity(spark, tmp_path):
+    # hostile corpus: tokens carrying tab/NBSP/ideographic-space (legal
+    # under the single-space contract) — the kernel's Python collapse
+    # and the oracle's shared-whitespace-class regexp must agree
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    rows = [(0, "a\tb nb sp w　ide ok"), (1, "\t lone"),
+            (2, None), (5, "a\tb y z"), (7, " start end ")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    tmp = str(tmp_path / "docs")
+    df.write.mode("overwrite").parquet(tmp)
+    got = sorted(tuple(r) for r in ht.table_rows_from_docs(
+        spark.read.parquet(tmp)).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{tmp}/*.parquet')")
+    want = sorted(tuple(r) for r in con.sql(
+        entry._HTML_TABLES_ORACLE).fetchall())
+    assert got == want
+    cells = {r[4] for r in got}
+    assert "a b" in cells  # doc 5's tab token, collapsed identically
+    assert "" in cells     # doc 1's all-whitespace token → empty cell
 
 
 def test_spark_kernels(spark):
