@@ -2327,6 +2327,25 @@ def q_html_tables(spark, sf_dir):
     return table_rows_from_docs(_t(spark, sf_dir, "documents"))
 
 
+def q_html_markdown(spark, sf_dir):
+    """HTML → Markdown serialization (kernels/markdown.py — the
+    structure-preserving extraction-tier flatten next to html_main_text
+    and html_tables): the deterministic structured page synthesized per
+    document (token-addressed heading/paragraph/list/blockquote/code
+    blocks, entity + comment + script + wrapper noise, an implicit
+    ``</li>`` and a bare-text footer) serialized back to Markdown —
+    one fused map-only Arrow kernel, no shuffle.  The oracle REGENERATES
+    the expected Markdown string relationally (raw ``||`` concatenation,
+    the whole-inline whitespace collapse restated with the shared
+    unicode_ws class, ordered-list numbering via row_number over the
+    non-empty items), so every serialization rule is checked against an
+    independent spelling, not the parser."""
+    from image_pdf_ocr_suite_spark.kernels.markdown import (
+        markdown_from_docs)
+
+    return markdown_from_docs(_t(spark, sf_dir, "documents"))
+
+
 def q_table_linearize(spark, sf_dir):
     """Table grid → training-text serialization (htmltables.
     linearize_tables): cells joined ' | ' in column order, rows joined
@@ -3305,33 +3324,35 @@ def _dsir_oracle(target_mod: int = 7, n_buckets: int = 1024,
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order matters: the driver's CORRECTNESS gate records
-    exactly the first 50 entries.  Window layout (round 5, final): the
-    5 golden-parquet flagships plus the searchable-PDF stats twin
-    (whose sink code changed this round — CJK text layer) stay pinned
-    = 6 slots; the other 44 slots hold never-driver-checked queries,
-    prioritized by novelty — the round-4 scale features (incremental
-    minhash-index dedup, IVF append, snapshot time travel), round 5's
-    operator additions (exact-substring dedup pair, band-split ANN
-    probe, KMV / count-min sketches, link mining, anchor-text stats,
-    integer PageRank, Gopher rules, histogram quantiles, SemDeDup,
-    both recall self-measurements, Bloom decontamination, the
-    WARC/WET/WAT round-trips, CDX, revisit resolution, the
-    crawl-policy family, the C4 line filter), the trained family
-    (CCNet trio: lang-ID / LM perplexity / quality classifier, plus
-    BPE), the 5f corpus ops (CJK stats, frequent-line filter, crawl
-    delta, mojibake), the 5g gates (trained lang-ID, URL filter,
-    compression ratio), the perceptual dedup family (image dHash +
-    Hamming-banded near-dup, video frame-hash near-dup with the
-    boilerplate-frame frequency cap — decoder round-trips certified
-    by raster-replayed pins), and the composed quality funnel (the
-    RefinedWeb/Dolma mixer attrition report).  Round 5 added more
-    never-checked queries than the window holds; video_dhash (whose
-    hashes the in-window video_near_dup row consumes end-to-end),
-    all 17 standard TPC-H variants (displaced by the perceptual
-    family and the funnel), and images_to_pdf_stats (r4-green, code
-    untouched) lead position 51 — first in line for the r6 rotation,
-    and covered meanwhile by tests/test_oracle_parity.py, which
-    replicates the gate over the FULL registry."""
+    exactly the first 50 entries.  FINAL-window layout (round 5 is the
+    last round, so "queued for the r6 window" would mean "never
+    driver-checked" — the layout rule became: every flagship operator
+    FAMILY gets at least one in-window representative, and second
+    representatives of already-covered families rotate out):
+
+    - 6 pinned slots: the 5 golden-parquet flagships + the
+      searchable-PDF stats twin (byte-identity hard signal; the sink
+      grew the CJK text layer this round);
+    - 44 never-driver-checked slots: the round-4 scale features
+      (incremental minhash-index dedup, IVF append, snapshot time
+      travel), the 5a-5d operator additions (exact-substring dedup
+      pair, count-min, link mining + integer PageRank, Gopher rules,
+      SemDeDup, both recall self-measurements, Bloom decontamination,
+      WARC extract, CDX, the crawl-policy family, the C4 line filter,
+      perceptual image/video near-dup, the composed quality funnel),
+      the trained family (CCNet trio + BPE pair), 5f corpus ops (CJK
+      stats, frequent-line filter, mojibake), and the 5i-5l flagships
+      rotated IN for the final round: PQ + IVF-PQ ANN, HyperLogLog,
+      DSIR, cluster-balanced sampling, shard export, the unigram and
+      WordPiece trainers, the scalable curriculum rank, HTML table
+      extraction + linearization, and Markdown serialization.
+
+    Position 51+ holds each family's second representative (see the
+    in-dict comment for the per-row displacement rationale), the 17
+    standard TPC-H variants (5 distinct TPC-H shapes were driver-green
+    r1-r4), and r4-green rows whose code is untouched — ALL covered by
+    tests/test_oracle_parity.py, which replicates the driver's gate
+    over the FULL registry at sf0.01."""
     return {
         # -- pinned: golden-parquet flagships + binary-sink stats twins --
         "ocr_extract_text": q_ocr_extract_text,
@@ -3340,86 +3361,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_text": q_html_main_text,
         "payload_metadata": q_payload_metadata,
         "searchable_pdf_stats": q_searchable_pdf_stats,
-        # -- never driver-checked: new in round 5 --
+        # -- never driver-checked: new in round 5 (final-window layout,
+        #    see the docstring: every flagship FAMILY keeps at least one
+        #    in-window representative) --
         "dedup_against_index": q_dedup_against_index,
         "ivf_append_probe": q_ivf_append_probe,
         "snapshot_time_travel": q_snapshot_time_travel,
         "substring_dup_spans": q_substring_dup_spans,
         "substring_dedup": q_substring_dedup,
-        "kmv_distinct_trigrams": q_kmv_distinct_trigrams,
         "cm_token_counts": q_cm_token_counts,
+        "hll_distinct_trigrams": q_hll_distinct_trigrams,
         "extract_links": q_extract_links,
         "pagerank": q_pagerank,
-        "link_degree_stats": q_link_degree_stats,
-        "anchor_text_stats": q_anchor_text_stats,
         "gopher_quality": q_gopher_quality,
-        "length_quantiles": q_length_quantiles,
         "semantic_dedup": q_semantic_dedup,
         "ann_recall_lsh": q_ann_recall_lsh,
+        "dedup_recall_lsh": q_dedup_recall_lsh,
         "video_near_dup": q_video_near_dup,
         "quality_funnel": q_quality_funnel,
-        "image_dhash": q_image_dhash,
         "image_near_dup": q_image_near_dup,
         "bloom_decontaminate": q_bloom_decontaminate,
         "warc_extract": q_warc_extract,
-        "wet_wat_roundtrip": q_wet_wat_roundtrip,
         "robots_allowed": q_robots_allowed,
         "charset_decode": q_charset_decode,
-        "sitemap_entries": q_sitemap_entries,
         "feed_entries": q_feed_entries,
-        "frontier_schedule": q_frontier_schedule,
         "crawl_ingest": q_crawl_ingest,
         "html_metadata": q_html_metadata,
-        "dedup_recall_lsh": q_dedup_recall_lsh,
         "c4_line_filter": q_c4_line_filter,
-        # -- round-5e/5f/5g flagships: the trained family (CCNet trio
-        #    completion) + crawl-delta/CJK/boilerplate ops + the three
-        #    5g additions.  These outrank TPC-H variants for window
-        #    slots: they are this round's novel operators, while the 13
-        #    displaced TPC-H shapes (below, position 51+) are standard
-        #    relational forms whose four most distinctive
-        #    decorrelations (Q2/Q4/Q7/Q21) stay in-window. --
+        # trained family (CCNet trio completion) + 5f/5g corpus ops
         "lm_perplexity": q_lm_perplexity,
         "bpe_merges": q_bpe_merges,
         "bpe_encode_stats": q_bpe_encode_stats,
         "quality_classifier": q_quality_classifier,
         "cjk_text_stats": q_cjk_text_stats,
         "frequent_line_filter": q_frequent_line_filter,
-        "crawl_delta": q_crawl_delta,
         "fix_mojibake": q_fix_mojibake,
         "cdx_index": q_cdx_index,
-        "warc_revisit": q_warc_revisit,
         "langid_trained": q_langid_trained,
-        "url_quality_filter": q_url_quality_filter,
-        "compression_ratio": q_compression_ratio,
-        # ---- position 51+: covered by the full-registry parity
-        #      replica (tests/test_oracle_parity.py).  The 13 TPC-H
-        #      variants here have never had a driver row (standard
-        #      relational shapes, lowest novelty — first in line for
-        #      the r6 rotation); images_to_pdf_stats is r4-green with
-        #      its code path untouched in round 5. ----
-        # round-5i (post-freeze): PQ-ADC ANN, HyperLogLog, DSIR —
-        # parity-covered locally, first in line with video_dhash for r6
+        # round-5i/5j/5k/5l flagships — rotated INTO the final window
+        # (round 5 is the last round: "queued for r6" would mean never)
         "pq_topk": q_pq_topk,
-        "pq_topk_codes": q_pq_topk_codes,
         "ivfpq_topk": q_ivfpq_topk,
-        "hll_distinct_trigrams": q_hll_distinct_trigrams,
         "dsir_sample": q_dsir_sample,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "export_windows": q_export_windows,
-        # round-5j (post-freeze): unigram-LM tokenizer (Kudo 2018) —
-        # parity-covered locally, queued with the 5i rows for r6
         "unigram_vocab": q_unigram_vocab,
-        "unigram_encode_stats": q_unigram_encode_stats,
         "curriculum_order": q_curriculum_order,
-        # round-5k (post-freeze): WordPiece trainer (the third subword
-        # family) + HTML table extraction — parity-covered locally,
-        # queued with the 5i/5j rows for r6
         "html_tables": q_html_tables,
+        "html_markdown": q_html_markdown,
         "table_linearize": q_table_linearize,
         "wordpiece_vocab": q_wordpiece_vocab,
+        # ---- position 51+: covered by the full-registry parity
+        #      replica (tests/test_oracle_parity.py).  First: the
+        #      encode-stats twins of in-window trainers, pq_topk_codes
+        #      (shares pq_topk's oracle), video_dhash (consumed
+        #      end-to-end by in-window video_near_dup), then the 12
+        #      rows rotated out for the 5i-5l flagships — every one a
+        #      second representative of a family that keeps an
+        #      in-window row (WARC: warc_extract/cdx_index/
+        #      crawl_ingest stay; graph: extract_links/pagerank stay;
+        #      funnel-composed gates: quality_funnel's oracle
+        #      recomposes the url/compression spellings; sketches:
+        #      cm/hll stay; dhash: image_near_dup consumes it) —
+        #      then the 17 standard TPC-H variants (lowest novelty;
+        #      5 distinct TPC-H shapes were driver-green r1-r4) and
+        #      images_to_pdf_stats (r4-green, code untouched). ----
         "wordpiece_encode_stats": q_wordpiece_encode_stats,
+        "unigram_encode_stats": q_unigram_encode_stats,
+        "pq_topk_codes": q_pq_topk_codes,
         "video_dhash": q_video_dhash,
+        "wet_wat_roundtrip": q_wet_wat_roundtrip,
+        "warc_revisit": q_warc_revisit,
+        "crawl_delta": q_crawl_delta,
+        "link_degree_stats": q_link_degree_stats,
+        "anchor_text_stats": q_anchor_text_stats,
+        "compression_ratio": q_compression_ratio,
+        "url_quality_filter": q_url_quality_filter,
+        "image_dhash": q_image_dhash,
+        "kmv_distinct_trigrams": q_kmv_distinct_trigrams,
+        "frontier_schedule": q_frontier_schedule,
+        "sitemap_entries": q_sitemap_entries,
+        "length_quantiles": q_length_quantiles,
         "tpch_q4_semijoin": q_tpch_q4_semijoin,
         "tpch_q2_mincost": q_tpch_q2_mincost,
         "tpch_q7": q_tpch_q7,
@@ -4513,6 +4535,111 @@ _HTML_TABLES_ORACLE = (_HTML_TABLES_ORACLE
                        .replace("__WS_STRIP__", _WS_STRIP)
                        .replace("__WS_RUNS__", _WS_RUNS))
 
+# q_html_markdown oracle: the expected Markdown string REGENERATED
+# relationally — the serialization arithmetic of
+# kernels/markdown.build_markdown_html restated with raw-token ``||``
+# concatenation, the parser's whole-inline whitespace collapse restated
+# AFTER assembly via the shared unicode_ws class (collapse-then-concat
+# would diverge the first time a token carries edge whitespace next to
+# a ``**`` marker), and ``array_to_string`` over the non-empty blocks.
+# No parser involvement on this side.  Ordered-list numbering counts
+# only emitted (non-empty) items — row_number over the filtered item
+# rows, matching the parser's emit-time counter.
+_HTML_MARKDOWN_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(coalesce(text, ''), ' '),
+                         x -> x <> '') AS toks,
+             CAST(1 + doc_id % 3 AS INTEGER) AS lvl,
+             CAST(2 + doc_id % 3 AS INTEGER) AS n_items,
+             doc_id % 2 = 0 AS ev, doc_id % 4 = 0 AS nested,
+             doc_id % 4 = 1 AS has_img, doc_id % 3 = 0 AS has_bq,
+             doc_id % 5 = 0 AS has_pre
+      FROM documents
+    ),
+    raw AS (
+      SELECT *,
+             __TOK0__ AS t0, __TOK1__ AS t1, __TOK2__ AS t2,
+             __TOK3__ AS t3, __TOK8__ AS t8, __TOK9__ AS t9
+      FROM tok
+    ),
+    it0 AS (
+      SELECT r.doc_id, CAST(g.k AS INTEGER) AS k, r.ev, r.nested,
+             __C4K__ AS c, __C8__ AS c8
+      FROM raw r, generate_series(0, 3) g(k) WHERE g.k < r.n_items
+    ),
+    it1 AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY k) AS rn
+      FROM it0
+      WHERE c <> '' OR (k = 0 AND nested AND c8 <> '')
+    ),
+    lst AS (
+      SELECT doc_id,
+             string_agg(CASE
+               WHEN k = 0 AND nested THEN
+                 CASE WHEN c <> '' AND c8 <> ''
+                        THEN '- ' || c || chr(10) || '  - ' || c8
+                      WHEN c <> '' THEN '- ' || c
+                      ELSE '  - ' || c8 END
+               WHEN ev THEN '- ' || c
+               ELSE rn || '. ' || c END, chr(10) ORDER BY k) AS lines
+      FROM it1 GROUP BY doc_id
+    ),
+    blk AS (
+      SELECT r.doc_id,
+             list_filter([
+               CASE WHEN __C0__ <> ''
+                    THEN repeat('#', r.lvl) || ' ' || __C0__ END,
+               __PARA__,
+               l.lines,
+               CASE WHEN r.has_bq THEN '> ' || __CBQ__ END,
+               CASE WHEN r.has_pre THEN '```' || chr(10) || 'def f(x):'
+                    || chr(10) || '    return x + ' || r.doc_id
+                    || chr(10) || '```' END,
+               'Footer ' || r.doc_id
+             ], x -> x IS NOT NULL AND x <> '') AS blocks
+      FROM raw r LEFT JOIN lst l ON r.doc_id = l.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(blocks) AS INTEGER) AS n_blocks,
+           array_to_string(blocks, chr(10) || chr(10)) AS markdown
+    FROM blk"""
+
+
+def _md_tok(iexpr, alias_doc: str = "doc_id") -> str:
+    """Raw token ``iexpr`` of the synthesis addressing (the
+    tables-oracle token arithmetic, ``'w'||i`` fallback for token-less
+    documents)."""
+    return (f"CASE WHEN len(toks) = 0 THEN 'w' || ({iexpr}) ELSE "
+            f"toks[1 + CAST(({alias_doc} + ({iexpr})) % len(toks) "
+            f"AS INTEGER)] END")
+
+
+def _md_collapse(expr: str) -> str:
+    """The parser's `\" \".join(s.split())` restated (STRIP then RUNS,
+    shared whitespace class)."""
+    return ("regexp_replace(regexp_replace(" + expr +
+            ", '__WS_STRIP__', '', 'g'), '__WS_RUNS__', ' ', 'g')")
+
+
+_HTML_MARKDOWN_ORACLE = (
+    _HTML_MARKDOWN_ORACLE
+    .replace("__TOK0__", _md_tok(0)).replace("__TOK1__", _md_tok(1))
+    .replace("__TOK2__", _md_tok(2)).replace("__TOK3__", _md_tok(3))
+    .replace("__TOK8__", _md_tok(8)).replace("__TOK9__", _md_tok(9))
+    .replace("__C4K__", _md_collapse(_md_tok("4 + g.k", "r.doc_id")))
+    .replace("__C8__", _md_collapse("r.t8"))
+    .replace("__C0__", _md_collapse("r.t0"))
+    .replace("__CBQ__", _md_collapse("'Quote: ' || r.t9"))
+    .replace("__PARA__", _md_collapse(
+        "r.t1 || ' ' || CASE WHEN r.ev THEN '**' ELSE '*' END || r.t2 "
+        "|| CASE WHEN r.ev THEN '**' ELSE '*' END || ' [' || r.t3 "
+        "|| '](/p/' || r.doc_id || ')' "
+        "|| CASE WHEN r.has_img THEN ' ![pic ' || r.doc_id "
+        "|| '](/img/' || r.doc_id || '.png)' ELSE '' END || ' & more'"))
+    .replace("__WS_STRIP__", _WS_STRIP)
+    .replace("__WS_RUNS__", _WS_RUNS))
+
 
 def _cjk_stats_oracle() -> str:
     """q_cjk_text_stats oracle: restates the engine's own \\x{...}
@@ -4953,6 +5080,9 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_vocab": _wordpiece_vocab_oracle(),
         "wordpiece_encode_stats": _wordpiece_encode_stats_oracle(),
         "html_tables": _HTML_TABLES_ORACLE,
+        # round-5l: Markdown serialization — the expected string
+        # REGENERATED relationally (no parser involvement)
+        "html_markdown": _HTML_MARKDOWN_ORACLE,
         "table_linearize": f"""
             WITH grid AS ({_HTML_TABLES_ORACLE}),
             rws AS (
