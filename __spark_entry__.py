@@ -649,6 +649,32 @@ def q_bm25_scores(spark, sf_dir):
         "doc_id", "n_terms_hit", round4(F.col("score")).alias("score"))
 
 
+_LEX_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_bm25_from_index(spark, sf_dir):
+    """BM25 over the MATERIALIZED inverted index (analytics/lexindex.py
+    — the lexical twin of the IVF/LSH index layouts): postings
+    (term, doc_id, tf, dl) persisted once partitioned by a 16-way
+    term-hash bucket + exact (N, Σdl) sidecar; the 4-term probe reads
+    only the probed buckets (PartitionFilters) with the term equality
+    pushed down, then pivots per-doc contributions in fixed literal
+    order — bit-identical to the full-scan bm25_scores on the hit set
+    (equivalence pytest-pinned).  Same oracle arithmetic as
+    bm25_scores restricted to n_terms_hit >= 1."""
+    import tempfile
+    from image_pdf_ocr_suite_spark.analytics import lexindex
+    path = _LEX_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="lex_index_") + "/index"
+        lexindex.write_inverted_index(
+            _t(spark, sf_dir, "documents"), path, n_buckets=16)
+        _LEX_INDEX_CACHE[sf_dir] = path
+    return lexindex.bm25_from_index(
+        spark, path, ["hash", "join", "filter", "zebra"]).select(
+        "doc_id", "n_terms_hit", round4(F.col("score")).alias("score"))
+
+
 def q_video_frames(spark, sf_dir):
     """Video frame sampling plumbing (every_n=4 over 12-frame fixture
     clips): one row per sampled frame via the Arrow flatMap kernel; the
@@ -3345,7 +3371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       rotated IN for the final round: PQ + IVF-PQ ANN, HyperLogLog,
       DSIR, cluster-balanced sampling, shard export, the unigram and
       WordPiece trainers, the scalable curriculum rank, HTML table
-      extraction + linearization, and Markdown serialization.
+      extraction, Markdown serialization, and the materialized
+      inverted-index BM25 probe.
 
     Position 51+ holds each family's second representative (see the
     in-dict comment for the per-row displacement rationale), the 17
@@ -3409,11 +3436,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": q_curriculum_order,
         "html_tables": q_html_tables,
         "html_markdown": q_html_markdown,
-        "table_linearize": q_table_linearize,
+        "bm25_from_index": q_bm25_from_index,
         "wordpiece_vocab": q_wordpiece_vocab,
         # ---- position 51+: covered by the full-registry parity
         #      replica (tests/test_oracle_parity.py).  First: the
-        #      encode-stats twins of in-window trainers, pq_topk_codes
+        #      encode-stats twins of in-window trainers, table_linearize
+        #      (a Catalyst flatten of the in-window html_tables grid),
+        #      pq_topk_codes
         #      (shares pq_topk's oracle), video_dhash (consumed
         #      end-to-end by in-window video_near_dup), then the 12
         #      rows rotated out for the 5i-5l flagships — every one a
@@ -3428,6 +3457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      images_to_pdf_stats (r4-green, code untouched). ----
         "wordpiece_encode_stats": q_wordpiece_encode_stats,
         "unigram_encode_stats": q_unigram_encode_stats,
+        "table_linearize": q_table_linearize,
         "pq_topk_codes": q_pq_topk_codes,
         "video_dhash": q_video_dhash,
         "wet_wat_roundtrip": q_wet_wat_roundtrip,
@@ -4766,6 +4796,31 @@ _DECONTAMINATE_ORACLE = """
             FROM g JOIN t USING (h) GROUP BY doc_id"""
 
 
+# BM25: identical arithmetic nesting as textops.bm25_scores; shared by
+# the full-scan row and the from-index probe (which returns the hit set)
+_BM25_ORACLE = """
+            WITH base AS (
+              SELECT doc_id,
+                   len(list_filter(string_split(COALESCE(text,''),' '), x -> x <> '')) AS dl,
+                   len(list_filter(string_split(COALESCE(text,''),' '), x -> x = 'hash')) AS tf0,
+                   len(list_filter(string_split(COALESCE(text,''),' '), x -> x = 'join')) AS tf1,
+                   len(list_filter(string_split(COALESCE(text,''),' '), x -> x = 'filter')) AS tf2,
+                   len(list_filter(string_split(COALESCE(text,''),' '), x -> x = 'zebra')) AS tf3
+              FROM documents),
+            stats AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(dl) AS DOUBLE) AS sumdl,
+                   CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                   CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+                   CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+                   CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+              FROM base)
+            SELECT doc_id,
+                   CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_terms_hit,
+                   FLOOR(((ln(1.0 + (n - df0 + 0.5)/(df0 + 0.5)) * (CAST(tf0 AS DOUBLE) * 2.2)) / (CAST(tf0 AS DOUBLE) + 1.2*(0.25 + 0.75*(CAST(dl AS DOUBLE)/(sumdl/n)))) + (ln(1.0 + (n - df1 + 0.5)/(df1 + 0.5)) * (CAST(tf1 AS DOUBLE) * 2.2)) / (CAST(tf1 AS DOUBLE) + 1.2*(0.25 + 0.75*(CAST(dl AS DOUBLE)/(sumdl/n)))) + (ln(1.0 + (n - df2 + 0.5)/(df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * 2.2)) / (CAST(tf2 AS DOUBLE) + 1.2*(0.25 + 0.75*(CAST(dl AS DOUBLE)/(sumdl/n)))) + (ln(1.0 + (n - df3 + 0.5)/(df3 + 0.5)) * (CAST(tf3 AS DOUBLE) * 2.2)) / (CAST(tf3 AS DOUBLE) + 1.2*(0.25 + 0.75*(CAST(dl AS DOUBLE)/(sumdl/n))))) * 10000.0 + 0.5) / 10000.0 AS score
+            FROM base, stats"""
+
+
 def oracle_sql() -> dict[str, str]:
     from image_pdf_ocr_suite_spark.unicode_ws import RUNS_PATTERN, STRIP_PATTERN
     # the \x{...} class is valid in BOTH Java (Spark) and RE2 (DuckDB) —
@@ -5336,27 +5391,10 @@ def oracle_sql() -> dict[str, str]:
         # (exact-int tf/dl/df/N, one exact avgdl division, fixed-order
         # contribution sum); only ln carries <=1 ulp engine wobble ->
         # score rounds at 1e-4 on both sides
-        "bm25_scores": """
-            WITH base AS (
-              SELECT doc_id,
-                   len(list_filter(string_split(COALESCE(text,''),' '), x -> x <> '')) AS dl,
-                   len(list_filter(string_split(COALESCE(text,''),' '), x -> x = 'hash')) AS tf0,
-                   len(list_filter(string_split(COALESCE(text,''),' '), x -> x = 'join')) AS tf1,
-                   len(list_filter(string_split(COALESCE(text,''),' '), x -> x = 'filter')) AS tf2,
-                   len(list_filter(string_split(COALESCE(text,''),' '), x -> x = 'zebra')) AS tf3
-              FROM documents),
-            stats AS (
-              SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-                   CAST(SUM(dl) AS DOUBLE) AS sumdl,
-                   CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-                   CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-                   CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
-                   CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
-              FROM base)
-            SELECT doc_id,
-                   CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_terms_hit,
-                   FLOOR(((ln(1.0 + (n - df0 + 0.5)/(df0 + 0.5)) * (CAST(tf0 AS DOUBLE) * 2.2)) / (CAST(tf0 AS DOUBLE) + 1.2*(0.25 + 0.75*(CAST(dl AS DOUBLE)/(sumdl/n)))) + (ln(1.0 + (n - df1 + 0.5)/(df1 + 0.5)) * (CAST(tf1 AS DOUBLE) * 2.2)) / (CAST(tf1 AS DOUBLE) + 1.2*(0.25 + 0.75*(CAST(dl AS DOUBLE)/(sumdl/n)))) + (ln(1.0 + (n - df2 + 0.5)/(df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * 2.2)) / (CAST(tf2 AS DOUBLE) + 1.2*(0.25 + 0.75*(CAST(dl AS DOUBLE)/(sumdl/n)))) + (ln(1.0 + (n - df3 + 0.5)/(df3 + 0.5)) * (CAST(tf3 AS DOUBLE) * 2.2)) / (CAST(tf3 AS DOUBLE) + 1.2*(0.25 + 0.75*(CAST(dl AS DOUBLE)/(sumdl/n))))) * 10000.0 + 0.5) / 10000.0 AS score
-            FROM base, stats""",
+        "bm25_scores": _BM25_ORACLE,
+        # the index probe returns exactly the hit set
+        "bm25_from_index":
+            f"SELECT * FROM ({_BM25_ORACLE}) WHERE n_terms_hit >= 1",
         # greedy anchor thinning = dropDuplicatesWithinWatermark replay:
         # the recursive step finds every key's NEXT anchor (earliest event
         # strictly beyond the previous anchor's expiry), exactly the

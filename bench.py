@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 from pyspark.sql import functions as F
@@ -287,6 +288,21 @@ def main() -> None:
     queries["wordpiece_train"] = time_query(
         lambda: wp_mod.wordpiece_train(docs, n_merges=8),
         "wordpiece_train")
+
+    # round-5l legs: Markdown serialization (map-only fused kernel, no
+    # shuffle — the structure-preserving extraction flatten) and the
+    # materialized inverted-index BM25 probe (build amortized once,
+    # probe reads len(terms)/n_buckets of the files)
+    from image_pdf_ocr_suite_spark.kernels import markdown as md_mod
+    from image_pdf_ocr_suite_spark.analytics import lexindex as lex_mod
+    queries["html_markdown"] = time_query(
+        lambda: _force(md_mod.markdown_from_docs(docs)), "html_markdown")
+    lex_path = tempfile.mkdtemp(prefix="bench_lex_") + "/index"
+    lex_mod.write_inverted_index(docs, lex_path, n_buckets=16)
+    queries["bm25_from_index"] = time_query(
+        lambda: _force(lex_mod.bm25_from_index(
+            spark, lex_path, ["hash", "join", "filter", "zebra"])),
+        "bm25_from_index")
 
     # round-5e leg: trained quality classifier (5 full-batch epochs of
     # hashed-BoW logistic regression with integer-quantized gradient

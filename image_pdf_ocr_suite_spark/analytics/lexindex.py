@@ -1,0 +1,185 @@
+"""Materialized inverted index + BM25 probe — the lexical twin of the
+ANN index layouts (similarity.ivf_write_index / lsh_write_banded_index).
+
+``analytics.text.bm25_scores`` scans the whole corpus per query — right
+for one-off scoring, wrong for a query workload.  The 100 TB shape is
+the classic posting-list layout: tokenize ONCE, persist
+``(term, doc_id, tf, dl)`` postings partitioned by a stable term-hash
+bucket, and answer each query by reading only the probed buckets —
+PartitionFilters-level pruning (len(query_terms)/n_buckets of the
+files), with the term equality pushed into the parquet scan.  Document
+length rides denormalized in the posting row (the standard trick: BM25
+normalization needs dl, and a doc-length join would shuffle doc-sized
+state).  Corpus constants (N, Σdl) live in an underscore-prefixed JSON
+sidecar like the IVF quantizer.
+
+Scale shape:
+
+- build: ONE explode + (term, doc, dl) group — the one corpus-sized
+  shuffle, amortized over every query (same contract as the ANN index
+  builds);
+- probe: pruned scan → per-term df aggregate (≤ len(terms) rows) →
+  broadcast join back → per-doc pivoted fixed-order contribution sum —
+  the only exchange carries (doc_id, dl, tf) integer rows for the
+  matching sliver of the corpus;
+- append: new docs' postings append under the same bucketing; the
+  sidecar constants update exactly (exact-integer adds).
+
+Determinism: identical expression nesting as ``text.bm25_scores`` (tf,
+dl, df, N exact integers; per-term contributions summed in FIXED
+literal term order via one-row ``sum(when(term=t, contrib))`` pivots),
+so the probe is BIT-identical to the full-scan operator on the hit set
+— pinned by tests/test_lexindex.py.
+
+Reference: the suite has no retrieval layer; this is a task-mandated
+LLM-pipeline addition (seed-query corpus mining) next to bm25_scores.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .sketches import hash48_expr
+
+_STATS_FILE = "_lex_stats.json"
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Python twin of ``pmod(hash48_expr(term), n_buckets)`` — the
+    probe computes buckets driver-side from the query literals."""
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:12],
+               16) % n_buckets
+
+
+def _tokens(text_col: str):
+    # the repo-wide single-space token contract (text.py, bm25_scores)
+    return F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                    lambda x: x != "")
+
+
+def write_inverted_index(docs: DataFrame, path: str,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n_buckets: int = 64) -> dict:
+    """Materialize the posting-list layout; returns the stats sidecar.
+
+    Documents with zero tokens produce no postings but still count in
+    (N, Σdl) — exactly like ``bm25_scores``'s global aggregate."""
+    toks = _tokens(text_col)
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.size(toks).alias("dl"),
+                       toks.alias("__t"))
+    stats_row = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
+    ).collect()[0]
+    postings = (base
+                .select("doc_id", "dl", F.explode("__t").alias("term"))
+                .groupBy("term", "doc_id", "dl")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+                .withColumn("bucket",
+                            F.pmod(hash48_expr("term"),
+                                   F.lit(n_buckets)).cast("int")))
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    stats = {"n_docs": int(stats_row["n_docs"]),
+             "sum_dl": int(stats_row["sum_dl"]),
+             "n_buckets": int(n_buckets)}
+    with open(os.path.join(path, _STATS_FILE), "w") as fh:
+        json.dump(stats, fh)
+    return stats
+
+
+def read_index_stats(path: str) -> dict:
+    with open(os.path.join(path, _STATS_FILE)) as fh:
+        return json.load(fh)
+
+
+def append_to_inverted_index(docs: DataFrame, path: str,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> dict:
+    """Append a new batch's postings under the index's OWN bucketing
+    and update the sidecar constants exactly (caller contract: batch
+    ids are disjoint from indexed ids — same as dedup_against_index)."""
+    stats = read_index_stats(path)
+    toks = _tokens(text_col)
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.size(toks).alias("dl"),
+                       toks.alias("__t"))
+    add = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("s"),
+    ).collect()[0]
+    (base.select("doc_id", "dl", F.explode("__t").alias("term"))
+         .groupBy("term", "doc_id", "dl")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+         .withColumn("bucket",
+                     F.pmod(hash48_expr("term"),
+                            F.lit(stats["n_buckets"])).cast("int"))
+         .write.mode("append").partitionBy("bucket").parquet(path))
+    stats["n_docs"] += int(add["n"])
+    stats["sum_dl"] += int(add["s"])
+    with open(os.path.join(path, _STATS_FILE), "w") as fh:
+        json.dump(stats, fh)
+    return stats
+
+
+def bm25_from_index(spark: SparkSession, path: str,
+                    query_terms: list[str], k1: float = 1.2,
+                    b: float = 0.75) -> DataFrame:
+    """BM25 of every document that hits ≥ 1 query term, answered from
+    the materialized index: ``(doc_id, n_terms_hit, score)`` —
+    bit-identical to ``text.bm25_scores(...).where(n_terms_hit >= 1)``
+    (identical IEEE expression nesting, fixed literal summation order;
+    equivalence pytest-pinned).
+
+    The scan reads only the probed buckets (PartitionFilters) with the
+    term equality pushed down (PushedFilters) — at 100 TB the probe
+    touches len(terms)/n_buckets of the files and the biggest exchange
+    carries the hit sliver's integer rows."""
+    terms: list[str] = []
+    for t in query_terms:
+        if t not in terms:
+            terms.append(t)
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    stats = read_index_stats(path)
+    n_buckets = stats["n_buckets"]
+    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+
+    posts = (spark.read.parquet(path)
+             .where(F.col("bucket").isin(buckets)
+                    & F.col("term").isin(terms)))
+    # per-term document frequency: postings are unique per (term, doc)
+    dfreq = posts.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__df"))
+    joined = posts.join(F.broadcast(dfreq), "term")
+
+    # identical nesting as text.bm25_scores (avgdl as the same one
+    # exact IEEE division of the sidecar's exact integers)
+    n = F.lit(float(stats["n_docs"]))
+    avgdl = F.lit(float(stats["sum_dl"])) / n
+    tf = F.col("tf").cast("double")
+    dfc = F.col("__df").cast("double")
+    idf = F.log(F.lit(1.0) + (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+    denom_tail = F.lit(k1) * (F.lit(1.0 - b)
+                              + F.lit(b) * (F.col("dl").cast("double")
+                                            / avgdl))
+    contrib = idf * (tf * F.lit(k1 + 1.0)) / (tf + denom_tail)
+
+    # pivot to fixed literal order: each sum() aggregates at most ONE
+    # row (a doc has one posting per term), so no float-sum wobble
+    pivoted = joined.groupBy("doc_id").agg(
+        *[F.sum(F.when(F.col("term") == t, contrib)).alias(f"__c_{i}")
+          for i, t in enumerate(terms)])
+    score = F.coalesce(F.col("__c_0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        score = score + F.coalesce(F.col(f"__c_{i}"), F.lit(0.0))
+    hits = sum(F.col(f"__c_{i}").isNotNull().cast("int")
+               for i in range(len(terms)))
+    return pivoted.select(
+        "doc_id",
+        hits.cast("int").alias("n_terms_hit"),
+        score.alias("score"))
