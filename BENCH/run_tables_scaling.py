@@ -28,6 +28,7 @@ N_CPUS = int(os.environ.get("SCALING_N", "4"))
 N4_CPUS = 4 * N_CPUS
 RUNS = int(os.environ.get("SCALING_RUNS", "3"))
 REPLICATE = int(os.environ.get("SCALING_REPLICATE", "20"))
+OP = os.environ.get("SCALING_OP", "tables")  # tables | markdown
 
 
 def _materialize_docs(sf_dir: str, replicate: int) -> str:
@@ -57,7 +58,7 @@ def _materialize_docs(sf_dir: str, replicate: int) -> str:
 def _run_once(cpus: int, docs_path: str) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "BENCH", "tables_once.py"),
-         str(cpus), docs_path],
+         str(cpus), docs_path, OP],
         capture_output=True, text=True, cwd=REPO, timeout=3600)
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
     if not lines:
@@ -81,7 +82,7 @@ def main() -> None:
     eff = effs[len(effs) // 2]
     best = max(pairs, key=lambda p: p["n"]["docs_per_sec"])
     result = {
-        "metric": "tables_scaling_efficiency_N_to_4N", "value": eff,
+        "metric": f"{OP}_scaling_efficiency_N_to_4N", "value": eff,
         "unit": "ratio", "pair_efficiencies": effs,
         "n": best["n"], "n4": best["n4"], "sf_dir": sf_dir,
         "pass_0_8_gate": eff >= 0.8,
@@ -93,10 +94,11 @@ def main() -> None:
     with open(md, "a") as f:
         f.write(f"""
 
-## HTML-table-extraction scaling run {result['measured_at']}
+## {OP} kernel scaling run {result['measured_at']}
 
-kernels/htmltables.table_rows_from_docs (fused synth+parse map-only
-Arrow kernel, no shuffle) over {best['n']['n_docs']} documents
+fused synth+parse map-only Arrow kernel {OP}
+(htmltables.table_rows_from_docs / markdown.markdown_from_docs, no
+shuffle) over {best['n']['n_docs']} documents
 ({REPLICATE}x {sf_dir}, pre-synthesized parquet), fixed 64-way task
 graph, {RUNS} interleaved pairs, slots <= cores/2 at both levels.
 

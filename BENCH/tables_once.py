@@ -20,29 +20,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from image_pdf_ocr_suite_spark.kernels.htmltables import (  # noqa: E402
     table_rows_from_docs)
+from image_pdf_ocr_suite_spark.kernels.markdown import (  # noqa: E402
+    markdown_from_docs)
 from image_pdf_ocr_suite_spark.session import build_session  # noqa: E402
 
+OPS = {"tables": table_rows_from_docs, "markdown": markdown_from_docs}
 
-def main(cpus: int, docs_path: str) -> None:
-    spark = build_session(app=f"tables-scaling-{cpus}",
+
+def main(cpus: int, docs_path: str, op: str = "tables") -> None:
+    kernel = OPS[op]
+    spark = build_session(app=f"{op}-scaling-{cpus}",
                           master=f"local[{cpus}]", shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(docs_path).repartition(64)
     n_docs = docs.count()
 
-    warm = table_rows_from_docs(docs.sample(0.05, seed=1)
-                                    .repartition(cpus * 2))
+    warm = kernel(docs.sample(0.05, seed=1).repartition(cpus * 2))
     warm.write.format("noop").mode("overwrite").save()
 
     t0 = time.perf_counter()
-    table_rows_from_docs(docs).write.format("noop") \
-        .mode("overwrite").save()
+    kernel(docs).write.format("noop").mode("overwrite").save()
     sec = time.perf_counter() - t0
     print(json.dumps({
         "cpus": cpus, "n_docs": n_docs, "sec": round(sec, 3),
-        "docs_per_sec": round(n_docs / sec, 2)}))
+        "docs_per_sec": round(n_docs / sec, 2), "op": op}))
     spark.stop()
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]), sys.argv[2])
+    main(int(sys.argv[1]), sys.argv[2],
+         sys.argv[3] if len(sys.argv) > 3 else "tables")

@@ -158,10 +158,15 @@ class _MarkdownParser(HTMLParser):
         if self._skip:
             return
         if self._pre:                       # structure is literal in pre
+            if tag == "br":
+                self._pre_parts.append("\n")
             return
         if tag in _HEADINGS or tag == "p" or tag == "blockquote":
             if self._items:
                 return                      # transparent inside <li>
+            if tag == "p" and self._prefix == "> " and \
+                    self._parts is not None:
+                return                      # <p> inside blockquote: transparent
             self._flush_inline()
             if not self._lists:
                 self._flush_implicit()
@@ -237,6 +242,9 @@ class _MarkdownParser(HTMLParser):
         if self._pre:
             return
         if tag in _HEADINGS or tag == "p" or tag == "blockquote":
+            if tag == "p" and self._prefix == "> " and \
+                    self._parts is not None:
+                return                      # </p> inside blockquote
             self._flush_inline()
             return
         if tag in ("ul", "ol"):
@@ -269,6 +277,12 @@ class _MarkdownParser(HTMLParser):
 
     def close(self):
         super().close()
+        if self._pre:                       # unclosed <pre> at EOF
+            self._pre = 0
+            raw = "".join(self._pre_parts).strip("\n")
+            self._pre_parts = []
+            if raw.strip():
+                self.blocks.append("```\n" + raw + "\n```")
         self._flush_inline()
         while self._lists:
             self._close_item()

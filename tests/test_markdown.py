@@ -51,6 +51,11 @@ def test_blockquote_and_pre_raw():
     assert md("<blockquote>quoted  text</blockquote>") == "> quoted text"
     got = md("<pre><code>def f():\n    return  1\n</code></pre>")
     assert got == "```\ndef f():\n    return  1\n```"
+    # <p> inside blockquote is transparent; <br> in pre is a newline;
+    # an unclosed <pre> still flushes at EOF
+    assert md("<blockquote><p>a</p> b</blockquote>") == "> a b"
+    assert md("<pre>x<br>y</pre>") == "```\nx\ny\n```"
+    assert md("<pre>tail code") == "```\ntail code\n```"
 
 
 def test_skip_tags_gate_all_handlers():
