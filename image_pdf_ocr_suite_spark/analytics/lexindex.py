@@ -61,31 +61,45 @@ def _tokens(text_col: str):
                     lambda x: x != "")
 
 
+def postings_frame(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   n_buckets: int = 64) -> DataFrame:
+    """The posting relation ``(term, doc_id, dl, tf, bucket)`` of a
+    document batch — the single spelling shared by the batch build, the
+    append path, and the streaming twin."""
+    toks = _tokens(text_col)
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.size(toks).alias("dl"),
+                        toks.alias("__t"))
+            .select("doc_id", "dl", F.explode("__t").alias("term"))
+            .groupBy("term", "doc_id", "dl")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+            .withColumn("bucket",
+                        F.pmod(hash48_expr("term"),
+                               F.lit(n_buckets)).cast("int")))
+
+
+def corpus_constants(docs: DataFrame,
+                     text_col: str = "text") -> tuple[int, int]:
+    """Exact ``(N, Σdl)`` of a batch.  Documents with zero tokens
+    produce no postings but still count here — exactly like
+    ``bm25_scores``'s global aggregate."""
+    toks = _tokens(text_col)
+    row = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum(F.size(toks)), F.lit(0)).cast("bigint")
+         .alias("sum_dl")).collect()[0]
+    return int(row["n_docs"]), int(row["sum_dl"])
+
+
 def write_inverted_index(docs: DataFrame, path: str,
                          id_col: str = "doc_id", text_col: str = "text",
                          n_buckets: int = 64) -> dict:
-    """Materialize the posting-list layout; returns the stats sidecar.
-
-    Documents with zero tokens produce no postings but still count in
-    (N, Σdl) — exactly like ``bm25_scores``'s global aggregate."""
-    toks = _tokens(text_col)
-    base = docs.select(F.col(id_col).alias("doc_id"),
-                       F.size(toks).alias("dl"),
-                       toks.alias("__t"))
-    stats_row = base.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
-    ).collect()[0]
-    postings = (base
-                .select("doc_id", "dl", F.explode("__t").alias("term"))
-                .groupBy("term", "doc_id", "dl")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-                .withColumn("bucket",
-                            F.pmod(hash48_expr("term"),
-                                   F.lit(n_buckets)).cast("int")))
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    stats = {"n_docs": int(stats_row["n_docs"]),
-             "sum_dl": int(stats_row["sum_dl"]),
+    """Materialize the posting-list layout; returns the stats sidecar."""
+    n_docs, sum_dl = corpus_constants(docs, text_col)
+    postings_frame(docs, id_col, text_col, n_buckets) \
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    stats = {"n_docs": n_docs, "sum_dl": sum_dl,
              "n_buckets": int(n_buckets)}
     with open(os.path.join(path, _STATS_FILE), "w") as fh:
         json.dump(stats, fh)
@@ -104,23 +118,11 @@ def append_to_inverted_index(docs: DataFrame, path: str,
     and update the sidecar constants exactly (caller contract: batch
     ids are disjoint from indexed ids — same as dedup_against_index)."""
     stats = read_index_stats(path)
-    toks = _tokens(text_col)
-    base = docs.select(F.col(id_col).alias("doc_id"),
-                       F.size(toks).alias("dl"),
-                       toks.alias("__t"))
-    add = base.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("s"),
-    ).collect()[0]
-    (base.select("doc_id", "dl", F.explode("__t").alias("term"))
-         .groupBy("term", "doc_id", "dl")
-         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-         .withColumn("bucket",
-                     F.pmod(hash48_expr("term"),
-                            F.lit(stats["n_buckets"])).cast("int"))
-         .write.mode("append").partitionBy("bucket").parquet(path))
-    stats["n_docs"] += int(add["n"])
-    stats["sum_dl"] += int(add["s"])
+    n, s = corpus_constants(docs, text_col)
+    postings_frame(docs, id_col, text_col, stats["n_buckets"]) \
+        .write.mode("append").partitionBy("bucket").parquet(path)
+    stats["n_docs"] += n
+    stats["sum_dl"] += s
     with open(os.path.join(path, _STATS_FILE), "w") as fh:
         json.dump(stats, fh)
     return stats
@@ -139,28 +141,44 @@ def bm25_from_index(spark: SparkSession, path: str,
     term equality pushed down (PushedFilters) — at 100 TB the probe
     touches len(terms)/n_buckets of the files and the biggest exchange
     carries the hit sliver's integer rows."""
+    stats = read_index_stats(path)
+    terms = _dedupe_terms(query_terms)
+    buckets = sorted({term_bucket(t, stats["n_buckets"]) for t in terms})
+    posts = (spark.read.parquet(path)
+             .where(F.col("bucket").isin(buckets)
+                    & F.col("term").isin(terms)))
+    return bm25_over_postings(posts, stats["n_docs"], stats["sum_dl"],
+                              terms, k1=k1, b=b)
+
+
+def _dedupe_terms(query_terms: list[str]) -> list[str]:
     terms: list[str] = []
     for t in query_terms:
         if t not in terms:
             terms.append(t)
     if not terms:
         raise ValueError("query_terms must be non-empty")
-    stats = read_index_stats(path)
-    n_buckets = stats["n_buckets"]
-    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+    return terms
 
-    posts = (spark.read.parquet(path)
-             .where(F.col("bucket").isin(buckets)
-                    & F.col("term").isin(terms)))
+
+def bm25_over_postings(posts: DataFrame, n_docs: int, sum_dl: int,
+                       query_terms: list[str], k1: float = 1.2,
+                       b: float = 0.75) -> DataFrame:
+    """Score an already-pruned posting relation ``(term, doc_id, dl,
+    tf)`` against exact corpus constants — the single scoring spelling
+    shared by the parquet-layout probe and the streaming twin's live
+    index (caller prunes; extra terms in ``posts`` are ignored)."""
+    terms = _dedupe_terms(query_terms)
+    posts = posts.where(F.col("term").isin(terms))
     # per-term document frequency: postings are unique per (term, doc)
     dfreq = posts.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("__df"))
     joined = posts.join(F.broadcast(dfreq), "term")
 
     # identical nesting as text.bm25_scores (avgdl as the same one
-    # exact IEEE division of the sidecar's exact integers)
-    n = F.lit(float(stats["n_docs"]))
-    avgdl = F.lit(float(stats["sum_dl"])) / n
+    # exact IEEE division of the exact integer constants)
+    n = F.lit(float(n_docs))
+    avgdl = F.lit(float(sum_dl)) / n
     tf = F.col("tf").cast("double")
     dfc = F.col("__df").cast("double")
     idf = F.log(F.lit(1.0) + (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
