@@ -216,11 +216,12 @@ def minhash_append_to_index(df: DataFrame, path: str,
        .write.mode("append").partitionBy("band").parquet(path)
 
 
-def dedup_against_index(new_docs: DataFrame, spark, path: str,
+def dedup_against_index(new_docs: DataFrame, spark, path: str | None,
                         text_col: str = "text", id_col: str = "doc_id",
                         n_hashes: int = 4, shingle_k: int = 3,
                         threshold: float | None = None,
-                        corpus_docs: DataFrame | None = None) -> DataFrame:
+                        corpus_docs: DataFrame | None = None,
+                        index_df: DataFrame | None = None) -> DataFrame:
     """Incremental near-dup screening: minhash the NEW batch only and
     bucket-join it against the materialized corpus index — returns
     candidate ``(new_id, index_id)`` pairs (distinct, self-matches
@@ -240,7 +241,10 @@ def dedup_against_index(new_docs: DataFrame, spark, path: str,
     deduped across the two id spaces."""
     sig = minhash_signature(new_docs, text_col, id_col,
                             n_hashes, shingle_k)
-    idx = spark.read.parquet(path)
+    # the index is either the materialized parquet layout (path) or an
+    # in-session signature relation (index_df — the streaming twin's
+    # snapshot-table state); same (band, minhash, index_id) schema
+    idx = index_df if index_df is not None else spark.read.parquet(path)
     cand = (sig.join(idx, ["band", "minhash"])
             .where(F.col(id_col) != F.col("index_id"))
             .select(F.col(id_col).alias("new_id"),
