@@ -159,10 +159,15 @@ def lsh_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n_hashes: int = 4,
-                        shingle_k: int = 3) -> DataFrame:
+                        shingle_k: int = 3,
+                        sig: DataFrame | None = None) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any band bucket —
-    the bucket-join; only ids shuffle."""
-    sig = minhash_signature(df, text_col, id_col, n_hashes, shingle_k)
+    the bucket-join; only ids shuffle.  Pass a precomputed ``sig``
+    (``minhash_signature`` output) to skip the kernel pass — the
+    online-dedup stream computes one signature per batch and reuses it
+    across the three consumers."""
+    if sig is None:
+        sig = minhash_signature(df, text_col, id_col, n_hashes, shingle_k)
     a = sig.alias("a")
     b = sig.alias("b")
     return (a.join(b, ["band", "minhash"])
@@ -221,7 +226,8 @@ def dedup_against_index(new_docs: DataFrame, spark, path: str | None,
                         n_hashes: int = 4, shingle_k: int = 3,
                         threshold: float | None = None,
                         corpus_docs: DataFrame | None = None,
-                        index_df: DataFrame | None = None) -> DataFrame:
+                        index_df: DataFrame | None = None,
+                        sig: DataFrame | None = None) -> DataFrame:
     """Incremental near-dup screening: minhash the NEW batch only and
     bucket-join it against the materialized corpus index — returns
     candidate ``(new_id, index_id)`` pairs (distinct, self-matches
@@ -239,8 +245,9 @@ def dedup_against_index(new_docs: DataFrame, spark, path: str | None,
     document's id, verification still scores each side against its own
     text — the union is namespace-prefixed internally (ADVICE r4), never
     deduped across the two id spaces."""
-    sig = minhash_signature(new_docs, text_col, id_col,
-                            n_hashes, shingle_k)
+    if sig is None:
+        sig = minhash_signature(new_docs, text_col, id_col,
+                                n_hashes, shingle_k)
     # the index is either the materialized parquet layout (path) or an
     # in-session signature relation (index_df — the streaming twin's
     # snapshot-table state); same (band, minhash, index_id) schema
@@ -443,14 +450,16 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
 def verified_near_dup_losers(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id", threshold: float = 0.5,
                              n_hashes: int = 4, shingle_k: int = 3,
-                             max_iters: int = 20) -> DataFrame:
+                             max_iters: int = 20,
+                             sig: DataFrame | None = None) -> DataFrame:
     """Ids safe to DROP as near-duplicates: LSH candidates → exact Jaccard
     verification (>= threshold) → connected components → everything except
     each component's smallest id.  Component-wise keeper selection avoids
     the greedy-pair over-deletion on chains (for verified pairs (1,2),(2,3)
     the component {1,2,3} keeps exactly 1; but if only (2,3) verifies, 1
     survives and {2,3} keeps 2)."""
-    cand = lsh_candidate_pairs(df, text_col, id_col, n_hashes, shingle_k)
+    cand = lsh_candidate_pairs(df, text_col, id_col, n_hashes, shingle_k,
+                               sig=sig)
     verified = jaccard_verify_pairs(cand, df, text_col, id_col) \
         .where(F.col("jaccard") >= F.lit(threshold))
     comp = connected_components_star(verified, max_iters=max_iters)

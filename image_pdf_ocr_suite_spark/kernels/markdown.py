@@ -163,10 +163,14 @@ class _MarkdownParser(HTMLParser):
             return
         if tag in _HEADINGS or tag == "p" or tag == "blockquote":
             if self._items:
-                return                      # transparent inside <li>
+                # transparent inside <li> — but a block boundary is
+                # still a word boundary (the collapse eats the extra)
+                self._sink().append(" ")
+                return
             if tag == "p" and self._prefix == "> " and \
                     self._parts is not None:
-                return                      # <p> inside blockquote: transparent
+                self._sink().append(" ")    # <p> in blockquote: transparent
+                return
             self._flush_inline()
             if not self._lists:
                 self._flush_implicit()
@@ -175,6 +179,8 @@ class _MarkdownParser(HTMLParser):
                             else "> " if tag == "blockquote" else "")
             return
         if tag == "pre":
+            if self._items:
+                self._flush_item_line()     # pre splits the item's line
             self._flush_inline()
             if not self._lists:
                 self._flush_implicit()
@@ -213,7 +219,10 @@ class _MarkdownParser(HTMLParser):
         if tag in _WRAP_OPEN:
             self._sink().append(_WRAP_OPEN[tag])
             return
-        if tag in _BLOCK_OPENERS and not self._lists:
+        if tag in _BLOCK_OPENERS:
+            if self._lists or self._items:
+                self._sink().append(" ")    # boundary = word boundary
+                return
             self._flush_inline()
             self._flush_implicit()
 
@@ -237,14 +246,24 @@ class _MarkdownParser(HTMLParser):
                 raw = "".join(self._pre_parts).strip("\n")
                 self._pre_parts = []
                 if raw.strip():
-                    self.blocks.append("```\n" + raw + "\n```")
+                    # inside a list: keep document order — the fence
+                    # becomes a line of the (still-buffered) list block
+                    target = (self._list_lines if self._lists
+                              else self.blocks)
+                    target.append("```\n" + raw + "\n```")
+                if self._items:
+                    self._close_item()      # tail text → implicit para
             return
         if self._pre:
             return
         if tag in _HEADINGS or tag == "p" or tag == "blockquote":
+            if self._items:
+                self._sink().append(" ")    # transparent close boundary
+                return
             if tag == "p" and self._prefix == "> " and \
                     self._parts is not None:
-                return                      # </p> inside blockquote
+                self._sink().append(" ")    # </p> inside blockquote
+                return
             self._flush_inline()
             return
         if tag in ("ul", "ol"):
@@ -258,6 +277,9 @@ class _MarkdownParser(HTMLParser):
             return
         if tag == "li":
             self._close_item()
+            return
+        if tag in _BLOCK_OPENERS and (self._lists or self._items):
+            self._sink().append(" ")        # boundary = word boundary
             return
         if tag == "a":
             if self._anchors:
@@ -373,7 +395,9 @@ _SCHEMA = "doc_id bigint, n_blocks int, markdown string"
 def _md_kernel(pages: Iterator[tuple]) -> pd.DataFrame:
     ids, nb, md = [], [], []
     for did, page in pages:
-        m, n = html_to_markdown(page)
+        # one row per INPUT row: a null/non-string page serializes to
+        # the empty document, never a dropped row (cardinality contract)
+        m, n = html_to_markdown(page) if isinstance(page, str) else ("", 0)
         ids.append(did)
         nb.append(n)
         md.append(m)
@@ -388,9 +412,7 @@ def extract_markdown(pages_df, id_col: str = "doc_id",
     """Markdown serialization of every page: map-only Arrow kernel."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _md_kernel(
-                (did, page) for did, page in zip(pdf[id_col], pdf[html_col])
-                if isinstance(page, str))
+            yield _md_kernel(zip(pdf[id_col], pdf[html_col]))
 
     return pages_df.select(id_col, html_col).mapInPandas(
         kernel, schema=_SCHEMA)

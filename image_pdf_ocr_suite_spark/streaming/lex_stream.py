@@ -66,9 +66,13 @@ def start_lex_index_stream(spark: SparkSession, input_dir: str, schema,
                 run_id=run_id)
         if not _batch_committed(const_table, run_id):
             n, s = lexindex.corpus_constants(batch_df, text_col)
+            # n_buckets rides in every constants row so readers use the
+            # bucketing the postings were WRITTEN with (a mismatched
+            # probe-side guess would silently drop hits — review fix)
             const_table.append(
                 batch_df.sparkSession.createDataFrame(
-                    [(n, s)], "n_docs bigint, sum_dl bigint"),
+                    [(n, s, n_buckets)],
+                    "n_docs bigint, sum_dl bigint, n_buckets int"),
                 run_id=run_id)
 
     stream = (spark.readStream.schema(schema)
@@ -80,31 +84,43 @@ def start_lex_index_stream(spark: SparkSession, input_dir: str, schema,
     return writer.start()
 
 
-def live_constants(spark: SparkSession, output_root: str) -> tuple[int, int]:
+def live_constants(spark: SparkSession,
+                   output_root: str) -> tuple[int, int, int]:
     """Folded exact corpus constants of a running (or finished) stream
-    — integer SUM, batch-order independent; (0, 0) before the first
-    commit."""
+    — integer SUM, batch-order independent — plus the n_buckets the
+    postings were written with; (0, 0, 0) before the first commit.
+
+    Crash window, documented: between a batch's postings append and
+    its constants append (closed at replay), per-term df includes the
+    batch while N/Σdl do not — ``live_bm25`` in that window scores
+    against mixed prefixes.  Every COMMITTED state (both appends or
+    neither) is bit-identical to the batch operator."""
     consts = SnapshotTable(f"{output_root}/lex_constants").read(spark)
     if consts is None:
-        return 0, 0
+        return 0, 0, 0
     row = consts.agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n"),
-                     F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("s")
-                     ).collect()[0]
-    return int(row["n"]), int(row["s"])
+                     F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("s"),
+                     F.min("n_buckets").alias("b0"),
+                     F.max("n_buckets").alias("b1")).collect()[0]
+    if row["b0"] != row["b1"]:
+        raise ValueError(f"inconsistent n_buckets in streamed index: "
+                         f"{row['b0']} != {row['b1']}")
+    return int(row["n"]), int(row["s"]), int(row["b0"])
 
 
 def live_bm25(spark: SparkSession, output_root: str,
-              query_terms: list[str], n_buckets: int = 16,
+              query_terms: list[str],
               k1: float = 1.2, b: float = 0.75) -> DataFrame:
     """BM25 against the live streamed index — bit-identical to the
     batch operator over the static union of everything ingested so
     far.  An uncommitted index reads as empty (zero hit rows), never
-    an error."""
-    n_docs, sum_dl = live_constants(spark, output_root)
+    an error.  The bucketing comes from the streamed constants (never
+    a caller guess)."""
+    n_docs, sum_dl, n_buckets = live_constants(spark, output_root)
     posts = SnapshotTable(f"{output_root}/lex_postings").read(spark)
     if posts is None or n_docs == 0:
         posts = spark.createDataFrame([], _EMPTY_POSTS)
-        n_docs, sum_dl = 1, 1          # unused: no postings, no rows
+        n_docs, sum_dl, n_buckets = 1, 1, 1  # unused: no postings
     terms = lexindex._dedupe_terms(query_terms)
     buckets = sorted({lexindex.term_bucket(t, n_buckets) for t in terms})
     posts = posts.where(F.col("bucket").isin(buckets))
@@ -113,18 +129,25 @@ def live_bm25(spark: SparkSession, output_root: str,
 
 
 def compact_to_serving(spark: SparkSession, output_root: str,
-                       path: str, n_buckets: int = 16) -> dict:
+                       path: str) -> dict:
     """Rewrite the streamed tables into the partitioned serving layout
     (+ exact-constants sidecar), so ``lexindex.bm25_from_index``
     answers with PartitionFilters pruning.  Result-identical to the
-    live index (the postings rows are the same relation)."""
+    live index (the postings rows are the same relation; the sidecar's
+    n_buckets is the streamed one, never a caller guess).  A stream
+    that never committed compacts to a READABLE empty layout (plain
+    empty parquet — an empty partitionBy write would leave a
+    schema-less directory)."""
     import json
     import os
     posts = SnapshotTable(f"{output_root}/lex_postings").read(spark)
+    n_docs, sum_dl, n_buckets = live_constants(spark, output_root)
     if posts is None:
-        posts = spark.createDataFrame([], _EMPTY_POSTS)
-    n_docs, sum_dl = live_constants(spark, output_root)
-    posts.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        spark.createDataFrame([], _EMPTY_POSTS).repartition(1) \
+            .write.mode("overwrite").parquet(path)
+        n_buckets = max(n_buckets, 1)
+    else:
+        posts.write.mode("overwrite").partitionBy("bucket").parquet(path)
     stats = {"n_docs": n_docs, "sum_dl": sum_dl,
              "n_buckets": int(n_buckets)}
     with open(os.path.join(path, lexindex._STATS_FILE), "w") as fh:

@@ -79,11 +79,18 @@ def start_online_dedup_stream(spark: SparkSession, input_dir: str,
         if adm_done and sig_done:
             return
         sess = batch_df.sparkSession
+        # ONE signature kernel pass per batch, pinned and reused by all
+        # three consumers (within-batch pairs, history probe, append) —
+        # the module's per-batch cost contract (review fix)
+        batch_sig = dedup.minhash_signature(
+            batch_df, text_col, id_col, n_hashes, shingle_k) \
+            .localCheckpoint()
         # 1) within-batch component-min keepers (the batch policy)
         losers = dedup.verified_near_dup_losers(
             batch_df, text_col, id_col, threshold=threshold,
-            n_hashes=n_hashes, shingle_k=shingle_k)
+            n_hashes=n_hashes, shingle_k=shingle_k, sig=batch_sig)
         kept = batch_df.join(losers, id_col, "left_anti")
+        kept_sig = batch_sig.join(kept.select(id_col), id_col, "left_semi")
         # 2) greedy first-batch-wins against the admitted history
         sigs = sig_table.read(sess)
         adm = adm_table.read(sess)
@@ -93,17 +100,17 @@ def start_online_dedup_stream(spark: SparkSession, input_dir: str,
                 n_hashes=n_hashes, shingle_k=shingle_k,
                 threshold=threshold,
                 corpus_docs=adm.select(id_col, text_col),
-                index_df=sigs).select(
+                index_df=sigs, sig=kept_sig).select(
                     F.col("new_id").alias(id_col)).distinct()
             kept = kept.join(rejected, id_col, "left_anti")
+            kept_sig = kept_sig.join(kept.select(id_col), id_col,
+                                     "left_semi")
         kept = kept.localCheckpoint()  # two consumers + replay identity
         if not adm_done:
             adm_table.append(kept, run_id=run_id)
         if not sig_done:
             sig_table.append(
-                dedup.minhash_signature(kept, text_col, id_col,
-                                        n_hashes, shingle_k)
-                     .withColumnRenamed(id_col, "index_id"),
+                kept_sig.withColumnRenamed(id_col, "index_id"),
                 run_id=run_id)
 
     stream = (spark.readStream.schema(schema)
@@ -133,5 +140,9 @@ def compact_to_index(spark: SparkSession, output_root: str,
     serve lifecycle as the lexical index."""
     sigs = SnapshotTable(f"{output_root}/signatures").read(spark)
     if sigs is None:
-        sigs = spark.createDataFrame([], _SIG_SCHEMA)
+        # a never-started stream compacts to a READABLE empty layout —
+        # an empty partitionBy write leaves a schema-less directory
+        spark.createDataFrame([], _SIG_SCHEMA).repartition(1) \
+            .write.mode("overwrite").parquet(path)
+        return
     sigs.write.mode("overwrite").partitionBy("band").parquet(path)

@@ -36,6 +36,22 @@ from image_pdf_ocr_suite_spark.session import build_session
 from image_pdf_ocr_suite_spark.tableio.snapshot import SnapshotTable
 
 
+def _mutation_done(index_path: str, run_id: str) -> bool:
+    """Layout-mutation replay guard: the parquet layouts have no
+    snapshot run_id of their own, so a crash between the append and
+    the report commit would otherwise double-append the batch on retry
+    (duplicated postings double every BM25 score silently).  A marker
+    file per run_id inside the layout makes build/append idempotent."""
+    import os
+    return os.path.exists(os.path.join(index_path, f"_run_{run_id}"))
+
+
+def _mark_mutation(index_path: str, run_id: str) -> None:
+    import os
+    with open(os.path.join(index_path, f"_run_{run_id}"), "w") as fh:
+        fh.write("done\n")
+
+
 def main(argv: list[str] | None = None, *,
          stop_session: bool = True) -> None:
     ap = argparse.ArgumentParser()
@@ -79,18 +95,19 @@ def main(argv: list[str] | None = None, *,
                 n_buckets=args.n_buckets)
             q.awaitTermination()
             lex_stream.compact_to_serving(spark, stream_root,
-                                          args.index_path,
-                                          n_buckets=args.n_buckets)
+                                          args.index_path)
         else:
             docs = spark.read.parquet(args.input_table)
-            if args.mode == "build":
-                lexindex.write_inverted_index(
-                    docs, args.index_path, id_col=args.id_col,
-                    text_col=args.text_col, n_buckets=args.n_buckets)
-            else:
-                lexindex.append_to_inverted_index(
-                    docs, args.index_path, id_col=args.id_col,
-                    text_col=args.text_col)
+            if not _mutation_done(args.index_path, run_id):
+                if args.mode == "build":
+                    lexindex.write_inverted_index(
+                        docs, args.index_path, id_col=args.id_col,
+                        text_col=args.text_col, n_buckets=args.n_buckets)
+                else:
+                    lexindex.append_to_inverted_index(
+                        docs, args.index_path, id_col=args.id_col,
+                        text_col=args.text_col)
+                _mark_mutation(args.index_path, run_id)
         report = lexindex.bm25_from_index(spark, args.index_path, terms)
     else:
         from image_pdf_ocr_suite_spark.analytics import dedup
@@ -110,14 +127,16 @@ def main(argv: list[str] | None = None, *,
                 .select(args.id_col)
         else:
             docs = spark.read.parquet(args.input_table)
-            if args.mode == "build":
-                dedup.minhash_write_index(docs, args.index_path,
-                                          text_col=args.text_col,
-                                          id_col=args.id_col)
-            else:
-                dedup.minhash_append_to_index(docs, args.index_path,
+            if not _mutation_done(args.index_path, run_id):
+                if args.mode == "build":
+                    dedup.minhash_write_index(docs, args.index_path,
                                               text_col=args.text_col,
                                               id_col=args.id_col)
+                else:
+                    dedup.minhash_append_to_index(docs, args.index_path,
+                                                  text_col=args.text_col,
+                                                  id_col=args.id_col)
+                _mark_mutation(args.index_path, run_id)
             report = dedup.dedup_against_index(
                 docs, spark, args.index_path, text_col=args.text_col,
                 id_col=args.id_col)

@@ -78,6 +78,56 @@ def test_lexical_build_plus_append_equals_one_shot(spark, tmp_path,
     assert got == exp
 
 
+def test_append_retry_after_crash_is_idempotent(spark, tmp_path,
+                                                docs_path, monkeypatch):
+    """A crash between the layout append and the report commit must not
+    double-append on retry (the _run_<id> mutation marker)."""
+    import jobs.index_job as ij
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx3")
+    idx_main(["--input-table", docs_path, "--index-path", idx,
+              "--output-root", str(tmp_path / "o3"),
+              "--family", "lexical", "--mode", "build",
+              "--n-buckets", "16", "--run-id", "c-1"],
+             stop_session=False)
+    p2 = str(tmp_path / "more")
+    extra = spark.createDataFrame([(1000, "hash zebra hash")],
+                                  "doc_id long, text string")
+    extra.write.parquet(p2)
+
+    # simulate the crash: report commit raises AFTER the append ran
+    class Boom(RuntimeError):
+        pass
+
+    orig = ij.SnapshotTable.append
+
+    def crash(self, df, run_id):
+        raise Boom()
+
+    monkeypatch.setattr(ij.SnapshotTable, "append", crash)
+    try:
+        idx_main(["--input-table", p2, "--index-path", idx,
+                  "--output-root", str(tmp_path / "o4"),
+                  "--family", "lexical", "--mode", "append",
+                  "--run-id", "c-2"], stop_session=False)
+    except Boom:
+        pass
+    monkeypatch.setattr(ij.SnapshotTable, "append", orig)
+    # retry with the same run_id: the append must NOT run again
+    idx_main(["--input-table", p2, "--index-path", idx,
+              "--output-root", str(tmp_path / "o4"),
+              "--family", "lexical", "--mode", "append",
+              "--run-id", "c-2"], stop_session=False)
+    got = {r["doc_id"]: (r["n_terms_hit"], r["score"])
+           for r in lexindex.bm25_from_index(spark, idx,
+                                             TERMS.split(",")).collect()}
+    exp = {r["doc_id"]: (r["n_terms_hit"], r["score"])
+           for r in textops.bm25_scores(docs.unionByName(extra),
+                                        TERMS.split(","))
+                           .where("n_terms_hit >= 1").collect()}
+    assert got == exp      # no duplicated postings, constants exact
+
+
 def test_minhash_build_report_matches_library(spark, tmp_path, docs_path):
     out, idx = str(tmp_path / "mout"), str(tmp_path / "midx")
     idx_main(["--input-table", docs_path, "--index-path", idx,

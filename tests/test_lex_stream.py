@@ -44,8 +44,8 @@ def _run_stream(spark, docs, tmp_path, tag="s1"):
 def test_live_bm25_matches_batch_bitwise(spark, tmp_path):
     docs = _docs(spark)
     out_root = _run_stream(spark, docs, tmp_path)
-    n, s = live_constants(spark, out_root)
-    assert n == docs.count()
+    n, s, b = live_constants(spark, out_root)
+    assert n == docs.count() and b == 16
     got = {r["doc_id"]: (r["n_terms_hit"], r["score"])
            for r in live_bm25(spark, out_root, TERMS).collect()}
     exp = {r["doc_id"]: (r["n_terms_hit"], r["score"])
@@ -84,5 +84,10 @@ def test_replayed_batch_is_noop(spark, tmp_path):
 
 def test_uncommitted_index_reads_empty(spark, tmp_path):
     out_root = str(tmp_path / "never_started")
-    assert live_constants(spark, out_root) == (0, 0)
+    assert live_constants(spark, out_root) == (0, 0, 0)
     assert live_bm25(spark, out_root, TERMS).count() == 0
+    # compacting a never-started stream yields a READABLE empty layout
+    # (an empty partitionBy write would leave a schema-less directory)
+    path = str(tmp_path / "empty_serving")
+    compact_to_serving(spark, out_root, path)
+    assert lexindex.bm25_from_index(spark, path, TERMS).count() == 0

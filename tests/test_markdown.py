@@ -47,6 +47,19 @@ def test_lists_nesting_and_implicit_close():
     assert md("<ol><li>x</li><li> </li><li>y</li></ol>") == "1. x\n2. y"
 
 
+def test_transparent_block_boundaries_are_word_boundaries():
+    # block tags inside <li>/<blockquote> are transparent but must not
+    # fuse adjacent words (review fix)
+    assert md("<ul><li><p>one</p><p>two</p></li></ul>") == "- one two"
+    assert md("<blockquote><p>a</p><p>b</p></blockquote>") == "> a b"
+    assert md("<ul><li>a<div>b</div>c</li></ul>") == "- a b c"
+
+
+def test_pre_inside_list_keeps_document_order():
+    got = md("<ul><li>a<pre>code</pre></li><li>b</li></ul>")
+    assert got == "- a\n```\ncode\n```\n- b"
+
+
 def test_blockquote_and_pre_raw():
     assert md("<blockquote>quoted  text</blockquote>") == "> quoted text"
     got = md("<pre><code>def f():\n    return  1\n</code></pre>")
