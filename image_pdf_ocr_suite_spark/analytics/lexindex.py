@@ -170,34 +170,42 @@ def bm25_over_postings(posts: DataFrame, n_docs: int, sum_dl: int,
     index (caller prunes; extra terms in ``posts`` are ignored)."""
     terms = _dedupe_terms(query_terms)
     posts = posts.where(F.col("term").isin(terms))
-    # per-term document frequency: postings are unique per (term, doc)
-    dfreq = posts.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__df"))
-    joined = posts.join(F.broadcast(dfreq), "term")
+    # ONE pass over the pruned postings: pivot per-doc tf columns first
+    # (each sum() aggregates at most one row — postings are unique per
+    # (term, doc)), then per-term df is a tiny aggregate OVER the pivot
+    # broadcast back with a crossJoin — the bm25_scores stage shape,
+    # and the posting scan runs once instead of twice (df join removed)
+    pivoted = posts.groupBy("doc_id", "dl").agg(
+        *[F.coalesce(F.sum(F.when(F.col("term") == t, F.col("tf"))),
+                     F.lit(0).cast("bigint")).alias(f"__tf_{i}")
+          for i, t in enumerate(terms)])
+    stats = pivoted.agg(
+        *[F.sum(F.when(F.col(f"__tf_{i}") > 0, 1).otherwise(0))
+          .cast("bigint").alias(f"__df_{i}")
+          for i in range(len(terms))])
+    joined = pivoted.crossJoin(F.broadcast(stats))
 
     # identical nesting as text.bm25_scores (avgdl as the same one
     # exact IEEE division of the exact integer constants)
     n = F.lit(float(n_docs))
     avgdl = F.lit(float(sum_dl)) / n
-    tf = F.col("tf").cast("double")
-    dfc = F.col("__df").cast("double")
-    idf = F.log(F.lit(1.0) + (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
     denom_tail = F.lit(k1) * (F.lit(1.0 - b)
                               + F.lit(b) * (F.col("dl").cast("double")
                                             / avgdl))
-    contrib = idf * (tf * F.lit(k1 + 1.0)) / (tf + denom_tail)
 
-    # pivot to fixed literal order: each sum() aggregates at most ONE
-    # row (a doc has one posting per term), so no float-sum wobble
-    pivoted = joined.groupBy("doc_id").agg(
-        *[F.sum(F.when(F.col("term") == t, contrib)).alias(f"__c_{i}")
-          for i, t in enumerate(terms)])
-    score = F.coalesce(F.col("__c_0"), F.lit(0.0))
+    def contrib(i: int):
+        tf = F.col(f"__tf_{i}").cast("double")
+        dfc = F.col(f"__df_{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (n - dfc + F.lit(0.5))
+                    / (dfc + F.lit(0.5)))
+        return idf * (tf * F.lit(k1 + 1.0)) / (tf + denom_tail)
+
+    score = contrib(0)
     for i in range(1, len(terms)):
-        score = score + F.coalesce(F.col(f"__c_{i}"), F.lit(0.0))
-    hits = sum(F.col(f"__c_{i}").isNotNull().cast("int")
+        score = score + contrib(i)          # fixed literal order
+    hits = sum((F.col(f"__tf_{i}") > 0).cast("int")
                for i in range(len(terms)))
-    return pivoted.select(
+    return joined.select(
         "doc_id",
         hits.cast("int").alias("n_terms_hit"),
         score.alias("score"))
