@@ -1917,6 +1917,85 @@ def q_html_metadata(spark, sf_dir):
     return html_mod.extract_metadata(pages)
 
 
+def _synth_sentence_docs(spark, sf_dir):
+    """Deterministic sentence-terminal injection over the word-soup
+    corpus (it carries no punctuation): token i (0-based) gains ``.``
+    when (doc_id+i)%5==0 else ``!`` when (doc_id+i)%13==0, single-space
+    rejoined — the oracle restates the rebuild with 1-based list
+    indices.  Shared by sentence_spans and sentence_stats."""
+    d = _t(spark, sf_dir, "documents")
+    toks = textops.token_array_expr("text")
+    base = d.where(F.col("text").isNotNull()) \
+        .select("doc_id", toks.alias("__toks")) \
+        .where(F.size("__toks") > 0)
+    rebuilt = F.array_join(
+        F.transform(
+            F.col("__toks"),
+            lambda x, i: F.concat(
+                x,
+                F.when((F.col("doc_id") + i) % 5 == 0, F.lit("."))
+                 .when((F.col("doc_id") + i) % 13 == 0, F.lit("!"))
+                 .otherwise(F.lit("")))), " ")
+    return base.select("doc_id", rebuilt.alias("text"))
+
+
+def q_sentence_spans(spark, sf_dir):
+    """Sentence segmentation with character-span offsets
+    (analytics/sentences.py): one row per sentence under the corpus
+    token contract, ``sentence = text[start:end]`` into the rebuilt
+    text.  Map-only Arrow kernel — no shuffle at any scale; the oracle
+    replays tokenization, cumulative offsets, and terminal flags with
+    window functions over the zipped unnest."""
+    from image_pdf_ocr_suite_spark.analytics import sentences as sent_mod
+
+    return sent_mod.sentence_spans(_synth_sentence_docs(spark, sf_dir))
+
+
+def q_sentence_stats(spark, sf_dir):
+    """Per-document sentence statistics (count / integer-bp mean tokens
+    / max tokens) over sentence_spans — one short-key aggregate on top
+    of the map-only kernel; exact-integer outputs hash-check."""
+    from image_pdf_ocr_suite_spark.analytics import sentences as sent_mod
+
+    return sent_mod.sentence_stats(
+        sent_mod.sentence_spans(_synth_sentence_docs(spark, sf_dir)))
+
+
+def q_jsonld_extract(spark, sf_dir):
+    """schema.org JSON-LD extraction (kernels/jsonld.py): doc_id%3==0
+    pages carry a NewsArticle block plus a <template>-wrapped ghost
+    block that must NOT surface (inert-markup gate), %3==1 an array of
+    Product + Organization (two item rows, multi-@type first-wins),
+    %3==2 malformed JSON (exactly one err='json' row — quarantine
+    discipline).  Map-only kernel; the oracle states every field
+    closed-form from the doc_id arithmetic."""
+    from image_pdf_ocr_suite_spark.kernels import jsonld as jsonld_mod
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 3
+    dd = F.lpad((F.col("doc_id") % 27 + 2).cast("string"), 2, "0")
+    k = (F.col("doc_id") % 37).cast("string")
+    art = F.concat(
+        F.lit('<script type="application/ld+json">{"@type":"NewsArticle",'
+              '"headline":"Story '), n,
+        F.lit('","datePublished":"2026-01-'), dd,
+        F.lit('"}</script><template><script type="application/ld+json">'
+              '{"@type":"Ghost"}</script></template>'))
+    pair = F.concat(
+        F.lit('<script type="application/ld+json">[{"@type":["Product",'
+              '"Thing"],"name":"Item '), n,
+        F.lit('"},{"@type":"Organization","name":"Org '), k,
+        F.lit('","url":"https://o/'), k, F.lit('"}]</script>'))
+    bad = F.lit('<script type="application/ld+json">{broken</script>')
+    html = F.concat(F.lit("<html><head>"),
+                    F.when(m == 0, art).when(m == 1, pair).otherwise(bad),
+                    F.lit("</head><body><p>x</p></body></html>"))
+    pages = d.select(F.concat(F.lit("https://j/"), n).alias("url"),
+                     F.encode(html, "UTF-8").alias("html"))
+    return jsonld_mod.extract_jsonld(pages)
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-filtered decontamination (first-pass form): the held-out
     5-gram set folds into a 2^18-bit mergeable sketch (<= 8192 rows)
@@ -3171,6 +3250,67 @@ def _cluster_balanced_sample_oracle(quota: int = 20, n_clusters: int = 16,
     return sql
 
 
+# Shared CTE chain for the sentence_spans / sentence_stats oracles:
+# terminal-injection rebuild (1-based indices), zipped-unnest explode,
+# cumulative char offsets + terminal flags via window sums, then the
+# per-sentence grouping.  Verified row-identical to the Python splitter
+# on the full sf0.01 corpus (tests/test_sentences.py pins the core).
+_SENTENCE_ORACLE_CORE = """
+            WITH tok0 AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> x != '') AS tk0
+                FROM documents WHERE text IS NOT NULL AND text != ''),
+            rebuilt AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(
+                           range(1, len(tk0) + 1),
+                           i -> tk0[i] ||
+                                CASE WHEN (doc_id + i - 1) % 5 = 0
+                                     THEN '.'
+                                     WHEN (doc_id + i - 1) % 13 = 0
+                                     THEN '!'
+                                     ELSE '' END), ' ') AS text
+                FROM tok0 WHERE len(tk0) > 0),
+            tok AS (
+                SELECT doc_id, text, string_split(text, ' ') AS tk
+                FROM rebuilt),
+            ex AS (
+                SELECT doc_id, text, unnest(tk) AS t,
+                       unnest(range(1, len(tk) + 1)) AS i
+                FROM tok),
+            pos AS (
+                SELECT doc_id, text, t, i,
+                       CAST(coalesce(sum(len(t) + 1) OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)
+                         AS BIGINT) AS tok_start,
+                       CASE WHEN len(t) > 0
+                                 AND right(t, 1) IN ('.', '!', '?')
+                            THEN 1 ELSE 0 END AS term
+                FROM ex),
+            sid AS (
+                SELECT *, CAST(coalesce(sum(term) OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)
+                         AS BIGINT) AS sent_idx
+                FROM pos),
+            spans AS (
+                SELECT doc_id, sent_idx,
+                       min(tok_start) AS "start",
+                       max(tok_start + len(t)) AS "end",
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       substring(any_value(text),
+                                 CAST(min(tok_start) AS INTEGER) + 1,
+                                 CAST(max(tok_start + len(t))
+                                      - min(tok_start) AS INTEGER))
+                           AS sentence
+                FROM sid WHERE len(t) > 0
+                GROUP BY doc_id, sent_idx)
+"""
+
 _EXPORT_WINDOWS_ORACLE = """
         WITH t AS (SELECT doc_id,
                           list_filter(string_split(text, ' '),
@@ -3384,9 +3524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- pinned: golden-parquet flagships + binary-sink stats twins --
         "ocr_extract_text": q_ocr_extract_text,
         "ocr_spans": q_ocr_spans,
-        "ocr_quarantine": q_ocr_quarantine,
         "html_main_text": q_html_main_text,
-        "payload_metadata": q_payload_metadata,
         "searchable_pdf_stats": q_searchable_pdf_stats,
         # -- never driver-checked: new in round 5 (final-window layout,
         #    see the docstring: every flagship FAMILY keeps at least one
@@ -3438,6 +3576,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_markdown": q_html_markdown,
         "bm25_from_index": q_bm25_from_index,
         "wordpiece_vocab": q_wordpiece_vocab,
+        # round-5 final additions — two NEW operator families
+        # (sentence-granularity spans; schema.org structured data), so
+        # each takes a window slot; ocr_quarantine / payload_metadata
+        # (golden-parquet flagships, driver-green r1-r4, code
+        # untouched) rotate to the parity-replica section below.
+        "sentence_spans": q_sentence_spans,
+        "jsonld_extract": q_jsonld_extract,
         # ---- position 51+: covered by the full-registry parity
         #      replica (tests/test_oracle_parity.py).  First: the
         #      encode-stats twins of in-window trainers, table_linearize
@@ -3490,6 +3635,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20_promotion": q_tpch_q20_promotion,
         "tpch_q22_opportunity": q_tpch_q22_opportunity,
         "images_to_pdf_stats": q_images_to_pdf_stats,
+        # golden-parquet flagships rotated out for the two new round-5
+        # families (newest driver row r4; golden parity replicated
+        # locally every run) + the stats twin of in-window
+        # sentence_spans:
+        "ocr_quarantine": q_ocr_quarantine,
+        "payload_metadata": q_payload_metadata,
+        "sentence_stats": q_sentence_stats,
         # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
         "winnow_fingerprints": q_winnow_fingerprints,
         "topk_cosine": q_topk_cosine,
@@ -6121,6 +6273,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode('<p>' || text || '</p>'))
                         AS INTEGER) AS html_octets
             FROM t""",
+        # sentence_spans / sentence_stats: restate the terminal-injection
+        # rebuild (1-based list indices vs Spark's 0-based transform),
+        # then replay tokenization, cumulative char offsets, and terminal
+        # flags with window functions over DuckDB's zipped unnest; the
+        # sentence string is a substring of the rebuilt text, never a
+        # re-join ("start"/"end" quoted — SQL keywords).
+        "sentence_spans": _SENTENCE_ORACLE_CORE + """
+            SELECT doc_id, sent_idx, "start", "end", n_tokens, sentence
+            FROM spans""",
+        "sentence_stats": _SENTENCE_ORACLE_CORE + """
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_sentences,
+                   CAST(10000 * sum(n_tokens) // count(*) AS BIGINT)
+                       AS mean_tokens_bp,
+                   CAST(max(n_tokens) AS BIGINT) AS max_tokens
+            FROM spans GROUP BY doc_id""",
+        "jsonld_extract": """
+            WITH base AS (
+              SELECT doc_id, doc_id % 3 AS m,
+                     'https://j/' || CAST(doc_id AS VARCHAR) AS url,
+                     lpad(CAST(2 + doc_id % 27 AS VARCHAR), 2, '0') AS dd,
+                     CAST(doc_id % 37 AS VARCHAR) AS k
+              FROM documents),
+            items AS (
+              SELECT url, 0 AS blk_idx, 0 AS item_idx,
+                     'NewsArticle' AS item_type,
+                     'Story ' || CAST(doc_id AS VARCHAR) AS name,
+                     '2026-01-' || dd AS date_published,
+                     CAST(NULL AS VARCHAR) AS item_url,
+                     CAST(NULL AS VARCHAR) AS err
+              FROM base WHERE m = 0
+              UNION ALL
+              SELECT url, 0, 0, 'Product',
+                     'Item ' || CAST(doc_id AS VARCHAR),
+                     NULL, NULL, NULL FROM base WHERE m = 1
+              UNION ALL
+              SELECT url, 0, 1, 'Organization', 'Org ' || k, NULL,
+                     'https://o/' || k, NULL FROM base WHERE m = 1
+              UNION ALL
+              SELECT url, 0, 0, NULL, NULL, NULL, NULL, 'json'
+              FROM base WHERE m = 2)
+            SELECT url, CAST(blk_idx AS INTEGER) AS blk_idx,
+                   CAST(item_idx AS INTEGER) AS item_idx,
+                   item_type, name, date_published, item_url, err
+            FROM items""",
         "html_metadata": """
             SELECT 'https://m/' || CAST(doc_id AS VARCHAR) AS url,
                    CASE WHEN doc_id % 2 = 0

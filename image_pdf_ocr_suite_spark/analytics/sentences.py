@@ -1,0 +1,128 @@
+"""Sentence segmentation with character-span offsets.
+
+Training-data pipelines chunk, dedup, and attribute at sentence
+granularity (sentence-level dedup, citation spans, chunk boundaries
+that respect sentence edges).  This module segments each document into
+sentences under the corpus token contract (single-space ``split(" ")``
+— the exact contract every other text operator here pins) and emits
+one row per sentence carrying ``[start, end)`` character offsets into
+the ORIGINAL text, so downstream consumers can cut, highlight, or
+re-assemble without re-tokenizing.
+
+Semantics (deliberately closed-form so a SQL engine can replay them
+exactly — no regex, no locale tables):
+
+* tokens = ``text.split(" ")`` with empty tokens KEPT for offset
+  arithmetic (token *i* starts at ``sum(len(t_j) + 1 for j < i)``);
+* a token is *terminal* when it is non-empty and its last character is
+  one of ``. ! ?``;
+* sentence *k* = all tokens after the (k-1)-th terminal up to and
+  including the k-th; trailing tokens after the last terminal form a
+  final sentence when any of them is non-empty;
+* a sentence's ``start`` is its first non-empty token's offset, its
+  ``end`` is its last non-empty token's offset plus length, and
+  ``sentence = text[start:end]`` (pytest-pinned invariant) — interior
+  runs of spaces are preserved, surrounding ones are not.
+
+Scale: one map-only Arrow kernel over the column-pruned ``(id, text)``
+scan — no shuffle at any corpus size; per-document work is linear in
+the token count (numpy cumsum for offsets).  Reference anchor: the
+reference suite splits OCR text into lines for span emission
+(/root/reference/image_pdf_ocr/ocr.py:392-420); this is the same
+span-offset discipline applied at sentence granularity for corpus
+prep.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_TERMINALS = (".", "!", "?")
+
+
+def split_sentences(text: str) -> list[tuple[int, int, int, int]]:
+    """``[(sent_idx, start, end, n_tokens), ...]`` for one document.
+
+    Pure-Python single spelling shared by the Spark kernel, the pytest
+    reference, and any driver-side consumer; ``n_tokens`` counts
+    non-empty tokens.  Empty/whitespace-only text yields no rows.
+    """
+    toks = text.split(" ")
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                       count=len(toks))
+    starts = np.zeros(len(toks), dtype=np.int64)
+    if len(toks) > 1:
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+    nonempty = lens > 0
+    term = np.fromiter(
+        (t[-1] in _TERMINALS if t else False for t in toks),
+        dtype=bool, count=len(toks))
+    # sentence id of token i = number of terminals strictly before i,
+    # so a terminal token closes its own sentence.
+    sid = np.cumsum(term) - term
+    out: list[tuple[int, int, int, int]] = []
+    for k in np.unique(sid[nonempty]):
+        sel = nonempty & (sid == k)
+        s = int(starts[sel].min())
+        e = int((starts[sel] + lens[sel]).max())
+        out.append((int(k), s, e, int(sel.sum())))
+    return out
+
+
+def sentence_spans(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """``(id, sent_idx, start, end, n_tokens, sentence)`` — one row per
+    sentence, offsets into the original text, ``sentence`` the exact
+    ``text[start:end]`` substring.  Map-only Arrow kernel; the scan is
+    column-pruned to ``(id, text)`` and nothing shuffles.
+    """
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            idxs: list[int] = []
+            st: list[int] = []
+            en: list[int] = []
+            nt: list[int] = []
+            sent: list[str] = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(t, str) or not t:
+                    continue
+                for k, s, e, n in split_sentences(t):
+                    ids.append(i)
+                    idxs.append(k)
+                    st.append(s)
+                    en.append(e)
+                    nt.append(n)
+                    sent.append(t[s:e])
+            yield pd.DataFrame({
+                id_col: pd.array(ids, dtype="Int64"),
+                "sent_idx": pd.array(idxs, dtype="Int64"),
+                "start": pd.array(st, dtype="Int64"),
+                "end": pd.array(en, dtype="Int64"),
+                "n_tokens": pd.array(nt, dtype="Int64"),
+                "sentence": pd.array(sent, dtype="string"),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel,
+        schema=(f"{id_col} {id_type}, sent_idx bigint, start bigint, "
+                "end bigint, n_tokens bigint, sentence string"))
+
+
+def sentence_stats(spans: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document sentence statistics over ``sentence_spans`` output:
+    ``(id, n_sentences, mean_tokens_bp, max_tokens)`` with the mean in
+    integer basis points (``floor(10000 * total / n)``) so the driver
+    hash-checks exactly.  One short-key aggregate."""
+    from pyspark.sql import functions as F
+
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+        F.floor(F.lit(10000) * F.sum("n_tokens") / F.count(F.lit(1)))
+         .cast("bigint").alias("mean_tokens_bp"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"))

@@ -32,5 +32,14 @@ def test_rows_only_set_is_exactly_the_binary_sinks():
 def test_flagship_pins_lead_the_window():
     q = list(em.queries())
     assert q[0] == "ocr_extract_text"
-    assert {"ocr_spans", "ocr_quarantine", "html_main_text",
-            "payload_metadata"} <= set(q[:7])
+    assert {"ocr_spans", "html_main_text",
+            "searchable_pdf_stats"} <= set(q[:6])
+    # rotated out for the round-5 new families (driver-green r1-r4,
+    # golden parity replicated locally every run) — must stay
+    # registered with their golden oracles:
+    assert {"ocr_quarantine", "payload_metadata"} <= set(q[50:])
+
+
+def test_new_family_reps_are_in_window():
+    q = list(em.queries())
+    assert {"sentence_spans", "jsonld_extract"} <= set(q[:50])
