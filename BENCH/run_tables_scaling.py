@@ -28,7 +28,7 @@ N_CPUS = int(os.environ.get("SCALING_N", "4"))
 N4_CPUS = 4 * N_CPUS
 RUNS = int(os.environ.get("SCALING_RUNS", "3"))
 REPLICATE = int(os.environ.get("SCALING_REPLICATE", "20"))
-OP = os.environ.get("SCALING_OP", "tables")  # tables | markdown
+OP = os.environ.get("SCALING_OP", "tables")  # tables | markdown | sentences
 
 
 def _materialize_docs(sf_dir: str, replicate: int) -> str:

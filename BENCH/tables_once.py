@@ -18,13 +18,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from image_pdf_ocr_suite_spark.analytics.sentences import (  # noqa: E402
+    sentence_spans)
 from image_pdf_ocr_suite_spark.kernels.htmltables import (  # noqa: E402
     table_rows_from_docs)
 from image_pdf_ocr_suite_spark.kernels.markdown import (  # noqa: E402
     markdown_from_docs)
 from image_pdf_ocr_suite_spark.session import build_session  # noqa: E402
 
-OPS = {"tables": table_rows_from_docs, "markdown": markdown_from_docs}
+OPS = {"tables": table_rows_from_docs, "markdown": markdown_from_docs,
+       "sentences": sentence_spans}
 
 
 def main(cpus: int, docs_path: str, op: str = "tables") -> None:

@@ -2522,6 +2522,34 @@ def q_frequent_line_filter(spark, sf_dir):
     return corpusprep.frequent_line_filter(lines, min_docs=2)
 
 
+def q_site_template_filter(spark, sf_dir):
+    """Per-site template learning (frequent_line_filter with
+    scope_col='host'): every doc gets a host-specific nav line 0 and
+    footer line 10^6 injected (host = doc_id%23 — each host owns ~n/23
+    docs, so both templates repeat within-host and are dropped), plus a
+    cross-host 'shared legal' line on doc_id%29==0 docs that the GLOBAL
+    policy would kill but the scoped policy keeps wherever a host holds
+    only one such doc (hosts collide only at doc_id spacing 23·29=667).
+    The scoped anti-join carries (host, md5) digests only."""
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string"))
+    content = corpusprep.split_token_lines(d, tokens_per_line=8) \
+        .select("doc_id", (F.col("line_no") + 1).alias("line_no"), "line")
+    nav = d.select(
+        "doc_id", F.lit(0).alias("line_no"),
+        F.concat(F.lit("nav menu host "), host).alias("line"))
+    footer = d.select(
+        "doc_id", F.lit(1000000).alias("line_no"),
+        F.concat(F.lit("footer copyright host "), host).alias("line"))
+    shared = d.where(F.col("doc_id") % 29 == 0).select(
+        "doc_id", F.lit(999999).alias("line_no"),
+        F.lit("shared legal boilerplate text").alias("line"))
+    lines = nav.unionByName(content).unionByName(shared) \
+        .unionByName(footer).withColumn("host", host)
+    return corpusprep.frequent_line_filter(lines, min_docs=2,
+                                           scope_col="host")
+
+
 def q_crawl_delta(spark, sf_dir):
     """Snapshot-to-snapshot crawl delta (jobs/crawl_ingest_job.py
     crawl_delta): two synthetic crawls of the documents seed list —
@@ -3642,6 +3670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_quarantine": q_ocr_quarantine,
         "payload_metadata": q_payload_metadata,
         "sentence_stats": q_sentence_stats,
+        "site_template_filter": q_site_template_filter,
         # -- newest driver row r1-r3: rotated back in (round-5 refresh) --
         "winnow_fingerprints": q_winnow_fingerprints,
         "topk_cosine": q_topk_cosine,
@@ -5354,6 +5383,66 @@ def oracle_sql() -> dict[str, str]:
             a AS (
                 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
                        string_agg(line, ' ' ORDER BY line_no) AS kept_text
+                FROM k GROUP BY doc_id)
+            SELECT n.doc_id, n.n_lines,
+                   CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   COALESCE(a.kept_text, '') AS kept_text
+            FROM n LEFT JOIN a USING (doc_id)""",
+        # site_template_filter: same reassembly, but the frequency
+        # universe is (host, line) and the line relation is the content
+        # pseudo-lines shifted +1 plus injected nav(0) / shared(999999,
+        # doc_id%29==0 only) / footer(10^6) rows.
+        "site_template_filter": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> x != '') AS toks
+                FROM documents),
+            content AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(toks), 0) + 1, 8),
+                           i -> CAST((i - 1) // 8 AS INTEGER) + 1))
+                           AS line_no,
+                       unnest(list_transform(
+                           range(1, greatest(len(toks), 0) + 1, 8),
+                           i -> array_to_string(toks[i:i+7], ' ')))
+                           AS line
+                FROM tok),
+            l0 AS (
+                SELECT doc_id, 0 AS line_no,
+                       'nav menu host h'
+                       || CAST(doc_id % 23 AS VARCHAR) AS line
+                FROM documents
+                UNION ALL
+                SELECT doc_id, line_no, line FROM content
+                UNION ALL
+                SELECT doc_id, 999999,
+                       'shared legal boilerplate text'
+                FROM documents WHERE doc_id % 29 = 0
+                UNION ALL
+                SELECT doc_id, 1000000,
+                       'footer copyright host h'
+                       || CAST(doc_id % 23 AS VARCHAR)
+                FROM documents),
+            lh AS (
+                SELECT doc_id, line_no, line,
+                       'h' || CAST(doc_id % 23 AS VARCHAR) AS host
+                FROM l0),
+            freq AS (
+                SELECT host, line FROM lh
+                GROUP BY host, line HAVING COUNT(DISTINCT doc_id) >= 2),
+            k AS (
+                SELECT lh.doc_id, lh.line_no, lh.line FROM lh
+                ANTI JOIN freq
+                  ON lh.host = freq.host AND lh.line = freq.line),
+            n AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+                FROM lh GROUP BY doc_id),
+            a AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                       string_agg(line, ' ' ORDER BY line_no)
+                           AS kept_text
                 FROM k GROUP BY doc_id)
             SELECT n.doc_id, n.n_lines,
                    CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,

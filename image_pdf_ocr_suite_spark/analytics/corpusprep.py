@@ -657,7 +657,8 @@ def _bloom_flagged_grams_arrow(corpus: DataFrame, bits, n: int,
 def frequent_line_filter(lines: DataFrame, min_docs: int = 2,
                          id_col: str = "doc_id",
                          line_no_col: str = "line_no",
-                         line_col: str = "line") -> DataFrame:
+                         line_col: str = "line",
+                         scope_col: str | None = None) -> DataFrame:
     """Boilerplate removal by corpus frequency (the CCNet/RefinedWeb
     companion to ``line_dedup_stats``): a line that occurs in at least
     ``min_docs`` DISTINCT documents is boilerplate — nav bars, cookie
@@ -667,20 +668,36 @@ def frequent_line_filter(lines: DataFrame, min_docs: int = 2,
     ``kept_text`` the surviving lines joined by single spaces in
     ``line_no`` order (the repo's text-assembly convention).
 
+    ``scope_col`` narrows the frequency universe: with e.g. ``host``
+    the rule becomes *per-site template learning* — a line must repeat
+    across ``min_docs`` documents OF THE SAME SITE to be dropped, so a
+    sentence that happens to appear on two unrelated sites survives
+    while every site's own nav/footer template goes.  That is the
+    RefinedWeb/CCNet deployment shape: boilerplate is a per-template
+    phenomenon, and host is the template key a crawl actually has.
+
     Scale shape: line text is digested to md5 map-side, so the
-    frequency aggregate shuffles ``(16-byte hash, id)`` only; the
-    boilerplate set (distinct lines above the threshold) is small by
-    construction — boilerplate is the head of the frequency
+    frequency aggregate shuffles ``(16-byte hash, id)`` only (plus the
+    short scope key when scoped); the GLOBAL boilerplate set is small
+    by construction — boilerplate is the head of the frequency
     distribution — and joins back as an EXPLICIT broadcast left-anti
-    join, so line bodies never ride that exchange.  The only
-    body-carrying shuffle is the final per-document reassembly, the
-    same class as ``doc_assembly``."""
+    join, so line bodies never ride that exchange.  The SCOPED set is
+    O(hosts × template lines) — too big to broadcast at 10^12 docs —
+    so the scoped path anti-joins on ``(scope, hash)`` through a
+    regular hash exchange that still carries only digests and lets AQE
+    pick the strategy per actual size.  The only body-carrying shuffle
+    either way is the final per-document reassembly, the same class as
+    ``doc_assembly``."""
     digested = lines.withColumn("__h", F.md5(F.col(line_col)))
-    frequent = (digested.groupBy("__h")
+    freq_keys = [scope_col, "__h"] if scope_col else ["__h"]
+    frequent = (digested.groupBy(*freq_keys)
                 .agg(F.countDistinct(id_col).alias("__df"))
                 .where(F.col("__df") >= min_docs)
-                .select("__h"))
-    kept = digested.join(F.broadcast(frequent), "__h", "left_anti")
+                .select(*freq_keys))
+    if scope_col:
+        kept = digested.join(frequent, freq_keys, "left_anti")
+    else:
+        kept = digested.join(F.broadcast(frequent), "__h", "left_anti")
     n_all = (digested.groupBy(id_col)
              .agg(F.count(F.lit(1)).cast("long").alias("n_lines")))
     per_doc = kept.groupBy(id_col).agg(

@@ -104,6 +104,11 @@ def jsonld_items(html: str) -> list[tuple]:
     the Spark kernel and the pytest reference."""
     rows: list[tuple] = []
     for b, raw in enumerate(jsonld_blocks(html)):
+        if not raw.strip():
+            # a blank block (e.g. a self-closed <script/> that HTMLParser
+            # opens and immediately closes) is absent content, not
+            # corruption — no row; blk_idx keeps counting source blocks.
+            continue
         try:
             data = json.loads(raw)
         except Exception:

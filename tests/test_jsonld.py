@@ -50,6 +50,16 @@ def test_inert_and_non_ld_blocks_ignored():
     assert got == [(0, 0, "E", None, None, None, None)]
 
 
+def test_blank_blocks_skipped_not_err():
+    # whitespace-only / self-closed blocks: absent content, not 'json'
+    assert J.jsonld_items('<script type="application/ld+json">  \n'
+                          '</script>') == []
+    got = J.jsonld_items('<script type="application/ld+json"/>'
+                         '<script type="application/ld+json">'
+                         '{"@type":"T"}</script>')
+    assert got == [(1, 0, "T", None, None, None, None)]
+
+
 def test_unclosed_markup_never_raises():
     assert J.jsonld_items('<script type="application/ld+json">{"@type"') \
         == []  # block never closed -> never collected

@@ -63,6 +63,30 @@ def test_frequent_line_filter_drops_all_occurrences(spark):
     assert out[3]["kept_text"] == "only here once"
 
 
+def test_frequent_line_filter_host_scoped(spark):
+    """scope_col narrows the frequency universe: a line repeated on TWO
+    DIFFERENT hosts (once each) survives the scoped policy that the
+    global policy kills; each host's own template still goes."""
+    rows = [
+        (0, 0, "nav of site a", "a"), (0, 1, "shared legal", "a"),
+        (1, 0, "nav of site a", "a"), (1, 1, "body one", "a"),
+        (2, 0, "nav of site b", "b"), (2, 1, "shared legal", "b"),
+        (3, 0, "nav of site b", "b"), (3, 1, "body two", "b"),
+    ]
+    lines = spark.createDataFrame(
+        rows, "doc_id int, line_no int, line string, host string")
+    scoped = {r["doc_id"]: r for r in frequent_line_filter(
+        lines, min_docs=2, scope_col="host").collect()}
+    # per-host nav dropped everywhere; cross-host 'shared legal' kept
+    assert scoped[0]["kept_text"] == "shared legal"
+    assert scoped[2]["kept_text"] == "shared legal"
+    assert scoped[1]["kept_text"] == "body one"
+    # the GLOBAL policy kills 'shared legal' on the same input
+    glob = {r["doc_id"]: r for r in frequent_line_filter(
+        lines.drop("host"), min_docs=2).collect()}
+    assert glob[0]["n_kept"] == 0 and glob[2]["n_kept"] == 0
+
+
 def test_frequent_line_filter_all_boilerplate_doc(spark):
     lines = spark.createDataFrame(
         [(0, 0, "x"), (1, 0, "x"), (2, 0, "x")],
