@@ -27,7 +27,10 @@ from image_pdf_ocr_suite_spark.kernels.markdown import (  # noqa: E402
 from image_pdf_ocr_suite_spark.session import build_session  # noqa: E402
 
 OPS = {"tables": table_rows_from_docs, "markdown": markdown_from_docs,
-       "sentences": sentence_spans}
+       "sentences": sentence_spans,
+       # the scale form: offsets only, no corpus copy across Arrow
+       "sentences_meta": lambda df: sentence_spans(df,
+                                                   include_text=False)}
 
 
 def main(cpus: int, docs_path: str, op: str = "tables") -> None:

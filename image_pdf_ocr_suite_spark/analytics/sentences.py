@@ -73,11 +73,21 @@ def split_sentences(text: str) -> list[tuple[int, int, int, int]]:
 
 
 def sentence_spans(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
-    """``(id, sent_idx, start, end, n_tokens, sentence)`` — one row per
-    sentence, offsets into the original text, ``sentence`` the exact
-    ``text[start:end]`` substring.  Map-only Arrow kernel; the scan is
-    column-pruned to ``(id, text)`` and nothing shuffles.
+                   id_col: str = "doc_id",
+                   include_text: bool = True) -> DataFrame:
+    """``(id, sent_idx, start, end, n_tokens[, sentence])`` — one row
+    per sentence, offsets into the original text, ``sentence`` the
+    exact ``text[start:end]`` substring.  Map-only Arrow kernel; the
+    scan is column-pruned to ``(id, text)`` and nothing shuffles.
+
+    ``include_text=False`` drops the ``sentence`` column — the scale
+    form: the substring is derivable from ``(id, start, end)`` against
+    the source table, and shipping a full copy of the corpus back
+    across the Arrow boundary roughly doubles the kernel's memory
+    traffic (measured: the text-carrying form is JVM-ingest-bound and
+    pairs at ~0.5 N→4N in the shared local JVM, while the offsets-only
+    form carries 5 ints/sentence).  Downstream sentence-level dedup /
+    chunk-boundary consumers only need the offsets.
     """
     id_type = df.schema[id_col].dataType.simpleString()
 
@@ -98,20 +108,24 @@ def sentence_spans(df: DataFrame, text_col: str = "text",
                     st.append(s)
                     en.append(e)
                     nt.append(n)
-                    sent.append(t[s:e])
-            yield pd.DataFrame({
+                    if include_text:
+                        sent.append(t[s:e])
+            cols = {
                 id_col: pd.array(ids, dtype="Int64"),
                 "sent_idx": pd.array(idxs, dtype="Int64"),
                 "start": pd.array(st, dtype="Int64"),
                 "end": pd.array(en, dtype="Int64"),
                 "n_tokens": pd.array(nt, dtype="Int64"),
-                "sentence": pd.array(sent, dtype="string"),
-            })
+            }
+            if include_text:
+                cols["sentence"] = pd.array(sent, dtype="string")
+            yield pd.DataFrame(cols)
 
-    return df.select(id_col, text_col).mapInPandas(
-        kernel,
-        schema=(f"{id_col} {id_type}, sent_idx bigint, start bigint, "
-                "end bigint, n_tokens bigint, sentence string"))
+    schema = (f"{id_col} {id_type}, sent_idx bigint, start bigint, "
+              "end bigint, n_tokens bigint")
+    if include_text:
+        schema += ", sentence string"
+    return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
 
 
 def sentence_stats(spans: DataFrame, id_col: str = "doc_id") -> DataFrame:

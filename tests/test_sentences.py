@@ -63,6 +63,25 @@ def test_spark_spans_and_stats(spark):
     assert stats[5] == (3, 13333, 2)
 
 
+def test_offsets_only_form_matches(spark):
+    """include_text=False (the scale form) = the same rows minus the
+    sentence column; offsets still cut the exact substrings."""
+    rows = [(1, "Alpha beta. Gamma!"), (2, "x y. z")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    full = S.sentence_spans(df).collect()
+    meta = S.sentence_spans(df, include_text=False)
+    assert meta.columns == ["doc_id", "sent_idx", "start", "end",
+                            "n_tokens"]
+    got = sorted((r.doc_id, r.sent_idx, r.start, r.end, r.n_tokens)
+                 for r in meta.collect())
+    want = sorted((r.doc_id, r.sent_idx, r.start, r.end, r.n_tokens)
+                  for r in full)
+    assert got == want
+    texts = dict(rows)
+    assert sorted(texts[r.doc_id][r.start:r.end] for r in meta.collect()) \
+        == sorted(r.sentence for r in full)
+
+
 def test_duckdb_replay_matches(spark):
     """The SQL restatement (the oracle's core) matches the kernel on
     messy text — double spaces, unterminated tails, token-final mixes."""
