@@ -1996,6 +1996,107 @@ def q_jsonld_extract(spark, sf_dir):
     return jsonld_mod.extract_jsonld(pages)
 
 
+def q_microdata_extract(spark, sf_dir):
+    """HTML5 microdata extraction (kernels/microdata.py): doc_id%3==0
+    pages carry an Article with a multi-token itemprop heading, attr-
+    valued meta/a properties, and a NESTED Person item (item-valued
+    property row + the child's own rows), plus a <template>-wrapped
+    ghost item that must NOT surface or consume an item_idx; %3==1 a
+    Product with img-src and a <time> falling back to text (no
+    datetime attr); %3==2 a stray itemprop outside any item plus a
+    property-less item — zero rows.  Map-only kernel, no shuffle; the
+    oracle states every field closed-form from the doc_id arithmetic."""
+    from image_pdf_ocr_suite_spark.kernels import microdata as md_mod
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 3
+    dd = F.lpad((F.col("doc_id") % 27 + 2).cast("string"), 2, "0")
+    k = (F.col("doc_id") % 37).cast("string")
+    art = F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/Article extra">'
+              '<h1 itemprop="name headline">Story '), n,
+        F.lit('</h1><meta itemprop="datePublished" content="2026-01-'), dd,
+        F.lit('"><a itemprop="url" href="https://x/'), n,
+        F.lit('">go</a><div itemprop="author" itemscope '
+              'itemtype="https://schema.org/Person">'
+              '<span itemprop="name">Writer '), k,
+        F.lit('</span></div></div>'
+              '<template><div itemscope><span itemprop="ghost">g</span>'
+              '</div></template>'))
+    prod = F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/Product">'
+              '<span itemprop="name">Item '), n,
+        F.lit('</span><img itemprop="image" src="https://i/'), n,
+        F.lit('.png"><time itemprop="released">May '), k,
+        F.lit('</time></div>'))
+    stray = F.lit('<span itemprop="stray">x</span>'
+                  '<div itemscope itemtype="https://schema.org/Thing">'
+                  'no props</div>')
+    html = F.concat(F.lit("<html><body>"),
+                    F.when(m == 0, art).when(m == 1, prod).otherwise(stray),
+                    F.lit("</body></html>"))
+    pages = d.select(F.concat(F.lit("https://md/"), n).alias("url"),
+                     F.encode(html, "UTF-8").alias("html"))
+    return md_mod.extract_microdata(pages)
+
+
+def q_section_chunks(spark, sf_dir):
+    """Heading-path section chunking (analytics/sections.py): pages
+    synthesized with a token-slice preamble, an h1/h2 outline, a
+    sibling h1 replacing the first, and an empty-body final section on
+    even doc_ids.  Map-only kernel, no shuffle; the oracle restates
+    the slices and breadcrumb paths closed-form (the bodies are
+    single-space token joins, so the kernel's whitespace collapse is
+    the identity on them by construction)."""
+    from image_pdf_ocr_suite_spark.analytics import sections as sec_mod
+
+    d = _t(spark, sf_dir, "documents")
+    toks = textops.token_array_expr("text")
+    base = (d.where(F.col("text").isNotNull())
+             .select("doc_id", toks.alias("__toks"))
+             .where(F.size("__toks") >= 12))
+    n = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 37).cast("string")
+    pre = F.array_join(F.slice("__toks", 1, 3), " ")
+    b1 = F.array_join(F.slice("__toks", 4, 4), " ")
+    b2 = F.array_join(F.slice("__toks", 8, 4), " ")
+    tail = F.when(F.col("doc_id") % 2 == 0, F.lit("")) \
+            .otherwise(F.element_at("__toks", 12))
+    html = F.concat(
+        F.lit("<html><body>"), pre,
+        F.lit("<h1>Part "), n, F.lit("</h1>"), b1,
+        F.lit("<h2>Sub "), k, F.lit("</h2>"), b2,
+        F.lit("<h1>Next "), n, F.lit("</h1>"), tail,
+        F.lit("</body></html>"))
+    pages = base.select(F.concat(F.lit("https://s/"), n).alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    return sec_mod.section_chunks(pages)
+
+
+def q_corpus_mixture(spark, sf_dir):
+    """Temperature-based corpus mixing plan + realized counts
+    (analytics/mixing.py): sqrt-temperature source weights, exact
+    integer budget allocation, md5-bucket sampling thresholds — every
+    column BIGINT so the gate hash-checks bit-for-bit.  One short-key
+    aggregate + a broadcast probe; documents never shuffle."""
+    from image_pdf_ocr_suite_spark.analytics import mixing as mix_mod
+
+    d = _t(spark, sf_dir, "documents")
+    return mix_mod.mixture_report(d.select("doc_id", "source"), 2500)
+
+
+def q_temperature_sample(spark, sf_dir):
+    """The realized mixture corpus (analytics/mixing.py): rows whose
+    md5 bucket clears their source's sqrt-temperature rate — the
+    deterministic sampling contract shared with stratified_sample."""
+    from image_pdf_ocr_suite_spark.analytics import mixing as mix_mod
+
+    d = _t(spark, sf_dir, "documents")
+    return mix_mod.temperature_sample(
+        d.select("doc_id", "source"), 2500).select("doc_id", "source")
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-filtered decontamination (first-pass form): the held-out
     5-gram set folds into a 2^18-bit mergeable sketch (<= 8192 rows)
@@ -3547,7 +3648,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     standard TPC-H variants (5 distinct TPC-H shapes were driver-green
     r1-r4), and r4-green rows whose code is untouched — ALL covered by
     tests/test_oracle_parity.py, which replicates the driver's gate
-    over the FULL registry at sf0.01."""
+    over the FULL registry at sf0.01.
+
+    Round-5n applied the same rule one more time: three NEW families
+    (microdata_extract, section_chunks, corpus_mixture) took window
+    slots from three second representatives (bpe_encode_stats,
+    substring_dedup, dedup_recall_lsh — rationale at the in-dict
+    comment), and temperature_sample joined 51+ as the mixing family's
+    second row."""
     return {
         # -- pinned: golden-parquet flagships + binary-sink stats twins --
         "ocr_extract_text": q_ocr_extract_text,
@@ -3561,7 +3669,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_append_probe": q_ivf_append_probe,
         "snapshot_time_travel": q_snapshot_time_travel,
         "substring_dup_spans": q_substring_dup_spans,
-        "substring_dedup": q_substring_dedup,
         "cm_token_counts": q_cm_token_counts,
         "hll_distinct_trigrams": q_hll_distinct_trigrams,
         "extract_links": q_extract_links,
@@ -3569,7 +3676,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "semantic_dedup": q_semantic_dedup,
         "ann_recall_lsh": q_ann_recall_lsh,
-        "dedup_recall_lsh": q_dedup_recall_lsh,
         "video_near_dup": q_video_near_dup,
         "quality_funnel": q_quality_funnel,
         "image_near_dup": q_image_near_dup,
@@ -3584,7 +3690,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trained family (CCNet trio completion) + 5f/5g corpus ops
         "lm_perplexity": q_lm_perplexity,
         "bpe_merges": q_bpe_merges,
-        "bpe_encode_stats": q_bpe_encode_stats,
         "quality_classifier": q_quality_classifier,
         "cjk_text_stats": q_cjk_text_stats,
         "frequent_line_filter": q_frequent_line_filter,
@@ -3611,6 +3716,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched) rotate to the parity-replica section below.
         "sentence_spans": q_sentence_spans,
         "jsonld_extract": q_jsonld_extract,
+        # round-5n: three more NEW operator families (HTML5 microdata —
+        # the structured-data sibling of jsonld; heading-path section
+        # chunking; sqrt-temperature corpus mixing).  Displaced, per the
+        # second-representative rule: bpe_encode_stats (bpe_merges stays;
+        # the wordpiece/unigram encode-stats twins were already 51+),
+        # substring_dedup (substring_dup_spans, its producer, stays),
+        # dedup_recall_lsh (ann_recall_lsh keeps the recall family;
+        # minhash dedup keeps dedup_against_index).
+        "microdata_extract": q_microdata_extract,
+        "section_chunks": q_section_chunks,
+        "corpus_mixture": q_corpus_mixture,
         # ---- position 51+: covered by the full-registry parity
         #      replica (tests/test_oracle_parity.py).  First: the
         #      encode-stats twins of in-window trainers, table_linearize
@@ -3628,6 +3744,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      then the 17 standard TPC-H variants (lowest novelty;
         #      5 distinct TPC-H shapes were driver-green r1-r4) and
         #      images_to_pdf_stats (r4-green, code untouched). ----
+        "bpe_encode_stats": q_bpe_encode_stats,
+        "substring_dedup": q_substring_dedup,
+        "dedup_recall_lsh": q_dedup_recall_lsh,
+        "temperature_sample": q_temperature_sample,
         "wordpiece_encode_stats": q_wordpiece_encode_stats,
         "unigram_encode_stats": q_unigram_encode_stats,
         "table_linearize": q_table_linearize,
@@ -6407,6 +6527,128 @@ def oracle_sql() -> dict[str, str]:
                    CAST(item_idx AS INTEGER) AS item_idx,
                    item_type, name, date_published, item_url, err
             FROM items""",
+        # microdata_extract: every row closed-form from the doc_id
+        # arithmetic (the jsonld pattern); the template ghost item and
+        # the m=2 stray/property-less pages contribute nothing.
+        "microdata_extract": """
+            WITH base AS (
+              SELECT doc_id, doc_id % 3 AS m,
+                     'https://md/' || CAST(doc_id AS VARCHAR) AS url,
+                     CAST(doc_id AS VARCHAR) AS n,
+                     lpad(CAST(2 + doc_id % 27 AS VARCHAR), 2, '0') AS dd,
+                     CAST(doc_id % 37 AS VARCHAR) AS k
+              FROM documents),
+            rows AS (
+              SELECT url, 0 AS item_idx,
+                     'https://schema.org/Article' AS item_type,
+                     'name' AS prop, 0 AS prop_seq,
+                     'Story ' || n AS value, 'text' AS vsource,
+                     CAST(NULL AS INTEGER) AS child_idx
+              FROM base WHERE m = 0
+              UNION ALL SELECT url, 0, 'https://schema.org/Article',
+                     'headline', 1, 'Story ' || n, 'text', NULL
+              FROM base WHERE m = 0
+              UNION ALL SELECT url, 0, 'https://schema.org/Article',
+                     'datePublished', 2, '2026-01-' || dd, 'attr', NULL
+              FROM base WHERE m = 0
+              UNION ALL SELECT url, 0, 'https://schema.org/Article',
+                     'url', 3, 'https://x/' || n, 'attr', NULL
+              FROM base WHERE m = 0
+              UNION ALL SELECT url, 0, 'https://schema.org/Article',
+                     'author', 4, CAST(NULL AS VARCHAR), 'item', 1
+              FROM base WHERE m = 0
+              UNION ALL SELECT url, 1, 'https://schema.org/Person',
+                     'name', 0, 'Writer ' || k, 'text', NULL
+              FROM base WHERE m = 0
+              UNION ALL SELECT url, 0, 'https://schema.org/Product',
+                     'name', 0, 'Item ' || n, 'text', NULL
+              FROM base WHERE m = 1
+              UNION ALL SELECT url, 0, 'https://schema.org/Product',
+                     'image', 1, 'https://i/' || n || '.png', 'attr', NULL
+              FROM base WHERE m = 1
+              UNION ALL SELECT url, 0, 'https://schema.org/Product',
+                     'released', 2, 'May ' || k, 'text', NULL
+              FROM base WHERE m = 1)
+            SELECT url, CAST(item_idx AS INTEGER) AS item_idx, item_type,
+                   prop, CAST(prop_seq AS INTEGER) AS prop_seq, value,
+                   vsource, child_idx
+            FROM rows""",
+        # section_chunks: the bodies are single-space token-slice joins,
+        # so the kernel's whitespace collapse is the identity on them by
+        # construction and the oracle restates the slices directly.
+        "section_chunks": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> x <> '') AS toks
+              FROM documents WHERE text IS NOT NULL),
+            b AS (
+              SELECT 'https://s/' || CAST(doc_id AS VARCHAR) AS url,
+                     CAST(doc_id AS VARCHAR) AS n,
+                     CAST(doc_id % 37 AS VARCHAR) AS k,
+                     array_to_string(toks[1:3], ' ') AS pre,
+                     array_to_string(toks[4:7], ' ') AS b1,
+                     array_to_string(toks[8:11], ' ') AS b2,
+                     CASE WHEN doc_id % 2 = 0 THEN ''
+                          ELSE toks[12] END AS tail
+              FROM t WHERE len(toks) >= 12),
+            rows AS (
+              SELECT url, 0 AS sec_idx, 0 AS level,
+                     CAST(NULL AS VARCHAR) AS heading, '' AS path,
+                     pre AS text FROM b
+              UNION ALL SELECT url, 1, 1, 'Part ' || n, 'Part ' || n, b1
+              FROM b
+              UNION ALL SELECT url, 2, 2, 'Sub ' || k,
+                     'Part ' || n || ' > Sub ' || k, b2 FROM b
+              UNION ALL SELECT url, 3, 1, 'Next ' || n, 'Next ' || n, tail
+              FROM b)
+            SELECT url, CAST(sec_idx AS INTEGER) AS sec_idx,
+                   CAST(level AS INTEGER) AS level, heading, path, text,
+                   CAST(length(text) AS INTEGER) AS n_chars
+            FROM rows""",
+        # corpus_mixture / temperature_sample: sqrt-temperature mixing —
+        # all-integer plan arithmetic (isqrt weights via IEEE
+        # correctly-rounded SQRT, `//` floor division) and the shared
+        # md5-bucket sampling contract.
+        "corpus_mixture": """
+            WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents
+                       GROUP BY source),
+            w AS (SELECT source, n_docs,
+                         CAST(FLOOR(SQRT(n_docs)) AS BIGINT) AS weight
+                  FROM c),
+            t AS (SELECT SUM(n_docs) AS tn, SUM(weight) AS tw FROM w),
+            p AS (SELECT source, n_docs, weight,
+                         (tn * 2500 // 10000) * weight // tw AS alloc
+                  FROM w, t),
+            r AS (SELECT source, n_docs, weight, alloc,
+                         LEAST(10000, 10000 * alloc // n_docs) AS rate_bp
+                  FROM p),
+            s AS (SELECT d.source, COUNT(*) AS n_sampled
+                  FROM documents d JOIN r USING (source)
+                  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                             1, 4) AS INTEGER) % 10000 < r.rate_bp
+                  GROUP BY d.source)
+            SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+                   CAST(r.weight AS BIGINT) AS weight,
+                   CAST(r.alloc AS BIGINT) AS alloc,
+                   CAST(r.rate_bp AS BIGINT) AS rate_bp,
+                   CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
+            FROM r LEFT JOIN s USING (source)""",
+        "temperature_sample": """
+            WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents
+                       GROUP BY source),
+            w AS (SELECT source, n_docs,
+                         CAST(FLOOR(SQRT(n_docs)) AS BIGINT) AS weight
+                  FROM c),
+            t AS (SELECT SUM(n_docs) AS tn, SUM(weight) AS tw FROM w),
+            r AS (SELECT source,
+                         LEAST(10000,
+                               10000 * ((tn * 2500 // 10000) * weight // tw)
+                               // n_docs) AS rate_bp
+                  FROM w, t)
+            SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+            WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                       AS INTEGER) % 10000 < r.rate_bp""",
         "html_metadata": """
             SELECT 'https://m/' || CAST(doc_id AS VARCHAR) AS url,
                    CASE WHEN doc_id % 2 = 0

@@ -42,4 +42,8 @@ def test_flagship_pins_lead_the_window():
 
 def test_new_family_reps_are_in_window():
     q = list(em.queries())
-    assert {"sentence_spans", "jsonld_extract"} <= set(q[:50])
+    assert {"sentence_spans", "jsonld_extract", "microdata_extract",
+            "section_chunks", "corpus_mixture"} <= set(q[:50])
+    # their displaced second representatives stay registered + oracled
+    assert {"bpe_encode_stats", "substring_dedup", "dedup_recall_lsh",
+            "temperature_sample"} <= set(q[50:])
