@@ -26,11 +26,27 @@ from image_pdf_ocr_suite_spark.kernels.markdown import (  # noqa: E402
     markdown_from_docs)
 from image_pdf_ocr_suite_spark.session import build_session  # noqa: E402
 
+def _microdata_op(docs):
+    # one spelling with the driver query: Catalyst-side synthesis (a
+    # JVM projection, not a second Python stage) feeding the kernel
+    import __spark_entry__ as entrymod
+    from image_pdf_ocr_suite_spark.kernels.microdata import (
+        extract_microdata)
+    return extract_microdata(entrymod._synth_microdata_pages(docs))
+
+
+def _sections_op(docs):
+    import __spark_entry__ as entrymod
+    from image_pdf_ocr_suite_spark.analytics.sections import section_chunks
+    return section_chunks(entrymod._synth_section_pages(docs))
+
+
 OPS = {"tables": table_rows_from_docs, "markdown": markdown_from_docs,
        "sentences": sentence_spans,
        # the scale form: offsets only, no corpus copy across Arrow
        "sentences_meta": lambda df: sentence_spans(df,
-                                                   include_text=False)}
+                                                   include_text=False),
+       "microdata": _microdata_op, "sections": _sections_op}
 
 
 def main(cpus: int, docs_path: str, op: str = "tables") -> None:
