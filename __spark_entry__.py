@@ -1996,19 +1996,10 @@ def q_jsonld_extract(spark, sf_dir):
     return jsonld_mod.extract_jsonld(pages)
 
 
-def q_microdata_extract(spark, sf_dir):
-    """HTML5 microdata extraction (kernels/microdata.py): doc_id%3==0
-    pages carry an Article with a multi-token itemprop heading, attr-
-    valued meta/a properties, and a NESTED Person item (item-valued
-    property row + the child's own rows), plus a <template>-wrapped
-    ghost item that must NOT surface or consume an item_idx; %3==1 a
-    Product with img-src and a <time> falling back to text (no
-    datetime attr); %3==2 a stray itemprop outside any item plus a
-    property-less item — zero rows.  Map-only kernel, no shuffle; the
-    oracle states every field closed-form from the doc_id arithmetic."""
-    from image_pdf_ocr_suite_spark.kernels import microdata as md_mod
-
-    d = _t(spark, sf_dir, "documents")
+def _synth_microdata_pages(d):
+    """Deterministic microdata pages from a ``(doc_id, ...)`` frame —
+    shared by q_microdata_extract and the scaling harness (one
+    spelling)."""
     n = F.col("doc_id").cast("string")
     m = F.col("doc_id") % 3
     dd = F.lpad((F.col("doc_id") % 27 + 2).cast("string"), 2, "0")
@@ -2036,22 +2027,29 @@ def q_microdata_extract(spark, sf_dir):
     html = F.concat(F.lit("<html><body>"),
                     F.when(m == 0, art).when(m == 1, prod).otherwise(stray),
                     F.lit("</body></html>"))
-    pages = d.select(F.concat(F.lit("https://md/"), n).alias("url"),
-                     F.encode(html, "UTF-8").alias("html"))
-    return md_mod.extract_microdata(pages)
+    return d.select(F.concat(F.lit("https://md/"), n).alias("url"),
+                    F.encode(html, "UTF-8").alias("html"))
 
 
-def q_section_chunks(spark, sf_dir):
-    """Heading-path section chunking (analytics/sections.py): pages
-    synthesized with a token-slice preamble, an h1/h2 outline, a
-    sibling h1 replacing the first, and an empty-body final section on
-    even doc_ids.  Map-only kernel, no shuffle; the oracle restates
-    the slices and breadcrumb paths closed-form (the bodies are
-    single-space token joins, so the kernel's whitespace collapse is
-    the identity on them by construction)."""
-    from image_pdf_ocr_suite_spark.analytics import sections as sec_mod
+def q_microdata_extract(spark, sf_dir):
+    """HTML5 microdata extraction (kernels/microdata.py): doc_id%3==0
+    pages carry an Article with a multi-token itemprop heading, attr-
+    valued meta/a properties, and a NESTED Person item (item-valued
+    property row + the child's own rows), plus a <template>-wrapped
+    ghost item that must NOT surface or consume an item_idx; %3==1 a
+    Product with img-src and a <time> falling back to text (no
+    datetime attr); %3==2 a stray itemprop outside any item plus a
+    property-less item — zero rows.  Map-only kernel, no shuffle; the
+    oracle states every field closed-form from the doc_id arithmetic."""
+    from image_pdf_ocr_suite_spark.kernels import microdata as md_mod
 
     d = _t(spark, sf_dir, "documents")
+    return md_mod.extract_microdata(_synth_microdata_pages(d))
+
+
+def _synth_section_pages(d):
+    """Deterministic sectioned pages from a ``(doc_id, text)`` frame —
+    shared by q_section_chunks and the scaling harness."""
     toks = textops.token_array_expr("text")
     base = (d.where(F.col("text").isNotNull())
              .select("doc_id", toks.alias("__toks"))
@@ -2069,9 +2067,22 @@ def q_section_chunks(spark, sf_dir):
         F.lit("<h2>Sub "), k, F.lit("</h2>"), b2,
         F.lit("<h1>Next "), n, F.lit("</h1>"), tail,
         F.lit("</body></html>"))
-    pages = base.select(F.concat(F.lit("https://s/"), n).alias("url"),
-                        F.encode(html, "UTF-8").alias("html"))
-    return sec_mod.section_chunks(pages)
+    return base.select(F.concat(F.lit("https://s/"), n).alias("url"),
+                       F.encode(html, "UTF-8").alias("html"))
+
+
+def q_section_chunks(spark, sf_dir):
+    """Heading-path section chunking (analytics/sections.py): pages
+    synthesized with a token-slice preamble, an h1/h2 outline, a
+    sibling h1 replacing the first, and an empty-body final section on
+    even doc_ids.  Map-only kernel, no shuffle; the oracle restates
+    the slices and breadcrumb paths closed-form (the bodies are
+    single-space token joins, so the kernel's whitespace collapse is
+    the identity on them by construction)."""
+    from image_pdf_ocr_suite_spark.analytics import sections as sec_mod
+
+    d = _t(spark, sf_dir, "documents")
+    return sec_mod.section_chunks(_synth_section_pages(d))
 
 
 def q_corpus_mixture(spark, sf_dir):
