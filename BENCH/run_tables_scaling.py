@@ -37,7 +37,15 @@ def _materialize_docs(sf_dir: str, replicate: int) -> str:
     from image_pdf_ocr_suite_spark.session import build_session
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = f"/tmp/tables_docs_{tag}_x{replicate}"
+    # microdata/sections parse PAGES (url, html): materialize the
+    # deterministic page synthesis too, so the timed job is the
+    # production shape (parquet scan -> parse kernel) — timing the
+    # JVM string-concat synthesis measured the generator, not the
+    # operator, and anti-scaled (GC-bound) in the shared local JVM
+    # (BENCH/BASELINE.md 2026-08-20 01:30/01:41 FAIL entries).
+    pages_op = OP in ("microdata", "sections")
+    stem = f"{OP}_pages" if pages_op else "tables_docs"
+    path = f"/tmp/{stem}_{tag}_x{replicate}"
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path  # deterministic synthesis — safe to reuse
     spark = build_session(app="tables-scaling-prep", master="local[32]")
@@ -50,6 +58,11 @@ def _materialize_docs(sf_dir: str, replicate: int) -> str:
     docs = base.crossJoin(rep).select(
         (F.col("doc_id") + F.col("__r") * F.lit(n)).alias("doc_id"),
         "text")
+    if pages_op:
+        import __spark_entry__ as entrymod
+        synth = (entrymod._synth_microdata_pages if OP == "microdata"
+                 else entrymod._synth_section_pages)
+        docs = synth(docs)
     docs.repartition(64).write.mode("overwrite").parquet(path)
     spark.stop()
     return path
