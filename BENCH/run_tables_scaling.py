@@ -82,7 +82,11 @@ def _run_once(cpus: int, docs_path: str) -> dict:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
         os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    docs_path = _materialize_docs(sf_dir, REPLICATE)
+    # SCALING_DOCS_PATH reuses an existing materialized corpus — e.g.
+    # the scanfloor adjudication op runs over the SAME pages parquet
+    # as the kernel it baselines
+    docs_path = os.environ.get("SCALING_DOCS_PATH") \
+        or _materialize_docs(sf_dir, REPLICATE)
     pairs = []
     for _ in range(RUNS):
         r_n = _run_once(N_CPUS, docs_path)
@@ -109,11 +113,11 @@ def main() -> None:
 
 ## {OP} kernel scaling run {result['measured_at']}
 
-fused synth+parse map-only Arrow kernel {OP}
-(htmltables.table_rows_from_docs / markdown.markdown_from_docs, no
-shuffle) over {best['n']['n_docs']} documents
-({REPLICATE}x {sf_dir}, pre-synthesized parquet), fixed 64-way task
-graph, {RUNS} interleaved pairs, slots <= cores/2 at both levels.
+map-only Arrow kernel {OP} (scan -> kernel, no exchange; task graph
+pinned to one scan partition per input file) over
+{best['n']['n_docs']} documents (pre-materialized parquet,
+{REPLICATE}x {sf_dir}), {RUNS} interleaved pairs, slots <= cores/2 at
+both levels.
 
 | level | cores | wall sec | docs/sec |
 |---|---|---|---|

@@ -41,12 +41,34 @@ def _sections_op(pages):
     return section_chunks(pages)
 
 
+def _scanfloor_op(pages):
+    # the irreducible floor under every pages-parse kernel: the same
+    # column-pruned scan + Arrow boundary crossing, with a near-zero
+    # Python body (byte length per row).  Adjudication baseline for
+    # light kernels whose wall approaches this floor — the floor is
+    # host-memory-bandwidth-bound and anti-scales in the shared local
+    # JVM exactly like orderBy (CLAUDE.md round-5j rule).
+    import pandas as pd
+
+    cols = pages.columns
+
+    def gen(batches):
+        for pdf in batches:
+            body = pdf[cols[-1]]
+            yield pd.DataFrame({
+                "url": pdf[cols[0]].astype(str),
+                "n_bytes": body.map(lambda b: len(b) if b is not None
+                                    else -1).astype("int64")})
+    return pages.mapInPandas(gen, schema="url string, n_bytes long")
+
+
 OPS = {"tables": table_rows_from_docs, "markdown": markdown_from_docs,
        "sentences": sentence_spans,
        # the scale form: offsets only, no corpus copy across Arrow
        "sentences_meta": lambda df: sentence_spans(df,
                                                    include_text=False),
-       "microdata": _microdata_op, "sections": _sections_op}
+       "microdata": _microdata_op, "sections": _sections_op,
+       "scanfloor": _scanfloor_op}
 
 
 def main(cpus: int, docs_path: str, op: str = "tables") -> None:
@@ -54,7 +76,17 @@ def main(cpus: int, docs_path: str, op: str = "tables") -> None:
     spark = build_session(app=f"{op}-scaling-{cpus}",
                           master=f"local[{cpus}]", shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(docs_path).repartition(64)
+    # one scan partition per input file (the materializer wrote 64):
+    # openCost == maxPartitionBytes means the packer can never fit two
+    # files in one partition, so the task graph is pinned WITHOUT a
+    # corpus-sized repartition shuffle inside the timed window — the
+    # production plan is scan -> kernel, no Exchange, and a body
+    # shuffle is itself an anti-scaling memory-bandwidth stage that
+    # drowned the light kernels' compute signal (sections 0.667 at
+    # 800x with the old in-window repartition(64)).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(64 << 20))
+    docs = spark.read.parquet(docs_path)
     n_docs = docs.count()
 
     warm = kernel(docs.sample(0.05, seed=1).repartition(cpus * 2))

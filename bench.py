@@ -344,6 +344,36 @@ def main() -> None:
     queries["compression_ratio"] = time_query(
         lambda: _force(cp_mod.compression_ratio(docs)), "compression_ratio")
 
+    # round-5m legs: sentence segmentation with char spans (map-only
+    # Arrow kernel, no shuffle), JSON-LD structured-data extraction
+    # (map-only kernel with the quarantine err-row contract), and
+    # per-site template removal (scoped frequent-line filter — digest
+    # hash exchange + anti join, bodies shuffle once at reassembly)
+    queries["sentence_spans"] = time_query(
+        lambda: _force(entrymod.q_sentence_spans(spark, SF_DIR)),
+        "sentence_spans")
+    queries["jsonld_extract"] = time_query(
+        lambda: _force(entrymod.q_jsonld_extract(spark, SF_DIR)),
+        "jsonld_extract")
+    queries["site_template_filter"] = time_query(
+        lambda: _force(entrymod.q_site_template_filter(spark, SF_DIR)),
+        "site_template_filter")
+
+    # round-5n legs: HTML5 microdata extraction and heading-path
+    # section chunking (both map-only fused synth+parse kernels, no
+    # shuffle), plus the temperature-mixing realized sample (one
+    # short-key aggregate + an explicit-broadcast rate probe —
+    # documents never ride an exchange)
+    queries["microdata_extract"] = time_query(
+        lambda: _force(entrymod.q_microdata_extract(spark, SF_DIR)),
+        "microdata_extract")
+    queries["section_chunks"] = time_query(
+        lambda: _force(entrymod.q_section_chunks(spark, SF_DIR)),
+        "section_chunks")
+    queries["temperature_sample"] = time_query(
+        lambda: _force(entrymod.q_temperature_sample(spark, SF_DIR)),
+        "temperature_sample")
+
     # round-5h leg: perceptual image dedup — dHash Arrow kernel over the
     # repo's own PGM/PPM decoders + pigeonhole 16-bit-band LSH pairs
     # with exact bit_count verify.  4096 images (the first 16 multiplier
