@@ -1,0 +1,122 @@
+"""N vs 4N scaling evidence for the COMPOSED crawl-to-shards pipeline
+job (jobs/pipeline_job.py) — the north-star artifact: one resumable CLI
+running extraction -> quality floor -> lang allowlist -> exact dedup ->
+verified near-dup removal -> temperature mixture -> packed shards, with
+per-stage SnapshotTable commits inside the timed wall.
+
+Methodology is run_scaling.py's verbatim (CLAUDE.md measurement rules):
+PAIRED legs inside one noise window (fresh JVM each), slots <= cores/2
+at both levels, median of per-pair ratios, corpus sized to amortize the
+~4-5 s per-job fixed costs.  The input is the NATIVE sf0.1 image-PDF
+pages table (the headline extraction corpus, ~50k pages) — the OCR
+kernel dominates the wall exactly as payload decode dominates a real
+100-TB run, and exact dedup runs BEFORE near-dup so the templated
+synthetic texts collapse on a digest-only shuffle instead of flooding
+the LSH buckets.  S1 (WARC ingest) has its own paired evidence at
+2.56M pages (run_ingest_scale.py); this job starts from the committed
+pages table, which is how the production composition would stage it.
+
+Usage: SCALING_N=4 python BENCH/run_pipeline_scaling.py [sf_dir]
+Appends a dated section to BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_CPUS = int(os.environ.get("SCALING_N", "4"))
+N4_CPUS = 4 * N_CPUS
+RUNS = int(os.environ.get("SCALING_RUNS", "2"))
+
+
+def _materialize_pages(sf_dir: str) -> tuple[str, str]:
+    """Write the pages table (and a ~2% warm slice) once; the timed job
+    reads parquet so the measurement excludes synthesis."""
+    from image_pdf_ocr_suite_spark.fixtures import build_pages_df
+    from image_pdf_ocr_suite_spark.session import build_session
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/pipe_pages_{tag}"
+    warm = f"/tmp/pipe_pages_{tag}_warm"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")) or \
+            not os.path.exists(os.path.join(warm, "_SUCCESS")):
+        spark = build_session(app="pipeline-scaling-prep",
+                              master="local[32]")
+        spark.sparkContext.setLogLevel("ERROR")
+        pages = build_pages_df(spark, sf_dir)
+        pages.repartition(64).write.mode("overwrite").parquet(path)
+        spark.read.parquet(path).where("crc32(url) % 50 = 0") \
+            .repartition(4).write.mode("overwrite").parquet(warm)
+        spark.stop()
+    return path, warm
+
+
+def _run_once(cpus: int, pages_path: str, warm_path: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "BENCH", "pipeline_once.py"),
+         str(cpus), pages_path, warm_path],
+        capture_output=True, text=True, cwd=REPO, timeout=3600)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    pages_path, warm_path = _materialize_pages(sf_dir)
+    pairs = []
+    for _ in range(RUNS):
+        r_n = _run_once(N_CPUS, pages_path, warm_path)
+        r_4n = _run_once(N4_CPUS, pages_path, warm_path)
+        pairs.append({
+            "n": r_n, "n4": r_4n,
+            "eff": round(r_4n["docs_per_sec"]
+                         / (4.0 * r_n["docs_per_sec"]), 3)})
+    effs = sorted(p["eff"] for p in pairs)
+    eff = effs[len(effs) // 2]
+    best = max(pairs, key=lambda p: p["n"]["docs_per_sec"])
+    result = {
+        "metric": "pipeline_job_scaling_efficiency_N_to_4N", "value": eff,
+        "unit": "ratio", "pair_efficiencies": effs,
+        "n": best["n"], "n4": best["n4"], "sf_dir": sf_dir,
+        "pass_0_8_gate": eff >= 0.8,
+        "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    print(json.dumps(result), flush=True)
+
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(md, "a") as f:
+        f.write(f"""
+
+## Composed pipeline-job scaling run {result['measured_at']}
+
+jobs/pipeline_job.py in --pages-table mode (extraction -> quality floor
+-> lang allowlist -> exact dedup -> verified near-dup -> mixture report
+-> packed shards, every stage's SnapshotTable commit inside the wall)
+over the native {sf_dir} image-PDF pages table
+({best['n']['n_pages']} pages, pre-materialized parquet), fixed 64-way
+shuffle graph (the OCR kernel's explicit repartition scales with the
+level — defaultParallelism x 4 — exactly as a real 4x cluster would
+size it), {RUNS} interleaved pairs, slots <= cores/2 at both levels.
+
+| level | cores | wall sec | docs/sec |
+|---|---|---|---|
+| N | {best['n']['cpus']} | {best['n']['sec']} | {best['n']['docs_per_sec']} |
+| 4N | {best['n4']['cpus']} | {best['n4']['sec']} | {best['n4']['docs_per_sec']} |
+
+**Scaling efficiency** = throughput(4N) / (4 x throughput(N)):
+**{eff}** (pairs: {effs}; gate >= 0.8 -> {'PASS' if eff >= 0.8 else 'FAIL'})
+""")
+
+
+if __name__ == "__main__":
+    main()
