@@ -7,12 +7,13 @@ per-stage SnapshotTable commits inside the timed wall.
 Methodology is run_scaling.py's verbatim (CLAUDE.md measurement rules):
 PAIRED legs inside one noise window (fresh JVM each), slots <= cores/2
 at both levels, median of per-pair ratios, corpus sized to amortize the
-~4-5 s per-job fixed costs.  The input is the NATIVE sf0.1 image-PDF
-pages table (the headline extraction corpus, ~50k pages) — the OCR
-kernel dominates the wall exactly as payload decode dominates a real
-100-TB run, and exact dedup runs BEFORE near-dup so the templated
-synthetic texts collapse on a digest-only shuffle instead of flooding
-the LSH buckets.  S1 (WARC ingest) has its own paired evidence at
+~4-5 s per-job fixed costs.  The input is the sf0.1 image-PDF pages
+table (the headline extraction corpus) replicated PIPELINE_REPLICATE x
+with distinct urls — the OCR kernel dominates the wall exactly as
+payload decode dominates a real 100-TB run, and exact dedup runs
+BEFORE near-dup so the duplicated texts collapse on a digest-only
+shuffle instead of flooding the LSH buckets.  S1 (WARC ingest) has
+its own paired evidence at
 2.56M pages (run_ingest_scale.py); this job starts from the committed
 pages table, which is how the production composition would stage it.
 
@@ -34,16 +35,29 @@ sys.path.insert(0, REPO)
 N_CPUS = int(os.environ.get("SCALING_N", "4"))
 N4_CPUS = 4 * N_CPUS
 RUNS = int(os.environ.get("SCALING_RUNS", "2"))
+# The composed job carries ~18 s of level-independent serial work
+# (per-stage snapshot commits, plan compilation, the tiny mixture/
+# manifest stages) — measured by fitting T = S + P/c on the native
+# 5000-page corpus (84.3 s @ 4c, 34.6 s @ 16c).  A scaling measurement
+# must amortize it the way real volume does (CLAUDE.md rule), so the
+# input is replicated with DISTINCT urls; the texts stay identical,
+# which is SAFE because exact dedup (digest-only shuffle) collapses
+# replicas BEFORE the LSH near-dup stage sees them — no quadratic
+# candidate blowup, and heavy exact duplication is exactly what a real
+# crawl hands this job.
+REPLICATE = int(os.environ.get("PIPELINE_REPLICATE", "10"))
 
 
 def _materialize_pages(sf_dir: str) -> tuple[str, str]:
     """Write the pages table (and a ~2% warm slice) once; the timed job
     reads parquet so the measurement excludes synthesis."""
+    from pyspark.sql import functions as F
+
     from image_pdf_ocr_suite_spark.fixtures import build_pages_df
     from image_pdf_ocr_suite_spark.session import build_session
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = f"/tmp/pipe_pages_{tag}"
+    path = f"/tmp/pipe_pages_{tag}_x{REPLICATE}"
     warm = f"/tmp/pipe_pages_{tag}_warm"
     if not os.path.exists(os.path.join(path, "_SUCCESS")) or \
             not os.path.exists(os.path.join(warm, "_SUCCESS")):
@@ -51,9 +65,15 @@ def _materialize_pages(sf_dir: str) -> tuple[str, str]:
                               master="local[32]")
         spark.sparkContext.setLogLevel("ERROR")
         pages = build_pages_df(spark, sf_dir)
+        if REPLICATE > 1:
+            rep = spark.range(REPLICATE).select(F.col("id").alias("__r"))
+            pages = pages.crossJoin(rep).withColumn(
+                "url", F.when(F.col("__r") == 0, F.col("url")).otherwise(
+                    F.concat("url", F.lit("#r"), "__r"))).drop("__r")
         pages.repartition(64).write.mode("overwrite").parquet(path)
         spark.read.parquet(path).where("crc32(url) % 50 = 0") \
-            .repartition(4).write.mode("overwrite").parquet(warm)
+            .limit(2000).repartition(4) \
+            .write.mode("overwrite").parquet(warm)
         spark.stop()
     return path, warm
 
@@ -102,8 +122,10 @@ def main() -> None:
 jobs/pipeline_job.py in --pages-table mode (extraction -> quality floor
 -> lang allowlist -> exact dedup -> verified near-dup -> mixture report
 -> packed shards, every stage's SnapshotTable commit inside the wall)
-over the native {sf_dir} image-PDF pages table
-({best['n']['n_pages']} pages, pre-materialized parquet), fixed 64-way
+over the {sf_dir} image-PDF pages table replicated {REPLICATE}x with
+distinct urls ({best['n']['n_pages']} pages, pre-materialized parquet;
+identical replica texts collapse at the digest-only exact-dedup stage
+BEFORE near-dup, so LSH buckets never grow), fixed 64-way
 shuffle graph (the OCR kernel's explicit repartition scales with the
 level — defaultParallelism x 4 — exactly as a real 4x cluster would
 size it), {RUNS} interleaved pairs, slots <= cores/2 at both levels.

@@ -24,6 +24,7 @@ Scale notes (100 TB design point):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -290,9 +291,25 @@ def jaccard_verify_pairs(pairs: DataFrame, df: DataFrame, text_col: str = "text"
     given candidate pairs (two id-equi joins back to the token sets; never a
     cross join).  The verification stage LSH candidates must pass before a
     document may be dropped: with few bands, bucket collisions between
-    genuinely different documents are routine."""
-    toks = df.select(F.col(id_col),
-                     F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"))
+    genuinely different documents are routine.
+
+    Scale shape: the corpus is first semi-joined down to the ids that
+    appear in ``pairs`` with an explicit broadcast — without that, the
+    two id-equi joins below shuffle EVERY document's token array across
+    the cluster to meet a candidate set LSH banding has already made
+    small.  The broadcast side is at most 2·|pairs| ids (the
+    bounded-verifier contract: callers hand this function LSH/band
+    candidates, never all-pairs), and ``pairs`` is persisted here
+    because it is consumed twice (the id projection and the verify
+    join) — recomputing it would run the signature kernel twice."""
+    from pyspark import StorageLevel
+    pairs = pairs.select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
+    cand_ids = (pairs.select(F.col("id_a").alias(id_col))
+                .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    toks = (df.join(F.broadcast(cand_ids), id_col, "left_semi")
+            .select(F.col(id_col),
+                    F.array_distinct(F.split(F.col(text_col), " ")).alias("toks")))
     toks = toks.select(id_col, "toks", F.size("toks").alias("n"))
     a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"),
                     F.col("n").alias("n_a"))
@@ -447,6 +464,66 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
         f"star rounds still changing after {max_iters} iterations")
 
 
+def connected_components_auto(pairs: DataFrame, id_a: str = "id_a",
+                              id_b: str = "id_b",
+                              driver_max_edges: int = 2_000_000,
+                              max_iters: int = 30) -> DataFrame:
+    """(id, comp) — same contract as :func:`connected_components_star`,
+    with a bounded DRIVER fast path: when the distinct edge set fits
+    ``driver_max_edges`` it is collected once and resolved with
+    path-compressed union-find, because each distributed star round
+    costs ~6 Spark actions of pure scheduler latency (3 localCheckpoint
+    materializations + 3 counts) — measured ~13 s on a 104-edge
+    verified near-dup graph where the union-find answer is
+    sub-millisecond.  Past the bound (a dup-heavy 100-TB crawl's
+    verified edge set) it falls back to the star rounds, whose shuffles
+    shrink monotonically.  The collect is bounded and counted BEFORE it
+    happens — the same budget discipline as the exact-dedup broadcast
+    (jobs/corpus_job.py) and the IVF training sample (similarity.py)."""
+    from pyspark import StorageLevel
+    # self-pairs are kept as degenerate edges: they carry isolated ids,
+    # which must appear in the output as their own component (the star
+    # contract resolves them through its ids ∪ left-join spelling)
+    edges = (pairs.select(F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+                          F.least(F.col(id_a), F.col(id_b)).alias("v"))
+             .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    n_edges = edges.count()
+    if n_edges > driver_max_edges:
+        return connected_components_star(edges, "u", "v",
+                                         max_iters=max_iters)
+    spark = pairs.sparkSession
+    id_type = pairs.schema[id_a].dataType
+    out_schema = StructType([StructField("id", id_type, True),
+                             StructField("comp", id_type, True)])
+    if n_edges == 0:
+        return spark.createDataFrame([], out_schema)
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:                 # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edges.collect():
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    rows = [(node, comp_min[find(node)]) for node in parent]
+    edges.unpersist()
+    return spark.createDataFrame(rows, out_schema)
+
+
 def verified_near_dup_losers(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id", threshold: float = 0.5,
                              n_hashes: int = 4, shingle_k: int = 3,
@@ -462,7 +539,7 @@ def verified_near_dup_losers(df: DataFrame, text_col: str = "text",
                                sig=sig)
     verified = jaccard_verify_pairs(cand, df, text_col, id_col) \
         .where(F.col("jaccard") >= F.lit(threshold))
-    comp = connected_components_star(verified, max_iters=max_iters)
+    comp = connected_components_auto(verified, max_iters=max_iters)
     return comp.where(F.col("id") != F.col("comp")) \
                .select(F.col("id").alias(id_col))
 

@@ -44,6 +44,7 @@ def clean_corpus(pages: DataFrame, cfg: ExtractConfig | None = None,
                  decontam_n: int = 13,
                  redact_pii: bool = False,
                  max_rare_ratio: float | None = None,
+                 broadcast_max_ids: int = 2_000_000,
                  run_id: str | None = None) -> tuple[DataFrame, DataFrame]:
     """pages -> (clean_docs, rejects).  clean_docs: (url, text, script_lang,
     n_tokens); rejects: (url, reason).
@@ -56,7 +57,12 @@ def clean_corpus(pages: DataFrame, cfg: ExtractConfig | None = None,
     3, common vocab broadcast) exceeds it are rejected as hash-soup /
     mojibake.  ``redact_pii=True`` rewrites the
     final text through the email/IP/phone redactor — last, so dedup
-    digests are computed on the original bytes."""
+    digests are computed on the original bytes.
+
+    ``broadcast_max_ids``: dedup-loser id sets at or under this size are
+    removed with an explicit broadcast anti-join so the document bodies
+    never shuffle (the composed job's measured anti-scaling component);
+    above it the removal falls back to a url-shuffle anti-join."""
     cfg = cfg or ExtractConfig()
     run_id = run_id or uuid.uuid4().hex[:12]
     res = extract_pages(pages, cfg, run_id=run_id)
@@ -66,25 +72,72 @@ def clean_corpus(pages: DataFrame, cfg: ExtractConfig | None = None,
     # tiny next to the payloads — in production, extract_job.py writes it
     # to its own table first and this job reads that table instead.
     from pyspark import StorageLevel
+    from pyspark.sql import Window
     docs = res.text.select("url", F.col("extracted_text").alias("text")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    feats = textops.lang_id_script(docs, "text", "url") \
-        .join(textops.token_counts(docs, "text", "url"), "url")
-    enriched = docs.join(feats, "url")
+    # lang-ID and token count are per-row functions of the text — fused
+    # as map-side columns.  The earlier spelling built two (url, feature)
+    # relations with textops.lang_id_script/token_counts and joined them
+    # back, which shuffled every document body by url for features the
+    # row already had in hand; measured as the composed job's
+    # anti-scaling component (round-5 ingest lesson: body-carrying
+    # shuffles), and on a real cluster it is the network bill.
+    enriched = docs.select(
+        "url", "text",
+        textops.script_lang_udf()(F.col("text")).alias("script_lang"),
+        textops.token_count_expr("text").cast("bigint").alias("n_tokens"))
 
     quality_ok = enriched.where(F.col("n_tokens") >= min_tokens)
     lang_ok = quality_ok.where(F.col("script_lang").isin(*langs))
 
-    # exact dedup: lowest url per content digest
-    keeper = dedup.exact_dedup(lang_ok, "text", "url").select("url")
-    exact_unique = lang_ok.join(keeper, "url")
+    # exact dedup: lowest url per content digest (dedup.exact_dedup's
+    # keeper contract), resolved over a (digest, url) ENVELOPE walk so
+    # the bodies never shuffle: the losers — every url that is not its
+    # digest group's min — are materialized once, and when they fit the
+    # broadcast budget the removal is an explicit broadcast anti-join
+    # (explicit F.broadcast: AQE would still materialize the stream
+    # side's shuffle write).  A dup-heavy crawl can exceed the budget;
+    # the fallback is the plain url anti-join.
+    dig_w = Window.partitionBy("content_md5")
+    env = (lang_ok
+           .select("url", F.md5("text").alias("content_md5"))
+           .withColumn("__keep", F.min("url").over(dig_w))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    losers_exact = env.where(F.col("url") != F.col("__keep")).select("url")
+    n_lose = losers_exact.count()          # materializes env
+    n_keep = env.count() - n_lose          # second pass over persisted env
+    # Broadcast whichever side is SMALLER: a dup-heavy crawl (or a
+    # replicated bench corpus) has few keepers and many losers — a
+    # keeper semi-join broadcast is then orders of magnitude cheaper
+    # than a loser anti-join broadcast (measured: 443k-id loser builds
+    # re-evaluated per consumer dominated the near-dup stage).
+    if n_keep <= n_lose and n_keep <= broadcast_max_ids:
+        keepers = env.where(F.col("url") == F.col("__keep")).select("url")
+        exact_unique = lang_ok.join(F.broadcast(keepers), "url", "left_semi")
+    elif n_lose <= broadcast_max_ids:
+        exact_unique = lang_ok.join(F.broadcast(losers_exact), "url",
+                                    "left_anti")
+    else:
+        exact_unique = lang_ok.join(losers_exact, "url", "left_anti")
+    # The deduped corpus is scanned three more times (the minhash
+    # signature kernel, the Jaccard verifier's candidate semi-join, and
+    # the clean write) — persist it so the dedup join evaluates once
+    # instead of once per consumer.
+    exact_unique = exact_unique.persist(StorageLevel.MEMORY_AND_DISK)
 
     # near-dup removal: LSH candidates are only CANDIDATES — verify with
     # exact pair Jaccard before dropping anything, then keep one
-    # representative (smallest url) per verified component
+    # representative (smallest url) per verified component.  The loser
+    # set is persisted (it feeds both the removal and the reject log)
+    # and broadcast the same way.
     losers = dedup.verified_near_dup_losers(
-        exact_unique, "text", "url", threshold=jaccard)
-    clean = exact_unique.join(losers, "url", "left_anti")
+        exact_unique, "text", "url", threshold=jaccard) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    if losers.count() <= broadcast_max_ids:
+        losers_rel = F.broadcast(losers)
+    else:
+        losers_rel = losers
+    clean = exact_unique.join(losers_rel, "url", "left_anti")
 
     rejects = (
         res.quarantine.select("url", F.col("kind").alias("reason"))
@@ -92,9 +145,11 @@ def clean_corpus(pages: DataFrame, cfg: ExtractConfig | None = None,
                      .select("url", F.lit("low_quality").alias("reason")))
         .unionByName(quality_ok.where(~F.col("script_lang").isin(*langs))
                      .select("url", F.lit("lang").alias("reason")))
-        .unionByName(lang_ok.join(keeper, "url", "left_anti")
+        # the loser sets ARE the reject rows (losers_exact ⊆ lang_ok and
+        # losers ⊆ exact_unique by construction) — no corpus re-join
+        .unionByName(losers_exact
                      .select("url", F.lit("exact_dup").alias("reason")))
-        .unionByName(exact_unique.join(losers, "url", "left_semi")
+        .unionByName(losers
                      .select("url", F.lit("near_dup").alias("reason")))
     )
 

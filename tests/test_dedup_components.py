@@ -183,3 +183,45 @@ def test_star_powerlaw_rounds_and_edge_collapse(spark):
                .distinct().count())
     n_comps = comps.select("comp").distinct().count()
     assert counts[-1] == n_nodes - n_comps
+
+
+def test_auto_equals_star_on_random_graphs(spark):
+    rng = np.random.RandomState(23)
+    for trial in range(3):
+        n = 60
+        edges = [(int(a), int(b))
+                 for a, b in rng.randint(0, n, size=(80, 2))]
+        ids = sorted({x for e in edges for x in e})
+        df = _pairs(spark, edges)
+        expected = _ref_components(edges, ids)
+        assert _labels(dedup.connected_components_auto(df)) == expected
+
+
+def test_auto_handles_self_loops_and_singletons(spark):
+    df = _pairs(spark, [(5, 5), (1, 2), (2, 1)])
+    assert _labels(dedup.connected_components_auto(df)) == \
+        [(1, 1), (2, 1), (5, 5)]
+    # empty edge set -> empty result with the (id, comp) schema
+    empty = dedup.connected_components_auto(_pairs(spark, []))
+    assert empty.columns == ["id", "comp"]
+    assert empty.count() == 0
+
+
+def test_auto_fallback_past_driver_budget(spark):
+    # driver_max_edges=0 forces the distributed star path; the answer
+    # must be identical to the fast path's
+    edges = [(1, 2), (2, 3), (7, 8), (9, 9)]
+    df = _pairs(spark, edges)
+    fast = _labels(dedup.connected_components_auto(df))
+    distributed = _labels(
+        dedup.connected_components_auto(df, driver_max_edges=0))
+    assert fast == distributed == \
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)]
+
+
+def test_auto_preserves_string_id_type(spark):
+    df = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("z", "z")], "id_a string, id_b string")
+    out = dedup.connected_components_auto(df)
+    assert dict(out.dtypes) == {"id": "string", "comp": "string"}
+    assert _labels(out) == [("a", "a"), ("b", "a"), ("c", "a"), ("z", "z")]
