@@ -3668,11 +3668,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     comment), and temperature_sample joined 51+ as the mixing family's
     second row."""
     return {
-        # -- pinned: golden-parquet flagships + binary-sink stats twins --
+        # -- pinned: golden-parquet flagships; round-5p swap:
+        #    corpus_clean_verified (the FULL dedup composition, whose
+        #    PLAN changed in the de-shuffle: fused features, envelope
+        #    exact dedup, candidate-restricted verify,
+        #    connected_components_auto) takes searchable_pdf_stats'
+        #    anchor slot this round — that query is pdfverify-pinned
+        #    locally and r4-driver-green, and moves below --
         "ocr_extract_text": q_ocr_extract_text,
         "ocr_spans": q_ocr_spans,
         "html_main_text": q_html_main_text,
-        "searchable_pdf_stats": q_searchable_pdf_stats,
+        "corpus_clean_verified": q_corpus_clean_verified,
         # -- never driver-checked: new in round 5 (final-window layout,
         #    see the docstring: every flagship FAMILY keeps at least one
         #    in-window representative) --
@@ -3813,8 +3819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reading_order": q_reading_order,
         "conf_avg_valid": q_conf_avg_valid,
         "lang_id_script": q_lang_id_script,
-        # -- r4-green rows kept in-window: code touched in round 5 or
-        #    load-bearing pipeline legs --
+        # -- r4-green rows (stale label: now parity-only positions) --
         "near_dup_components": q_near_dup_components,
         "bm25_scores": q_bm25_scores,
         "ann_lsh_topk_banded": q_ann_lsh_topk_banded,
@@ -3846,7 +3851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "asof_join_views": q_asof_join_views,
-        "corpus_clean_verified": q_corpus_clean_verified,
+        "searchable_pdf_stats": q_searchable_pdf_stats,
         "sessionize": q_sessionize,
         "ivf_topk_from_index": q_ivf_topk_from_index,
         "ann_lsh_topk_from_index": q_ann_lsh_topk_from_index,

@@ -32,12 +32,17 @@ def test_rows_only_set_is_exactly_the_binary_sinks():
 def test_flagship_pins_lead_the_window():
     q = list(em.queries())
     assert q[0] == "ocr_extract_text"
+    # round-5p: corpus_clean_verified (the dedup composition whose plan
+    # changed in the de-shuffle) holds searchable_pdf_stats' anchor slot
+    # so the driver re-verifies the new plan; searchable_pdf_stats is
+    # pdfverify-pinned locally and moves to the parity-only region
     assert {"ocr_spans", "html_main_text",
-            "searchable_pdf_stats"} <= set(q[:6])
+            "corpus_clean_verified"} <= set(q[:6])
     # rotated out for the round-5 new families (driver-green r1-r4,
     # golden parity replicated locally every run) — must stay
     # registered with their golden oracles:
-    assert {"ocr_quarantine", "payload_metadata"} <= set(q[50:])
+    assert {"ocr_quarantine", "payload_metadata",
+            "searchable_pdf_stats"} <= set(q[50:])
 
 
 def test_new_family_reps_are_in_window():
