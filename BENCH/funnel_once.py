@@ -25,6 +25,7 @@ from image_pdf_ocr_suite_spark.session import build_session  # noqa: E402
 
 
 def main(cpus: int, docs_path: str) -> None:
+    impl = os.environ.get("FUNNEL_IMPL", "ops")
     spark = build_session(app=f"funnel-scaling-{cpus}",
                           master=f"local[{cpus}]", shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
@@ -33,16 +34,17 @@ def main(cpus: int, docs_path: str) -> None:
     test = docs.where(F.col("doc_id") % 4999 == 0)
 
     warm = funnel.quality_funnel(
-        docs.sample(0.05, seed=1).repartition(cpus * 2), test_df=test)
+        docs.sample(0.05, seed=1).repartition(cpus * 2), test_df=test,
+        impl=impl)
     warm.write.format("noop").mode("overwrite").save()
 
     t0 = time.perf_counter()
-    funnel.quality_funnel(docs, test_df=test) \
+    funnel.quality_funnel(docs, test_df=test, impl=impl) \
         .write.format("noop").mode("overwrite").save()
     sec = time.perf_counter() - t0
     print(json.dumps({
         "cpus": cpus, "n_docs": n_docs, "sec": round(sec, 3),
-        "docs_per_sec": round(n_docs / sec, 2)}))
+        "impl": impl, "docs_per_sec": round(n_docs / sec, 2)}))
     spark.stop()
 
 

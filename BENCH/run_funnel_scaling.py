@@ -28,6 +28,11 @@ N_CPUS = int(os.environ.get("SCALING_N", "4"))
 N4_CPUS = 4 * N_CPUS
 RUNS = int(os.environ.get("SCALING_RUNS", "2"))
 REPLICATE = int(os.environ.get("SCALING_REPLICATE", "200"))
+# FUNNEL_IMPL=fused measures the single-kernel fusion (funnel.py
+# _fused_verdicts): one scan, one Python crossing, zero shuffle —
+# the production form for funnel-inside-a-job; "ops" (default) is the
+# audited five-operator composition.
+IMPL = os.environ.get("FUNNEL_IMPL", "ops")
 
 
 def _materialize_docs(sf_dir: str, replicate: int) -> str:
@@ -85,6 +90,7 @@ def main() -> None:
     best = max(pairs, key=lambda p: p["n"]["docs_per_sec"])
     result = {
         "metric": "funnel_scaling_efficiency_N_to_4N", "value": eff,
+        "impl": IMPL,
         "unit": "ratio", "pair_efficiencies": effs,
         "n": best["n"], "n4": best["n4"], "sf_dir": sf_dir,
         "pass_0_8_gate": eff >= 0.8,
@@ -98,8 +104,8 @@ def main() -> None:
 
 ## Quality-funnel scaling run {result['measured_at']}
 
-analytics/funnel.quality_funnel (five gates + decontamination against a
-1/4999 held-out slice + attribution shuffle) over
+analytics/funnel.quality_funnel impl={IMPL} (five gates + decontamination
+against a 1/4999 held-out slice{'; fused single-kernel form: one scan, zero shuffle' if IMPL == 'fused' else ' + attribution shuffle'}) over
 {best['n']['n_docs']} documents ({REPLICATE}x {sf_dir}, pre-synthesized
 parquet), fixed 64-way task graph, {RUNS} interleaved pairs, slots <=
 cores/2 at both levels.

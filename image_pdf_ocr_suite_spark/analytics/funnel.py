@@ -48,7 +48,8 @@ def funnel_verdicts(df: DataFrame, test_df: DataFrame | None = None,
                     langs: tuple[str, ...] = ("en",),
                     min_ratio_bp: int = 4300, max_ratio_bp: int = 9000,
                     ngram_n: int = 5, *,
-                    test_grams: DataFrame | None = None) -> DataFrame:
+                    test_grams: DataFrame | None = None,
+                    impl: str = "ops") -> DataFrame:
     """Per-document first-reject verdicts ``(id, rej_at)`` — ``rej_at``
     is the 1-based ordinal of the first rejecting stage, NULL for an
     admitted document.  This is the shuffle-bearing half of the funnel
@@ -56,7 +57,25 @@ def funnel_verdicts(df: DataFrame, test_df: DataFrame | None = None,
     the attrition table, and the streaming twin commits the admitted
     ids straight off it.  ``test_grams``: pre-hashed held-out grams
     (corpusprep.test_gram_table) so a stream hashes the static side
-    once, not per micro-batch."""
+    once, not per micro-batch.
+
+    ``impl='ops'`` (default) composes the five audited single-spelling
+    operators — 5 column-pruned scans, one integer shuffle.
+    ``impl='fused'`` is the production fusion the module docstring
+    promises: ONE ``mapInPandas`` kernel re-deriving every gate signal
+    per row (equivalence-pytest-pinned against the operator spelling,
+    row-identical) — one scan, one Python crossing, ZERO shuffle; use
+    it when the funnel is a stage inside a larger job rather than the
+    audited report.  Requires a raw ``test_df`` (not ``test_grams``)
+    and unique ids (the ops path's groupBy would merge duplicates)."""
+    if impl == "fused":
+        if test_grams is not None:
+            raise ValueError("impl='fused' takes the raw test_df, "
+                             "not test_grams")
+        return _fused_verdicts(df, test_df, url_col, text_col, id_col,
+                               langs, min_ratio_bp, max_ratio_bp, ngram_n)
+    if impl != "ops":
+        raise ValueError(f"unknown impl {impl!r}")
     def leg(frame: DataFrame, ord_: int, rej) -> DataFrame:
         return frame.select(
             F.col(id_col).alias("id"),
@@ -91,6 +110,136 @@ def funnel_verdicts(df: DataFrame, test_df: DataFrame | None = None,
         F.min(F.when(F.col("rej") == 1, F.col("stage_ord"))).alias("rej_at"))
 
 
+def _fused_verdicts(df: DataFrame, test_df: DataFrame | None,
+                    url_col: str, text_col: str, id_col: str,
+                    langs: tuple[str, ...],
+                    min_ratio_bp: int, max_ratio_bp: int,
+                    ngram_n: int) -> DataFrame:
+    """The fused funnel kernel: every gate signal re-derived per row in
+    one Arrow batch pass.  Each replication below cites the operator
+    spelling it must match bit-for-bit (pinned by
+    tests/test_funnel.py's fused==ops equivalence):
+
+    - url gate   = corpusprep.url_quality_filter (host regex, blocklist
+      suffix match, integer keyword score; Java replace and Python
+      str.replace are both leftmost non-overlapping);
+    - lang_id    = text.lang_id (padded stopword-hit count, >= 1);
+    - gopher     = text.gopher_quality (integer cross-multiplied rules
+      over the split(' ') token contract);
+    - compression= corpusprep.compression_ratio ((10000*deflate)//utf8,
+      shared compressed_len helper);
+    - decontam   = corpusprep._decontaminate_probe (raw-gram set probe
+      with the first-token prefilter; gram set built driver-side under
+      the same bounded-broadcast contract).
+    """
+    import re as _re
+
+    import pandas as pd
+
+    from image_pdf_ocr_suite_spark.analytics.corpusprep import (
+        URL_BLOCKLIST, URL_KEYWORD_WEIGHTS, URL_SCORE_THRESHOLD,
+        compressed_len)
+    from image_pdf_ocr_suite_spark.analytics.text import GOPHER_STOP_WORDS
+
+    gram_set: set[str] = set()
+    if test_df is not None:
+        # bounded driver-side pass over the broadcast-sized held-out set
+        # (corpusprep._decontaminate_probe's gram build, verbatim rules)
+        for row in test_df.select(text_col).collect():
+            t = row[0]
+            if not isinstance(t, str) or not t:
+                continue
+            toks = [x for x in t.split(" ") if x]
+            for j in range(len(toks) - ngram_n + 1):
+                gram_set.add(" ".join(toks[j:j + ngram_n]))
+    first_toks = frozenset(g.split(" ", 1)[0] for g in gram_set)
+    b = df.sparkSession.sparkContext.broadcast(
+        (frozenset(gram_set), first_toks))
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    host_re = _re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)")
+    bullet_re = _re.compile(r"^[-•*] ")
+    ellip_re = _re.compile(r"(\.\.\.|…)$")
+    alpha_re = _re.compile(r"[A-Za-z]")
+    lang_set = frozenset(langs)
+    n = ngram_n
+
+    def rej_at_of(url, text) -> int | None:
+        # stage 1: URL gate (text never read — same as the operator)
+        if isinstance(url, str):
+            m = host_re.match(url)
+            host = _re.sub(r"^www\.", "", m.group(1).lower()) if m else ""
+            valid = bool(m) and m.group(1) != ""
+            blocked = any(host == d or host.endswith("." + d)
+                          for d in URL_BLOCKLIST)
+            u_lc = url.lower()
+            score = sum(w for kw, w in URL_KEYWORD_WEIGHTS if kw in u_lc)
+            if (valid and blocked) or score >= URL_SCORE_THRESHOLD:
+                return 1
+        # stage 2: stopword-hit lang ID (NULL text -> 'other')
+        if not isinstance(text, str):
+            if "other" not in lang_set:
+                return 2
+            text = ""
+        else:
+            t2 = f" {text} "
+            en = sum((len(t2) - len(t2.replace(f" {w} ", "")))
+                     / (len(w) + 2) for w in ("the", "a", "and", "of"))
+            pred = "en" if en >= 1 else "other"
+            if pred not in lang_set:
+                return 2
+        # stage 3: Gopher rules (coalesce(text, '') like the operator)
+        t = text
+        toks = [x for x in t.split(" ") if x]
+        lines = t.split("\n")
+        n_words = len(toks)
+        sum_wl = len(t.replace(" ", ""))
+        n_lines = len(lines)
+        n_bullet = sum(1 for ln in lines if bullet_re.match(ln))
+        n_ellip = sum(1 for ln in lines if ellip_re.search(ln))
+        n_alpha = sum(1 for x in toks if alpha_re.search(x))
+        n_sym = (t.count("#") + (len(t) - len(t.replace("...", ""))) // 3
+                 + t.count("…"))
+        lt = {x.lower() for x in toks}
+        n_stop = sum(1 for w in GOPHER_STOP_WORDS if w in lt)
+        gpass = (50 <= n_words <= 100000
+                 and 3 * n_words <= sum_wl <= 10 * n_words
+                 and 10 * n_sym <= n_words
+                 and 10 * n_bullet <= 9 * n_lines
+                 and 10 * n_ellip <= 3 * n_lines
+                 and 5 * n_alpha >= 4 * n_words
+                 and n_stop >= 2)
+        if not gpass:
+            return 3
+        # stage 4: deflate ratio bounds (NULL/empty text rejects)
+        r = len(t.encode("utf-8"))
+        if r == 0:
+            return 4
+        bp = (10000 * compressed_len(t)) // r
+        if bp < min_ratio_bp or bp > max_ratio_bp:
+            return 4
+        # stage 5: held-out n-gram probe
+        grams, firsts = b.value
+        if grams and len(toks) >= n:
+            for j in range(len(toks) - n + 1):
+                if toks[j] in firsts and \
+                        " ".join(toks[j:j + n]) in grams:
+                    return 5
+        return None
+
+    def kernel(batches):
+        for pdf in batches:
+            vals = [rej_at_of(u, t)
+                    for u, t in zip(pdf[url_col], pdf[text_col])]
+            # nullable small ints: pd.array, never None+int -> float64
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "rej_at": pd.array(vals, dtype="Int32")})
+
+    return df.select(F.col(id_col), F.col(url_col), F.col(text_col)) \
+        .mapInPandas(kernel, schema=f"id {id_type}, rej_at int")
+
+
 def funnel_report(verdicts: DataFrame, spark=None) -> DataFrame:
     """(id, rej_at) -> the 5-row attrition table
     ``(stage_ord, stage, n_in, n_rejected, n_out)`` via the <=6-row
@@ -118,7 +267,7 @@ def quality_funnel(df: DataFrame, test_df: DataFrame | None = None,
                    id_col: str = "doc_id",
                    langs: tuple[str, ...] = ("en",),
                    min_ratio_bp: int = 4300, max_ratio_bp: int = 9000,
-                   ngram_n: int = 5) -> DataFrame:
+                   ngram_n: int = 5, impl: str = "ops") -> DataFrame:
     """(url, text) documents -> the 5-row attrition table
     ``(stage_ord int, stage, n_in, n_rejected, n_out)`` with
     ``n_out(k) == n_in(k+1)`` and ``n_out`` of the last stage the
@@ -142,5 +291,6 @@ def quality_funnel(df: DataFrame, test_df: DataFrame | None = None,
         funnel_verdicts(df, test_df, url_col=url_col, text_col=text_col,
                         id_col=id_col, langs=langs,
                         min_ratio_bp=min_ratio_bp,
-                        max_ratio_bp=max_ratio_bp, ngram_n=ngram_n),
+                        max_ratio_bp=max_ratio_bp, ngram_n=ngram_n,
+                        impl=impl),
         df.sparkSession)

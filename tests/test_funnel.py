@@ -110,3 +110,68 @@ def test_funnel_plan_single_data_shuffle(spark):
     plan = funnel.quality_funnel(d)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "Union" in plan
+
+
+def _test_df(spark):
+    # doc 6's first sentence as the held-out slice -> doc 6 contaminated
+    return spark.createDataFrame(
+        [("t1", "every held out row needs its own long and fully "
+          "distinct body of plain english prose")],
+        "url string, text string")
+
+
+def test_fused_equals_ops_on_fixture(spark):
+    d = _docs(spark)
+    t = _test_df(spark)
+    ops = {r["id"]: r["rej_at"]
+           for r in funnel.funnel_verdicts(d, t).collect()}
+    fused = {r["id"]: r["rej_at"]
+             for r in funnel.funnel_verdicts(d, t, impl="fused").collect()}
+    assert fused == ops
+    assert ops[2] == 1 and ops[3] == 2 and ops[4] == 3 and ops[5] == 4
+    assert ops[6] == 5 and ops[7] == 1 and ops[1] is None
+
+
+def test_fused_equals_ops_on_adversarial_rows(spark):
+    rows = [
+        (10, None, "the a and of " * 30),           # null url
+        (11, "https://x.example.org/", None),        # null text
+        (12, "https://x.example.org/", ""),          # empty text
+        (13, "notaurl casino poker", "the a and of " * 30),  # invalid+spam
+        (14, "https://WWW.Badsite.Example/z", "x"),  # case + www prefix
+        (15, "https://sub.badsite.example/z", "x"),  # subdomain suffix
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, url string, text string")
+    ops = {r["id"]: r["rej_at"] for r in funnel.funnel_verdicts(d).collect()}
+    fused = {r["id"]: r["rej_at"]
+             for r in funnel.funnel_verdicts(d, impl="fused").collect()}
+    assert fused == ops
+    # pinned: spam-scored invalid url rejects at 1; blocklist matches are
+    # case-normalized and any-subdomain
+    assert ops[13] == 1 and ops[14] == 1 and ops[15] == 1
+
+
+def test_fused_equals_ops_on_synth_corpus(spark):
+    # the sf0.001 documents table: the real driver-query surface
+    d = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+         .select("doc_id", F.concat(F.lit("https://host"),
+                                    (F.col("doc_id") % 7).cast("string"),
+                                    F.lit(".example.org/p/"),
+                                    F.col("doc_id").cast("string"))
+                 .alias("url"), "text"))
+    t = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+         .where("doc_id % 499 = 7").select(
+             F.col("doc_id").cast("string").alias("url"), "text"))
+    ops = {r["id"]: r["rej_at"]
+           for r in funnel.funnel_verdicts(d, t).collect()}
+    fused = {r["id"]: r["rej_at"]
+             for r in funnel.funnel_verdicts(d, t, impl="fused").collect()}
+    assert fused == ops and len(ops) == 500
+
+
+def test_fused_plan_no_shuffle(spark):
+    d = _docs(spark)
+    plan = funnel.funnel_verdicts(d, impl="fused") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
