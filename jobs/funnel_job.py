@@ -51,6 +51,11 @@ def main(argv: list[str] | None = None, *,
                     help="parquet of the held-out eval set; admitted docs "
                          "sharing any word n-gram with it are rejected")
     ap.add_argument("--ngram-n", type=int, default=5)
+    ap.add_argument("--impl", choices=("ops", "fused"), default="ops",
+                    help="'fused' = single-kernel gate fusion (one scan, "
+                         "zero shuffle; funnel.py _fused_verdicts, "
+                         "row-identical); 'ops' = the audited "
+                         "five-operator composition (batch mode only)")
     ap.add_argument("--stream", action="store_true",
                     help="tail --input-table as a directory with the "
                          "streaming twin (requires --checkpoint and "
@@ -83,11 +88,16 @@ def main(argv: list[str] | None = None, *,
         return
 
     run_id = args.run_id or uuid.uuid4().hex[:12]
+    from pyspark import StorageLevel
+    # verdicts feed BOTH commits (admitted ids + attrition report) —
+    # persist the tiny (id, int) relation so the gate lineage (five
+    # scans for ops, one kernel pass for fused) runs once, not twice
     verdicts = funnel.funnel_verdicts(
         spark.read.parquet(args.input_table), test_df,
         url_col=args.url_col, text_col=args.text_col, id_col=args.id_col,
         langs=langs, min_ratio_bp=args.min_ratio_bp,
-        max_ratio_bp=args.max_ratio_bp, ngram_n=args.ngram_n)
+        max_ratio_bp=args.max_ratio_bp, ngram_n=args.ngram_n,
+        impl=args.impl).persist(StorageLevel.MEMORY_AND_DISK)
     SnapshotTable(f"{args.output_root}/admitted").append(
         verdicts.where(F.col("rej_at").isNull()).select("id"),
         run_id=run_id)

@@ -40,3 +40,28 @@ def test_funnel_job_batch_commits_both_tables(spark, tmp_path):
     for s in funnel.FUNNEL_STAGES:
         assert (rep[s]["n_in"], rep[s]["n_rejected"], rep[s]["n_out"]) == \
             (want[s]["n_in"], want[s]["n_rejected"], want[s]["n_out"]), s
+
+
+def test_funnel_job_fused_impl_matches_ops(spark, tmp_path):
+    docs = _corpus(spark)
+    docs.write.parquet(str(tmp_path / "docs"))
+    docs.where("doc_id = 1").write.parquet(str(tmp_path / "test"))
+
+    for impl in ("ops", "fused"):
+        funnel_main(["--input-table", str(tmp_path / "docs"),
+                     "--output-root", str(tmp_path / impl),
+                     "--test-table", str(tmp_path / "test"),
+                     "--impl", impl,
+                     "--run-id", f"job-{impl}"], stop_session=False)
+
+    adm = {impl: {r["id"] for r in
+                  SnapshotTable(str(tmp_path / impl / "admitted"))
+                  .read(spark).collect()}
+           for impl in ("ops", "fused")}
+    rep = {impl: sorted(
+        (r["stage_ord"], r["n_in"], r["n_rejected"], r["n_out"])
+        for r in SnapshotTable(str(tmp_path / impl / "attrition"))
+        .read(spark).collect())
+        for impl in ("ops", "fused")}
+    assert adm["fused"] == adm["ops"] and adm["ops"]
+    assert rep["fused"] == rep["ops"]
