@@ -58,7 +58,9 @@ def _materialize_pages(sf_dir: str) -> tuple[str, str]:
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     path = f"/tmp/pipe_pages_{tag}_x{REPLICATE}"
-    warm = f"/tmp/pipe_pages_{tag}_warm"
+    # warm slice keyed by REPLICATE too: a stale slice from another
+    # replicate level would silently warm the JVM with foreign data
+    warm = f"/tmp/pipe_pages_{tag}_warm_x{REPLICATE}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")) or \
             not os.path.exists(os.path.join(warm, "_SUCCESS")):
         spark = build_session(app="pipeline-scaling-prep",

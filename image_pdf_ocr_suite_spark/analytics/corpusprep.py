@@ -141,6 +141,25 @@ def decontaminate_ngrams(corpus: DataFrame, test: DataFrame | None = None,
               .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared")))
 
 
+def held_out_gram_set(test: DataFrame, n: int,
+                      text_col: str = "text") -> tuple[frozenset, frozenset]:
+    """Driver-side raw word-``n``-gram set of a broadcast-sized held-out
+    frame, plus its first-token prefilter set — the SINGLE spelling of
+    the probe-side gram contract, shared by ``_decontaminate_probe``
+    and the fused funnel kernel (funnel._fused_verdicts) so the two can
+    never diverge."""
+    gram_set: set[str] = set()
+    for row in test.select(text_col).collect():
+        t = row[0]
+        if not isinstance(t, str) or not t:
+            continue
+        toks = [x for x in t.split(" ") if x]
+        for j in range(len(toks) - n + 1):
+            gram_set.add(" ".join(toks[j:j + n]))
+    first_toks = frozenset(g.split(" ", 1)[0] for g in gram_set)
+    return frozenset(gram_set), first_toks
+
+
 def _decontaminate_probe(corpus: DataFrame, test: DataFrame, n: int,
                          text_col: str, id_col: str) -> DataFrame:
     """``impl='probe'``: zero corpus-side hashing.  The held-out set's
@@ -157,18 +176,8 @@ def _decontaminate_probe(corpus: DataFrame, test: DataFrame, n: int,
     count is complete within its row."""
     import pandas as pd
 
-    gram_set: set[str] = set()
-    # bounded driver-side pass over the (broadcast-sized) held-out set
-    for row in test.select(text_col).collect():
-        t = row[0]
-        if not isinstance(t, str) or not t:
-            continue
-        toks = [x for x in t.split(" ") if x]
-        for j in range(len(toks) - n + 1):
-            gram_set.add(" ".join(toks[j:j + n]))
-    first_toks = frozenset(g.split(" ", 1)[0] for g in gram_set)
-    b = corpus.sparkSession.sparkContext.broadcast(
-        (frozenset(gram_set), first_toks))
+    gram_set, first_toks = held_out_gram_set(test, n, text_col)
+    b = corpus.sparkSession.sparkContext.broadcast((gram_set, first_toks))
 
     id_type = corpus.schema[id_col].dataType.simpleString()
 

@@ -286,7 +286,8 @@ def dedup_against_index(new_docs: DataFrame, spark, path: str | None,
 
 
 def jaccard_verify_pairs(pairs: DataFrame, df: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id",
+                         broadcast_max_ids: int = 2_000_000) -> DataFrame:
     """(id_a, id_b, jaccard) — exact token-set Jaccard computed ONLY on the
     given candidate pairs (two id-equi joins back to the token sets; never a
     cross join).  The verification stage LSH candidates must pass before a
@@ -294,20 +295,24 @@ def jaccard_verify_pairs(pairs: DataFrame, df: DataFrame, text_col: str = "text"
     genuinely different documents are routine.
 
     Scale shape: the corpus is first semi-joined down to the ids that
-    appear in ``pairs`` with an explicit broadcast — without that, the
-    two id-equi joins below shuffle EVERY document's token array across
-    the cluster to meet a candidate set LSH banding has already made
-    small.  The broadcast side is at most 2·|pairs| ids (the
-    bounded-verifier contract: callers hand this function LSH/band
-    candidates, never all-pairs), and ``pairs`` is persisted here
-    because it is consumed twice (the id projection and the verify
-    join) — recomputing it would run the signature kernel twice."""
-    from pyspark import StorageLevel
-    pairs = pairs.select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
+    appear in ``pairs`` — with an explicit broadcast while the id set
+    fits ``broadcast_max_ids`` (counted BEFORE broadcasting, the same
+    budget discipline as clean_corpus's dedup joins), a plain shuffle
+    semi-join past it.  Without the restriction the two id-equi joins
+    below shuffle EVERY document's token array across the cluster to
+    meet a candidate set LSH banding has already made small.  ``pairs``
+    is materialized once via ``localCheckpoint`` (NOT DataFrame
+    persist: it is consumed three times — the id projection, its
+    count, and the verify join — and checkpoint blocks are reclaimed
+    by the ContextCleaner when the plan is garbage-collected, where
+    CacheManager entries would outlive a per-micro-batch caller)."""
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     cand_ids = (pairs.select(F.col("id_a").alias(id_col))
                 .unionByName(pairs.select(F.col("id_b").alias(id_col)))
                 .distinct())
-    toks = (df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    if cand_ids.count() <= broadcast_max_ids:
+        cand_ids = F.broadcast(cand_ids)
+    toks = (df.join(cand_ids, id_col, "left_semi")
             .select(F.col(id_col),
                     F.array_distinct(F.split(F.col(text_col), " ")).alias("toks")))
     toks = toks.select(id_col, "toks", F.size("toks").alias("n"))
@@ -480,13 +485,16 @@ def connected_components_auto(pairs: DataFrame, id_a: str = "id_a",
     shrink monotonically.  The collect is bounded and counted BEFORE it
     happens — the same budget discipline as the exact-dedup broadcast
     (jobs/corpus_job.py) and the IVF training sample (similarity.py)."""
-    from pyspark import StorageLevel
     # self-pairs are kept as degenerate edges: they carry isolated ids,
     # which must appear in the output as their own component (the star
-    # contract resolves them through its ids ∪ left-join spelling)
+    # contract resolves them through its ids ∪ left-join spelling).
+    # localCheckpoint, not DataFrame persist: it is consumed twice
+    # (count, then collect or the star fallback), and checkpoint blocks
+    # are ContextCleaner-reclaimed when the plan is garbage-collected —
+    # a CacheManager persist entry would outlive repeated callers.
     edges = (pairs.select(F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
                           F.least(F.col(id_a), F.col(id_b)).alias("v"))
-             .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+             .distinct().localCheckpoint(eager=False))
     n_edges = edges.count()
     if n_edges > driver_max_edges:
         return connected_components_star(edges, "u", "v",
@@ -520,7 +528,6 @@ def connected_components_auto(pairs: DataFrame, id_a: str = "id_a",
         if m is None or node < m:
             comp_min[r] = node
     rows = [(node, comp_min[find(node)]) for node in parent]
-    edges.unpersist()
     return spark.createDataFrame(rows, out_schema)
 
 

@@ -138,28 +138,27 @@ def _fused_verdicts(df: DataFrame, test_df: DataFrame | None,
 
     from image_pdf_ocr_suite_spark.analytics.corpusprep import (
         URL_BLOCKLIST, URL_KEYWORD_WEIGHTS, URL_SCORE_THRESHOLD,
-        compressed_len)
+        compressed_len, held_out_gram_set)
     from image_pdf_ocr_suite_spark.analytics.text import GOPHER_STOP_WORDS
 
-    gram_set: set[str] = set()
     if test_df is not None:
-        # bounded driver-side pass over the broadcast-sized held-out set
-        # (corpusprep._decontaminate_probe's gram build, verbatim rules)
-        for row in test_df.select(text_col).collect():
-            t = row[0]
-            if not isinstance(t, str) or not t:
-                continue
-            toks = [x for x in t.split(" ") if x]
-            for j in range(len(toks) - ngram_n + 1):
-                gram_set.add(" ".join(toks[j:j + ngram_n]))
-    first_toks = frozenset(g.split(" ", 1)[0] for g in gram_set)
-    b = df.sparkSession.sparkContext.broadcast(
-        (frozenset(gram_set), first_toks))
+        # the shared probe-side gram contract (corpusprep helper — the
+        # fused stage-5 can never diverge from _decontaminate_probe)
+        gram_set, first_toks = held_out_gram_set(test_df, ngram_n,
+                                                 text_col)
+    else:
+        gram_set, first_toks = frozenset(), frozenset()
+    b = df.sparkSession.sparkContext.broadcast((gram_set, first_toks))
 
     id_type = df.schema[id_col].dataType.simpleString()
     host_re = _re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)")
     bullet_re = _re.compile(r"^[-•*] ")
-    ellip_re = _re.compile(r"(\.\.\.|…)$")
+    # Java rlike's unanchored `$` matches BEFORE one final line
+    # terminator (CR, NEL U+0085, LS U+2028, PS U+2029 -- LF cannot
+    # appear in a split('\\n') line); Python's `$` does not, so a CRLF
+    # document's 'Read more...\\r' lines would diverge from the operator
+    # spelling.  The optional terminator class restates Java's rule.
+    ellip_re = _re.compile("(\\.\\.\\.|…)[\\r\\x85\\u2028\\u2029]?$")
     alpha_re = _re.compile(r"[A-Za-z]")
     lang_set = frozenset(langs)
     n = ngram_n

@@ -74,6 +74,12 @@ def main(argv: list[str] | None = None, *,
     if args.stream:
         if not (args.checkpoint and args.input_schema):
             ap.error("--stream requires --checkpoint and --input-schema")
+        if args.impl != "ops":
+            # the streaming twin hashes the static side once via
+            # test_grams — it has no fused path; fail loudly instead of
+            # silently running ops under a fused flag
+            ap.error("--impl fused is batch-only; --stream always runs "
+                     "the operator composition")
         from image_pdf_ocr_suite_spark.streaming.funnel_stream import (
             start_funnel_stream)
         q = start_funnel_stream(

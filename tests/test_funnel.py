@@ -175,3 +175,31 @@ def test_fused_plan_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert plan.count("MapInPandas") == 1
+
+
+def test_fused_equals_ops_on_crlf_line_terminators(spark):
+    """Java rlike's `$` matches before one final line terminator (CR,
+    NEL, LS, PS); Python's does not — the fused ellipsis rule must
+    restate the Java semantics or CRLF documents diverge at stage 3."""
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "the dog turns around to have a look at the fox with "
+            "great interest because that is what dogs do every day "
+            "when they meet a fox that has jumped over them and " * 2)
+    crlf_doc = "\r\n".join(
+        [base + "line one of this document ends with dots..."] * 4
+        + [base + "and the last line is plain"])
+    rows = [
+        (20, "https://x.example.org/a", crlf_doc),
+        (21, "https://x.example.org/b", base + "ends with dots...\r"),
+        (22, "https://x.example.org/c", base + "nel terminated...\x85"),
+        (23, "https://x.example.org/d", base + "ls terminated... "),
+        (24, "https://x.example.org/e", base + "double cr...\r\r"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, url string, text string")
+    ops = {r["id"]: r["rej_at"] for r in funnel.funnel_verdicts(d).collect()}
+    fused = {r["id"]: r["rej_at"]
+             for r in funnel.funnel_verdicts(d, impl="fused").collect()}
+    assert fused == ops
+    # the CRLF doc: 4 of 5 lines end '...\r' -> ellipsis rule trips in
+    # BOTH spellings (10*4 > 3*5)
+    assert ops[20] == 3
