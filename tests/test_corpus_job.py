@@ -160,3 +160,36 @@ def test_rare_token_ceiling_rejects_hash_soup(spark):
     rej_urls = {r["url"] for r in rejects.collect()}
     assert kept | rej_urls >= {u for u in all_urls} - set()
     assert not kept & rej_urls
+
+
+def test_clean_corpus_shuffle_fallback_identical(spark, pages):
+    """broadcast_max_ids=0 forces the url-shuffle anti-join (the
+    dup-heavy 100-TB fallback); the output must be set-identical to the
+    broadcast path on both the clean and reject sides."""
+    kw = dict(min_tokens=5, langs=("en", "ja", "unknown"))
+    clean_b, rej_b = clean_corpus(pages, ExtractConfig(), run_id="tb", **kw)
+    clean_s, rej_s = clean_corpus(pages, ExtractConfig(), run_id="ts",
+                                  broadcast_max_ids=0, **kw)
+    assert sorted((r["url"], r["n_tokens"]) for r in clean_b.collect()) == \
+        sorted((r["url"], r["n_tokens"]) for r in clean_s.collect())
+    assert sorted((r["url"], r["reason"]) for r in rej_b.collect()) == \
+        sorted((r["url"], r["reason"]) for r in rej_s.collect())
+
+
+def test_jaccard_verify_shuffle_fallback_identical(spark):
+    from pyspark.sql import functions as F
+
+    from image_pdf_ocr_suite_spark.analytics import dedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" if j % 3 else f"shared{j}"
+                      for j in range(20))) for i in range(12)],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 3), (1, 4), (2, 5), (6, 9)], "id_a long, id_b long")
+    bcast = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.jaccard_verify_pairs(pairs, docs).collect()}
+    shuf = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.jaccard_verify_pairs(
+                pairs, docs, broadcast_max_ids=0).collect()}
+    assert bcast == shuf and len(bcast) == 4
