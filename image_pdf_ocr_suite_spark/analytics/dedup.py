@@ -307,9 +307,11 @@ def jaccard_verify_pairs(pairs: DataFrame, df: DataFrame, text_col: str = "text"
     by the ContextCleaner when the plan is garbage-collected, where
     CacheManager entries would outlive a per-micro-batch caller)."""
     pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
+    # cand_ids is consumed twice too (the budget count, then the
+    # semi-join) — checkpoint it so the union+distinct shuffle runs once
     cand_ids = (pairs.select(F.col("id_a").alias(id_col))
                 .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-                .distinct())
+                .distinct().localCheckpoint(eager=False))
     if cand_ids.count() <= broadcast_max_ids:
         cand_ids = F.broadcast(cand_ids)
     toks = (df.join(cand_ids, id_col, "left_semi")
@@ -535,7 +537,8 @@ def verified_near_dup_losers(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id", threshold: float = 0.5,
                              n_hashes: int = 4, shingle_k: int = 3,
                              max_iters: int = 20,
-                             sig: DataFrame | None = None) -> DataFrame:
+                             sig: DataFrame | None = None,
+                             broadcast_max_ids: int = 2_000_000) -> DataFrame:
     """Ids safe to DROP as near-duplicates: LSH candidates → exact Jaccard
     verification (>= threshold) → connected components → everything except
     each component's smallest id.  Component-wise keeper selection avoids
@@ -544,7 +547,8 @@ def verified_near_dup_losers(df: DataFrame, text_col: str = "text",
     survives and {2,3} keeps 2)."""
     cand = lsh_candidate_pairs(df, text_col, id_col, n_hashes, shingle_k,
                                sig=sig)
-    verified = jaccard_verify_pairs(cand, df, text_col, id_col) \
+    verified = jaccard_verify_pairs(cand, df, text_col, id_col,
+                                    broadcast_max_ids=broadcast_max_ids) \
         .where(F.col("jaccard") >= F.lit(threshold))
     comp = connected_components_auto(verified, max_iters=max_iters)
     return comp.where(F.col("id") != F.col("comp")) \

@@ -131,7 +131,8 @@ def clean_corpus(pages: DataFrame, cfg: ExtractConfig | None = None,
     # set is persisted (it feeds both the removal and the reject log)
     # and broadcast the same way.
     losers = dedup.verified_near_dup_losers(
-        exact_unique, "text", "url", threshold=jaccard) \
+        exact_unique, "text", "url", threshold=jaccard,
+        broadcast_max_ids=broadcast_max_ids) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     if losers.count() <= broadcast_max_ids:
         losers_rel = F.broadcast(losers)

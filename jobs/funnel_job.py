@@ -94,16 +94,19 @@ def main(argv: list[str] | None = None, *,
         return
 
     run_id = args.run_id or uuid.uuid4().hex[:12]
-    from pyspark import StorageLevel
     # verdicts feed BOTH commits (admitted ids + attrition report) —
-    # persist the tiny (id, int) relation so the gate lineage (five
-    # scans for ops, one kernel pass for fused) runs once, not twice
+    # materialize the tiny (id, int) relation once so the gate lineage
+    # (five scans for ops, one kernel pass for fused) runs once, not
+    # twice.  localCheckpoint, not persist: checkpoint blocks are
+    # ContextCleaner-reclaimed on GC, so repeated in-process callers
+    # (stop_session=False) can't accumulate CacheManager entries
+    # (round-5p CLAUDE.md rule).
     verdicts = funnel.funnel_verdicts(
         spark.read.parquet(args.input_table), test_df,
         url_col=args.url_col, text_col=args.text_col, id_col=args.id_col,
         langs=langs, min_ratio_bp=args.min_ratio_bp,
         max_ratio_bp=args.max_ratio_bp, ngram_n=args.ngram_n,
-        impl=args.impl).persist(StorageLevel.MEMORY_AND_DISK)
+        impl=args.impl).localCheckpoint(eager=False)
     SnapshotTable(f"{args.output_root}/admitted").append(
         verdicts.where(F.col("rej_at").isNull()).select("id"),
         run_id=run_id)
