@@ -415,6 +415,20 @@ def main() -> None:
         lambda: _force(entrymod.q_quality_funnel(spark, SF_DIR)),
         "quality_funnel")
 
+    # round-5p leg: the SAME funnel through the fused single-kernel
+    # spelling (funnel_verdicts impl="fused" — one scan, one Python
+    # crossing, zero shuffle; row-identical, equivalence-pinned).
+    # Paired 4M-doc evidence: 0.886/1.033 N->4N vs ~0.7 for ops.
+    def run_funnel_fused():
+        from image_pdf_ocr_suite_spark.analytics import funnel as fmod
+        d2 = entrymod._t(spark, SF_DIR, "documents").select(
+            "doc_id", entrymod._synth_filter_url_expr().alias("url"),
+            entrymod._funnel_text_expr().alias("text"))
+        test = d2.where(F.col("doc_id") % 97 == 0)
+        _force(fmod.quality_funnel(d2, test_df=test, impl="fused"))
+    queries["quality_funnel_fused"] = time_query(
+        run_funnel_fused, "quality_funnel_fused")
+
     # round-5i legs: PQ-ADC probe over the materialized code table
     # (index build untimed — indexes amortize over many queries; the
     # probe reads ONLY the 8-byte code column), the HyperLogLog
