@@ -39,7 +39,17 @@ CFG = ExtractConfig()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "events"):
+        # round 6: the bench tables are single-row-group parquet files, so
+        # the scan yields ONE non-empty task and every per-row stage above
+        # it runs serially regardless of core count.  fan_out_small is a
+        # no-op once the scan has real parallelism (a many-split corpus),
+        # and Catalyst still pushes filters/pruning below the exchange.
+        from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
+        df = fan_out_small(df)
+    return df
 
 
 def round4(col):
@@ -1923,7 +1933,10 @@ def _synth_sentence_docs(spark, sf_dir):
     when (doc_id+i)%5==0 else ``!`` when (doc_id+i)%13==0, single-space
     rejoined — the oracle restates the rebuild with 1-based list
     indices.  Shared by sentence_spans and sentence_stats."""
-    d = _t(spark, sf_dir, "documents")
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
+    d = fan_out_small(_t(spark, sf_dir, "documents")
+                      .select("doc_id", "text"))
     toks = textops.token_array_expr("text")
     base = d.where(F.col("text").isNotNull()) \
         .select("doc_id", toks.alias("__toks")) \
@@ -2050,8 +2063,11 @@ def q_microdata_extract(spark, sf_dir):
 def _synth_section_pages(d):
     """Deterministic sectioned pages from a ``(doc_id, text)`` frame —
     shared by q_section_chunks and the scaling harness."""
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
     toks = textops.token_array_expr("text")
-    base = (d.where(F.col("text").isNotNull())
+    base = (fan_out_small(d.select("doc_id", "text"))
+             .where(F.col("text").isNotNull())
              .select("doc_id", toks.alias("__toks"))
              .where(F.size("__toks") >= 12))
     n = F.col("doc_id").cast("string")
@@ -2211,15 +2227,32 @@ def _trigram_rows(spark, sf_dir):
     """(lang, gram) rows: token trigrams on the shared single-space
     contract — the high-cardinality value stream the KMV sketch
     estimates (distinct TOKENS in the synthetic corpus number ~dozens;
-    trigrams number thousands, so the estimator path k<=n executes)."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("lang", textops.token_array_expr("text").alias("__toks"))
-    grams = F.when(
+    trigrams number thousands, so the estimator path k<=n executes).
+
+    Round-6 spelling: explode the window-start sequence and build each
+    gram with ``element_at`` + ``concat_ws`` — all codegen'd scalar
+    expressions.  The previous ``transform(sequence, concat_ws∘slice)``
+    lambda is a Catalyst higher-order function, which evaluates
+    INTERPRETED (the round-2 HOF rule) and also materializes the whole
+    per-doc gram array before the explode; row-identical output
+    (pinned by the unchanged oracle)."""
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
+    docs = fan_out_small(_t(spark, sf_dir, "documents")
+                         .select("lang", "text"))
+    toks = docs.select("lang",
+                       textops.token_array_expr("text").alias("__toks"))
+    starts = F.when(
         F.size("__toks") >= 3,
-        F.transform(F.sequence(F.lit(1), F.size("__toks") - 2),
-                    lambda i: F.concat_ws(" ", F.slice("__toks", i, 3)))
-    ).otherwise(F.array().cast("array<string>"))
-    return toks.select("lang", F.explode(grams).alias("gram"))
+        F.sequence(F.lit(1), F.size("__toks") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    ex = toks.select("lang", F.col("__toks"),
+                     F.explode(starts).alias("__i"))
+    gram = F.concat_ws(
+        " ", F.element_at("__toks", F.col("__i")),
+        F.element_at("__toks", F.col("__i") + 1),
+        F.element_at("__toks", F.col("__i") + 2))
+    return ex.select("lang", gram.alias("gram"))
 
 
 def q_kmv_distinct_trigrams(spark, sf_dir):
@@ -2970,11 +3003,18 @@ def q_quality_funnel(spark, sf_dir):
     is one shuffle of (id, stage, rejected) integer triples.  The
     oracle recomposes each stage's existing SQL restatement over the
     same synthesized text and replays the attribution arithmetic."""
-    d = _t(spark, sf_dir, "documents")
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
+    d = fan_out_small(_t(spark, sf_dir, "documents")
+                      .select("doc_id", "text"))
     d2 = d.select("doc_id", _synth_filter_url_expr().alias("url"),
                   _funnel_text_expr().alias("text"))
     test = d2.where(F.col("doc_id") % 97 == 0)
-    return funnel.quality_funnel(d2, test_df=test)
+    # round 6: the production fused kernel (one scan, one Python
+    # crossing, zero shuffle) replaces the five-scan ops composition as
+    # this query's execution plan — row-identical by the 4-layer
+    # equivalence pin (tests/test_funnel*), oracle unchanged.
+    return funnel.quality_funnel(d2, test_df=test, impl="fused")
 
 
 _FUNNEL_ORACLE_CACHE: dict[str, str] = {}

@@ -41,7 +41,10 @@ EOW = "</w>"
 def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) over the single-space token contract — the one
     corpus-sized aggregation; everything downstream is vocab-sized."""
-    return (docs.select(F.explode(token_array_expr(text_col)).alias("word"))
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
+    return (fan_out_small(docs.select(F.col(text_col)))
+                .select(F.explode(token_array_expr(text_col)).alias("word"))
                 .groupBy("word")
                 .agg(F.count(F.lit(1)).alias("freq")))
 

@@ -19,6 +19,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from image_pdf_ocr_suite_spark.partitioning import (
+    fan_out_small as _fan)
+
 from image_pdf_ocr_suite_spark.analytics.text import (
     md5_bucket_expr, token_array_expr)
 
@@ -90,7 +93,7 @@ def _ngram_hashes(df: DataFrame, n: int, text_col: str, id_col: str,
                 yield pd.DataFrame({id_col: np.repeat(np.array(cids), lens),
                                     "__h": uhex[codes]})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _fan(df.select(id_col, text_col)).mapInPandas(
         kernel, schema=f"{id_col} {id_type}, __h string")
 
 
@@ -200,7 +203,7 @@ def _decontaminate_probe(corpus: DataFrame, test: DataFrame, n: int,
             if ids:
                 yield pd.DataFrame({id_col: ids, "n_shared": counts})
 
-    return corpus.select(id_col, text_col).mapInPandas(
+    return _fan(corpus.select(id_col, text_col)).mapInPandas(
         kernel, schema=f"{id_col} {id_type}, n_shared bigint")
 
 
@@ -280,7 +283,8 @@ def split_token_lines(df: DataFrame, tokens_per_line: int = 8,
     lines with spaces).  Real newline-delimited corpora can feed
     ``line_dedup_stats`` directly via ``posexplode(split(text, '\\n'))``.
     Map-only flatMap on the scan."""
-    base = (df.select(F.col(id_col), token_array_expr(text_col).alias("__toks"))
+    base = (_fan(df.select(id_col, text_col))
+              .select(F.col(id_col), token_array_expr(text_col).alias("__toks"))
               .select(F.col(id_col), F.col("__toks"),
                       F.size("__toks").alias("__n")))
     starts = F.when(
@@ -482,7 +486,7 @@ def _positional_gram_hashes(df: DataFrame, n: int, text_col: str,
                 yield pd.DataFrame({id_col: np.repeat(np.array(cids), lens),
                                     "pos": pos, "__h": uhex[codes]})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _fan(df.select(id_col, text_col)).mapInPandas(
         kernel, schema=f"{id_col} {id_type}, pos int, __h string")
 
 
@@ -659,7 +663,7 @@ def _bloom_flagged_grams_arrow(corpus: DataFrame, bits, n: int,
                     {id_col: np.repeat(np.array(cids), lens)[keep],
                      "__h": uhex[codes][keep]})
 
-    return corpus.select(id_col, text_col).mapInPandas(
+    return _fan(corpus.select(id_col, text_col)).mapInPandas(
         kernel, schema=f"{id_col} {id_type}, __h string")
 
 
@@ -779,7 +783,7 @@ def fix_mojibake(df: DataFrame, text_col: str = "text",
             yield pd.DataFrame({id_col: pdf[id_col], text_col: fixed,
                                 "n_passes": n_passes})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _fan(df.select(id_col, text_col)).mapInPandas(
         kernel, schema=f"{id_col} {id_type}, {text_col} string, "
                        f"n_passes int")
 
@@ -886,6 +890,6 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
             yield pd.DataFrame({id_col: ids, "raw_len": raws,
                                 "comp_len": comps, "ratio_bp": bps})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _fan(df.select(id_col, text_col)).mapInPandas(
         kernel, schema=f"{id_col} {id_type}, raw_len bigint, "
                        f"comp_len bigint, ratio_bp bigint")

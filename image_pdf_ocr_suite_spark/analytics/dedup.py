@@ -103,7 +103,9 @@ def _minhash_signature_arrow(df: DataFrame, text_col: str, id_col: str,
                 yield pd.DataFrame({id_col: out_id, "band": out_band,
                                     "minhash": out_mh})
 
-    return df.select(id_col, text_col).mapInPandas(
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
+    return fan_out_small(df.select(id_col, text_col)).mapInPandas(
         kernel, schema=f"{id_col} {id_type}, band int, minhash string")
 
 
@@ -614,7 +616,10 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     _simhash_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     _simhash = pandas_udf(_simhash_fn, "long")
 
-    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
+    return fan_out_small(df.select(id_col, text_col)).select(
+        F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
 
 
 def simhash_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

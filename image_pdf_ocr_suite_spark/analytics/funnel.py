@@ -235,7 +235,10 @@ def _fused_verdicts(df: DataFrame, test_df: DataFrame | None,
                 "id": pdf[id_col],
                 "rej_at": pd.array(vals, dtype="Int32")})
 
-    return df.select(F.col(id_col), F.col(url_col), F.col(text_col)) \
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
+    return fan_out_small(
+        df.select(F.col(id_col), F.col(url_col), F.col(text_col))) \
         .mapInPandas(kernel, schema=f"id {id_type}, rej_at int")
 
 

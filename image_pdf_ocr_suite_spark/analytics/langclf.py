@@ -160,8 +160,10 @@ def score_langid(docs: DataFrame, classes: list[str], w,
     n_cls = len(classes)
     b_w = spark.sparkContext.broadcast(
         np.asarray(w, dtype=np.float64).tobytes())
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
     id_type = dict(docs.dtypes)[id_col]
-    src = docs.select(id_col, text_col, label_col)
+    src = fan_out_small(docs.select(id_col, text_col, label_col))
 
     def kernel(batches):
         wv = np.frombuffer(b_w.value, dtype=np.float64) \

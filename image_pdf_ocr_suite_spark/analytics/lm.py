@@ -80,7 +80,10 @@ def train_bigram_lm(docs: DataFrame, text_col: str = "text",
     reference-corpus vocabulary, a training-time constant independent of
     the corpus being scored.
     """
-    ref = docs.where((F.col(id_col) % ref_mod) == 0)
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
+    ref = fan_out_small(
+        docs.where((F.col(id_col) % ref_mod) == 0).select(text_col))
     toks = ref.select(token_array_expr(text_col).alias("__toks"))
     uni = (toks.select(F.explode("__toks").alias("w"))
                .groupBy("w").agg(F.count(F.lit(1)).alias("c"))).collect()
@@ -130,8 +133,10 @@ def score_perplexity(docs: DataFrame, model: BigramLM,
     b_model = spark.sparkContext.broadcast(
         (model.unigram, model.bigram, model.v))
     c_head, c_mid = cutoffs if cutoffs is not None else (None, None)
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
     id_type = docs.schema[id_col].dataType.simpleString()
-    src = docs.select(id_col, text_col)
+    src = fan_out_small(docs.select(id_col, text_col))
 
     def kernel(batches):
         uni, bi, v = b_model.value

@@ -175,5 +175,7 @@ def section_chunks(page_df: DataFrame) -> DataFrame:
     """Pages table ``(url, html, ...)`` → one row per heading-path
     section.  Map-only Arrow kernel over a column-pruned scan;
     charset-aware.  No shuffle at any scale."""
-    return page_df.select("url", "html").mapInPandas(
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
+    return fan_out_small(page_df.select("url", "html")).mapInPandas(
         sections_kernel, schema=SECTIONS_SCHEMA)

@@ -125,7 +125,10 @@ def sentence_spans(df: DataFrame, text_col: str = "text",
               "end bigint, n_tokens bigint")
     if include_text:
         schema += ", sentence string"
-    return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
+    return fan_out_small(df.select(id_col, text_col)).mapInPandas(
+        kernel, schema=schema)
 
 
 def sentence_stats(spans: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -354,7 +354,9 @@ def extract_tables(pages_df, id_col: str = "doc_id",
                 (did, page) for did, page in zip(pdf[id_col], pdf[html_col])
                 if isinstance(page, str))
 
-    return pages_df.select(id_col, html_col).mapInPandas(
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
+    return fan_out_small(pages_df.select(id_col, html_col)).mapInPandas(
         kernel, schema=_SCHEMA)
 
 
@@ -368,5 +370,7 @@ def table_rows_from_docs(docs_df):
                 (int(did), build_table_html(int(did), text))
                 for did, text in zip(pdf["doc_id"], pdf["text"]))
 
-    return docs_df.select("doc_id", "text").mapInPandas(
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
+    return fan_out_small(docs_df.select("doc_id", "text")).mapInPandas(
         kernel, schema=_SCHEMA)

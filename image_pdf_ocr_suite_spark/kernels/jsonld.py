@@ -158,5 +158,7 @@ def jsonld_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def extract_jsonld(page_df):
     """Pages table ``(url, html, ...)`` -> one row per JSON-LD item.
     Map-only Arrow kernel over a column-pruned scan; charset-aware."""
-    return page_df.select("url", "html").mapInPandas(
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
+    return fan_out_small(page_df.select("url", "html")).mapInPandas(
         jsonld_kernel, schema=JSONLD_SCHEMA)

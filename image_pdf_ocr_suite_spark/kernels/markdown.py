@@ -414,7 +414,9 @@ def extract_markdown(pages_df, id_col: str = "doc_id",
         for pdf in batches:
             yield _md_kernel(zip(pdf[id_col], pdf[html_col]))
 
-    return pages_df.select(id_col, html_col).mapInPandas(
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
+    return fan_out_small(pages_df.select(id_col, html_col)).mapInPandas(
         kernel, schema=_SCHEMA)
 
 
@@ -428,5 +430,7 @@ def markdown_from_docs(docs_df):
                 (int(did), build_markdown_html(int(did), text))
                 for did, text in zip(pdf["doc_id"], pdf["text"]))
 
-    return docs_df.select("doc_id", "text").mapInPandas(
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
+    return fan_out_small(docs_df.select("doc_id", "text")).mapInPandas(
         kernel, schema=_SCHEMA)

@@ -282,5 +282,7 @@ def extract_microdata(page_df):
     """Pages table ``(url, html, ...)`` → one row per microdata
     property.  Map-only Arrow kernel over a column-pruned scan;
     charset-aware.  No shuffle at any scale."""
-    return page_df.select("url", "html").mapInPandas(
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
+    return fan_out_small(page_df.select("url", "html")).mapInPandas(
         microdata_kernel, schema=MICRODATA_SCHEMA)
