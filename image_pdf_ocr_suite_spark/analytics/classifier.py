@@ -104,34 +104,87 @@ def train_classifier(docs: DataFrame, text_col: str = "text",
     deterministic site (per-document kernel math, driver update)."""
     import pandas as pd
 
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
     np = _np()
     spark = docs.sparkSession
-    src = docs.select(F.col(id_col).alias("__id"),
-                      F.col(text_col).alias("__text"))
-    n_docs = src.count()
+    src = fan_out_small(docs.select(F.col(id_col).alias("__id"),
+                                    F.col(text_col).alias("__text")))
+
+    # Featurize ONCE (round 6): the epoch loop previously re-tokenized
+    # and re-md5-hashed every document per epoch (guide §4 — the
+    # expensive per-row work was inside the iterated stage).  The sparse
+    # (label, slots, vals) rows are extracted from the SAME dense vector
+    # ``_doc_vector`` builds, so every later reconstruction is
+    # bit-identical to the replay's dense math; a per-batch token→slot
+    # memo hashes each DISTINCT token once (the round-3 Zipf rule).
+    def featurize(batches):
+        for pdf in batches:
+            ys, slot_col, val_col = [], [], []
+            memo: dict = {}
+            for i, t in zip(pdf["__id"], pdf["__text"]):
+                x = np.zeros(dim + 1, dtype=np.float64)
+                x[dim] = 1.0
+                if isinstance(t, str):
+                    toks = [tk for tk in t.split(" ") if tk]
+                    if toks:
+                        inv = 1.0 / len(toks)
+                        for wd in toks:
+                            s = memo.get(wd)
+                            if s is None:
+                                s = _feature_index(wd, dim)
+                                memo[wd] = s
+                            x[s] += inv
+                nz = np.flatnonzero(x[:dim])
+                ys.append(1 if (i is not None and int(i) % ref_mod == 0)
+                          else 0)
+                slot_col.append(nz.astype(np.int32))
+                val_col.append(x[nz])
+            yield pd.DataFrame({"y": ys, "slots": slot_col,
+                                "vals": val_col})
+
+    feats = src.mapInPandas(
+        featurize, schema="y int, slots array<int>, vals array<double>") \
+        .localCheckpoint(eager=False)
+    # one pass: materializes the feature checkpoint AND counts it
+    n_docs = feats.count()
     if n_docs == 0:
         raise ValueError("empty training input")
+
     w = np.zeros(dim + 1, dtype=np.float64)
     for _ in range(epochs):
         b_w = spark.sparkContext.broadcast(w.tobytes())
 
         def kernel(batches, _bw=b_w):
             wv = np.frombuffer(_bw.value, dtype=np.float64)
+            x = np.zeros(dim + 1, dtype=np.float64)
+            x[dim] = 1.0
             for pdf in batches:
                 acc = np.zeros(dim + 1, dtype=np.int64)
-                for i, t in zip(pdf["__id"], pdf["__text"]):
-                    y = 1 if (i is not None and int(i) % ref_mod == 0) else 0
-                    acc += _grad_quantized(t, y, wv, dim)
+                for y, slots, vals in zip(pdf["y"], pdf["slots"],
+                                          pdf["vals"]):
+                    slots = np.asarray(slots, dtype=np.int64)
+                    vals = np.asarray(vals, dtype=np.float64)
+                    x[slots] = vals
+                    p = _sigmoid(float(np.dot(wv, x)))
+                    x[slots] = 0.0
+                    d = p - float(y)
+                    # identical per-element ops to the dense spelling:
+                    # floor(((p-y) * x_j) * 2^24); zero slots floor to 0
+                    acc[slots] += np.floor((d * vals) * GRAD_SCALE) \
+                                    .astype(np.int64)
+                    acc[dim] += np.int64(np.floor((d * 1.0) * GRAD_SCALE))
                 yield pd.DataFrame({"g": [acc.tolist()]})
 
-        parts = src.mapInPandas(kernel, schema="g array<bigint>")
-        summed = (parts.select(F.posexplode("g").alias("j", "v"))
-                       .groupBy("j").agg(F.sum("v").alias("s"))
-                       .collect())
+        parts = feats.mapInPandas(kernel, schema="g array<bigint>")
+        # integer sums are order-free, so the per-batch accumulator rows
+        # (one (dim+1)-int64 array per Arrow batch, ~2 MB total) sum
+        # exactly on the driver — no per-epoch shuffle
         g_int = np.zeros(dim + 1, dtype=np.int64)
-        for r in summed:
-            g_int[r["j"]] = r["s"]
+        for r in parts.collect():
+            g_int += np.asarray(r["g"], dtype=np.int64)
         w = w - lr * (g_int.astype(np.float64) / GRAD_SCALE / n_docs)
+        b_w.unpersist()
     return w
 
 
@@ -145,21 +198,38 @@ def score_documents(docs: DataFrame, w, text_col: str = "text",
     SQL-recomputable; ``score_q`` is the replay-pinned artifact."""
     import pandas as pd
 
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
     np = _np()
     spark = docs.sparkSession
     b_w = spark.sparkContext.broadcast(np.asarray(w, dtype=np.float64)
                                        .tobytes())
     id_type = docs.schema[id_col].dataType.simpleString()
-    src = docs.select(id_col, text_col)
+    src = fan_out_small(docs.select(id_col, text_col))
 
     def kernel(batches):
         wv = np.frombuffer(b_w.value, dtype=np.float64)
         for pdf in batches:
             ids, nts, qs, ys, preds = [], [], [], [], []
+            # per-batch token→slot memo: each DISTINCT token md5-hashes
+            # once (round-3 Zipf rule); the accumulation into the dense
+            # vector is unchanged, so scores stay replay-bit-identical
+            memo: dict = {}
             for i, t in zip(pdf[id_col], pdf[text_col]):
-                n = len([x for x in t.split(" ") if x]) \
-                    if isinstance(t, str) else 0
-                x = _doc_vector(t, dim)
+                x = np.zeros(dim + 1, dtype=np.float64)
+                x[dim] = 1.0
+                n = 0
+                if isinstance(t, str):
+                    toks = [tk for tk in t.split(" ") if tk]
+                    n = len(toks)
+                    if toks:
+                        inv = 1.0 / n
+                        for wd in toks:
+                            s = memo.get(wd)
+                            if s is None:
+                                s = _feature_index(wd, dim)
+                                memo[wd] = s
+                            x[s] += inv
                 p = _sigmoid(float(np.dot(wv, x)))
                 q = math.floor(p * SCORE_SCALE)
                 ids.append(i)
