@@ -40,16 +40,26 @@ CFG = ExtractConfig()
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in ("documents", "events"):
+    if name == "documents":
         # round 6: the bench tables are single-row-group parquet files, so
         # the scan yields ONE non-empty task and every per-row stage above
         # it runs serially regardless of core count.  fan_out_small is a
         # no-op once the scan has real parallelism (a many-split corpus),
         # and Catalyst still pushes filters/pruning below the exchange.
+        # Only the text-kernel-bearing table fans here; events-shaped
+        # queries establish their own key exchanges, and a query that
+        # unions several cheap projections of one read should use _t0
+        # (each union leg would otherwise replay the fan exchange).
         from image_pdf_ocr_suite_spark.partitioning import fan_out_small
 
         df = fan_out_small(df)
     return df
+
+
+def _t0(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The unfanned read — for queries that project one table into
+    several union legs (the fan exchange would replay per leg)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def round4(col):
@@ -2676,7 +2686,7 @@ def q_site_template_filter(spark, sf_dir):
     policy would kill but the scoped policy keeps wherever a host holds
     only one such doc (hosts collide only at doc_id spacing 23·29=667).
     The scoped anti-join carries (host, md5) digests only."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t0(spark, sf_dir, "documents")
     host = F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string"))
     content = corpusprep.split_token_lines(d, tokens_per_line=8) \
         .select("doc_id", (F.col("line_no") + 1).alias("line_no"), "line")

@@ -514,7 +514,12 @@ def duplicate_spans(df: DataFrame, n: int = 20, text_col: str = "text",
     the tiny fraction with count > 1, joined back hash-to-hash (AQE
     picks broadcast when it fits).  The island merge windows over
     DUPLICATED occurrences only, partitioned by document."""
-    occ = _positional_gram_hashes(df, n, text_col, id_col, impl=impl)
+    # occ feeds BOTH the keeper-stats aggregate and the join probe —
+    # without pinning, the tokenize+hash kernel executes twice.  Lazy
+    # localCheckpoint (ContextCleaner-reclaimed, the round-5p rule)
+    # materializes it once; rows are (id, pos, 16-byte digest) only.
+    occ = _positional_gram_hashes(df, n, text_col, id_col, impl=impl) \
+        .localCheckpoint(eager=False)
     stats = (occ.groupBy("__h")
                 .agg(F.count(F.lit(1)).alias("__c"),
                      F.min(F.struct(F.col(id_col), F.col("pos")))
@@ -553,30 +558,51 @@ def cut_duplicate_spans(df: DataFrame, n: int = 20, text_col: str = "text",
     before rejoining, so the document text crosses no shuffle keyed on
     anything but its own id — and the span side is the output of a
     ``count > 1`` filter, which AQE broadcasts when it fits.  The token
-    cut itself is a map-only Catalyst ``filter((tok, i) -> ...)`` over
-    the materialized token array (two-parameter lambda = element, index;
-    spans per document are few, so the interpreted containment probe
-    stays cheap)."""
+    cut is an Arrow kernel over ``(text, spans)`` (round 6): the former
+    Catalyst ``filter((tok, i) -> exists(spans, ...))`` is a nested
+    interpreted-HOF pair evaluated per token × span — a numpy interval
+    mask over the same 0-based token indices is row-identical and
+    codegen-free."""
+    import numpy as np
+    import pandas as pd
+
     spans = duplicate_spans(df, n, text_col, id_col, impl=impl)
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans"))
     # null text tokenizes to [] (not null) so every document emits a row
-    toks = (df.select(F.col(id_col),
-                      F.filter(F.split(F.coalesce(F.col(text_col),
-                                                  F.lit("")), " "),
-                               lambda x: x != "").alias("__toks"))
+    joined = (_fan(df.select(id_col, text_col))
               .join(per_doc, id_col, "left"))
-    empty = F.array().cast("array<struct<span_start:int,span_end:int>>")
-    sp = F.coalesce(F.col("__spans"), empty)
-    kept = F.filter(
-        F.col("__toks"),
-        lambda x, i: ~F.exists(
-            sp, lambda s: (i >= s["span_start"]) & (i < s["span_end"])))
-    return toks.select(
-        F.col(id_col),
-        F.concat_ws(" ", kept).alias("clean_text"),
-        F.size("__toks").cast("int").alias("n_tokens"),
-        (F.size("__toks") - F.size(kept)).cast("int").alias("n_removed"))
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, cleans, nts, nrs = [], [], [], []
+            for i, t, sp in zip(pdf[id_col], pdf[text_col],
+                                pdf["__spans"]):
+                toks = [x for x in t.split(" ") if x] \
+                    if isinstance(t, str) else []
+                nt = len(toks)
+                if (sp is None or not hasattr(sp, "__len__")
+                        or len(sp) == 0 or nt == 0):
+                    clean, nr = " ".join(toks), 0
+                else:
+                    mask = np.ones(nt, dtype=bool)
+                    for s in sp:
+                        mask[max(0, s["span_start"]):
+                             max(0, s["span_end"])] = False
+                    clean = " ".join(
+                        tok for tok, keep in zip(toks, mask) if keep)
+                    nr = nt - int(mask.sum())
+                ids.append(i)
+                cleans.append(clean)
+                nts.append(nt)
+                nrs.append(nr)
+            yield pd.DataFrame({id_col: ids, "clean_text": cleans,
+                                "n_tokens": nts, "n_removed": nrs})
+
+    return joined.mapInPandas(
+        kernel, schema=(f"{id_col} {id_type}, clean_text string, "
+                        f"n_tokens int, n_removed int"))
 
 
 def bloom_decontaminate(corpus: DataFrame, test: DataFrame | None = None,
@@ -701,7 +727,12 @@ def frequent_line_filter(lines: DataFrame, min_docs: int = 2,
     pick the strategy per actual size.  The only body-carrying shuffle
     either way is the final per-document reassembly, the same class as
     ``doc_assembly``."""
-    digested = lines.withColumn("__h", F.md5(F.col(line_col)))
+    # digested feeds THREE consumers (frequency aggregate, anti-join
+    # probe, per-doc line counts) — pin it once (lazy localCheckpoint,
+    # ContextCleaner-reclaimed) or the upstream line synthesis chain
+    # executes three times.
+    digested = lines.withColumn("__h", F.md5(F.col(line_col))) \
+        .localCheckpoint(eager=False)
     freq_keys = [scope_col, "__h"] if scope_col else ["__h"]
     frequent = (digested.groupBy(*freq_keys)
                 .agg(F.countDistinct(id_col).alias("__df"))

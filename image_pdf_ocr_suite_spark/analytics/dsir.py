@@ -94,6 +94,65 @@ def bucket_counts(docs: DataFrame, n_buckets: int = 1024,
     return {int(r["bucket"]): int(r["count"]) for r in rows}
 
 
+def _bucket_counts_fused(docs: DataFrame, id_col: str, target_mod: int,
+                         n_buckets: int, text_col: str
+                         ) -> tuple[dict[int, int], dict[int, int]]:
+    """(target_counts, raw_counts) in ONE corpus pass (round 6).
+
+    The separate ``bucket_counts(target)`` + ``bucket_counts(docs)``
+    fit walked the gram stream twice — and the Catalyst spelling both
+    builds the bigram array through an interpreted ``transform`` lambda
+    and md5-hashes every gram OCCURRENCE in the JVM.  This kernel
+    tokenizes once, hashes each DISTINCT gram per batch once
+    (factorize → md5 → gather, the round-3 Zipf rule), and bincounts
+    occurrences into per-batch integer partials; the target slice is
+    counted from the same occurrences via its ``id % target_mod`` flag.
+    Counts are exact integers, so the result is identical to the
+    two-pass spelling for any batching/partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
+    def kernel(batches):
+        for pdf in batches:
+            raw = np.zeros(n_buckets, dtype=np.int64)
+            tgt = np.zeros(n_buckets, dtype=np.int64)
+            flat: list[str] = []
+            flags: list[bool] = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                grams = _grams(_tokens(t))
+                if not grams:
+                    continue
+                flat.extend(grams)
+                flags.extend(
+                    [i is not None and int(i) % target_mod == 0]
+                    * len(grams))
+            if flat:
+                codes, uniques = pd.factorize(
+                    np.asarray(flat, dtype=object))
+                ub = np.fromiter(
+                    (bucket_of(u, n_buckets) for u in uniques),
+                    dtype=np.int64, count=len(uniques))
+                occ = ub[codes]
+                raw += np.bincount(occ, minlength=n_buckets)
+                is_t = np.asarray(flags, dtype=bool)
+                if is_t.any():
+                    tgt += np.bincount(occ[is_t], minlength=n_buckets)
+            nz = np.flatnonzero(raw)
+            yield pd.DataFrame({"bucket": nz.astype(np.int32),
+                                "c_raw": raw[nz], "c_tgt": tgt[nz]})
+
+    parts = fan_out_small(docs.select(id_col, text_col)).mapInPandas(
+        kernel, schema="bucket int, c_raw bigint, c_tgt bigint")
+    rows = (parts.groupBy("bucket")
+            .agg(F.sum("c_raw").alias("cr"), F.sum("c_tgt").alias("ct"))
+            .collect())
+    cr = {int(r["bucket"]): int(r["cr"]) for r in rows}
+    ct = {int(r["bucket"]): int(r["ct"]) for r in rows if int(r["ct"])}
+    return ct, cr
+
+
 def lr_table_from_counts(target: dict[int, int], raw: dict[int, int],
                          n_buckets: int) -> list[int]:
     """The shared (Spark fit == oracle replay) log-ratio table:
@@ -157,8 +216,10 @@ def fit_dsir(docs: DataFrame, text_col: str = "text",
     from image_pdf_ocr_suite_spark.relational.globalrank import global_rank
 
     target = docs.where(F.col(id_col) % target_mod == 0)
-    ct = bucket_counts(target, n_buckets, text_col)
-    cr = bucket_counts(docs, n_buckets, text_col)
+    # one fused corpus pass for BOTH count tables (round 6) — exact
+    # integer counts, identical to the former per-slice bucket_counts
+    ct, cr = _bucket_counts_fused(docs, id_col, target_mod, n_buckets,
+                                  text_col)
     lr = lr_table_from_counts(ct, cr, n_buckets)
     scored = _scored(target, lr, n_buckets, text_col, id_col)
     ranked = global_rank(scored, ["score_e6", id_col])
@@ -195,9 +256,11 @@ def _scored(docs: DataFrame, lr_e6, n_buckets: int, text_col: str,
             out.append(total)
         return pd.Series(out, dtype="int64")
 
-    return docs.select(F.col(id_col),
-                       pandas_udf(_fn, "long")(F.col(text_col))
-                       .alias("score_e6"))
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
+    return fan_out_small(docs.select(id_col, text_col)).select(
+        F.col(id_col),
+        pandas_udf(_fn, "long")(F.col(text_col)).alias("score_e6"))
 
 
 def score_dsir(docs: DataFrame, model: DsirModel, text_col: str = "text",
