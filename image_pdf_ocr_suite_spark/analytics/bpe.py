@@ -98,14 +98,32 @@ def _pair_counts_df(vocab: DataFrame,
                 .agg(F.sum("c").cast("bigint").alias("pair_count"))
 
 
+# Bounded-vocabulary driver fast path (round 6): the merge rounds operate
+# on the word-frequency RELATION, whose cardinality is the corpus
+# vocabulary — counted before anything is collected, exactly the
+# connected_components_auto pattern (dedup.py).  Below the budget the
+# pure-Python replay (pinned row-for-row equal to the distributed
+# spelling by the test suite) runs on the driver, replacing ~2-4 Spark
+# jobs per merge round of pure scheduler latency; above it the
+# distributed rounds run unchanged.
+DRIVER_MAX_VOCAB = 200_000
+
+
 def bpe_train(docs: DataFrame, n_merges: int = 8,
-              text_col: str = "text") -> list[tuple[str, str, int]]:
+              text_col: str = "text",
+              driver_max_vocab: int = DRIVER_MAX_VOCAB
+              ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` merges; returns [(left, right, pair_count)] in
     rank order.  One corpus shuffle (word_vocab) + per-round vocab-sized
-    pair aggregations; the driver sees one row per round."""
+    pair aggregations; the driver sees one row per round.  Vocabularies
+    ≤ ``driver_max_vocab`` (counted first) run the bit-equal replay
+    driver-side; pass ``0`` to force the distributed rounds."""
     vocab = word_vocab(docs, text_col).persist()
     try:
-        vocab.count()  # materialize once; rounds reuse the cached relation
+        cnt = vocab.count()  # materialize once; rounds reuse the cache
+        if driver_max_vocab and cnt <= driver_max_vocab:
+            wf = {r["word"]: int(r["freq"]) for r in vocab.collect()}
+            return replay_merges(wf, n_merges=n_merges)
         merges: list[tuple[str, str]] = []
         out: list[tuple[str, str, int]] = []
         for _ in range(n_merges):

@@ -206,14 +206,27 @@ def _estep_kernel(b_scores, max_len: int):
 
 def unigram_train(docs: DataFrame, text_col: str = "text",
                   max_len: int = MAX_LEN, seed_multi: int = SEED_MULTI,
-                  target_multi: int = TARGET_MULTI, rounds: int = ROUNDS
+                  target_multi: int = TARGET_MULTI, rounds: int = ROUNDS,
+                  driver_max_vocab: int | None = None
                   ) -> list[tuple[str, int, int]]:
     """Learn the unigram vocabulary; returns [(piece, count, qlog)] in
-    rank order — equal to ``replay_train`` row for row."""
+    rank order — equal to ``replay_train`` row for row.  Vocabularies ≤
+    ``driver_max_vocab`` (default ``bpe.DRIVER_MAX_VOCAB``, counted
+    first — the connected_components_auto pattern) run the bit-equal
+    replay driver-side; pass ``0`` to force the distributed EM."""
+    from image_pdf_ocr_suite_spark.analytics.bpe import DRIVER_MAX_VOCAB
+
+    if driver_max_vocab is None:
+        driver_max_vocab = DRIVER_MAX_VOCAB
     sc = docs.sparkSession.sparkContext
     vocab = word_vocab(docs, text_col).persist()
     try:
-        vocab.count()
+        cnt = vocab.count()
+        if driver_max_vocab and cnt <= driver_max_vocab:
+            wf = {r["word"]: int(r["freq"]) for r in vocab.collect()}
+            return replay_train(wf, max_len=max_len,
+                                seed_multi=seed_multi,
+                                target_multi=target_multi, rounds=rounds)
         # persist: the two bounded collects below must not re-run the
         # substring enumeration (the heaviest pass) twice
         seed = _piece_partials(vocab, _seed_kernel(max_len)).persist()

@@ -133,15 +133,28 @@ def _tagged_counts_df(vocab: DataFrame,
 
 
 def wordpiece_train(docs: DataFrame, n_merges: int = 8,
-                    text_col: str = "text"
+                    text_col: str = "text",
+                    driver_max_vocab: int | None = None
                     ) -> list[tuple[str, str, int, int, int]]:
     """Learn ``n_merges`` WordPiece merges; returns
     ``[(left, right, pair_count, left_count, right_count)]`` in rank
     order.  One corpus shuffle + per-round vocab-sized tagged
-    aggregations; one driver row per round."""
+    aggregations; one driver row per round.  Vocabularies ≤
+    ``driver_max_vocab`` (default ``bpe.DRIVER_MAX_VOCAB``, counted
+    before anything is collected — the connected_components_auto
+    pattern) run the bit-equal pure-Python replay driver-side instead
+    of ~2 Spark jobs per round; pass ``0`` to force the distributed
+    rounds."""
+    from image_pdf_ocr_suite_spark.analytics.bpe import DRIVER_MAX_VOCAB
+
+    if driver_max_vocab is None:
+        driver_max_vocab = DRIVER_MAX_VOCAB
     vocab = word_vocab(docs, text_col).persist()
     try:
-        vocab.count()  # materialize once; rounds reuse the cached relation
+        cnt = vocab.count()  # materialize once; rounds reuse the cache
+        if driver_max_vocab and cnt <= driver_max_vocab:
+            wf = {r["word"]: int(r["freq"]) for r in vocab.collect()}
+            return replay_train(wf, n_merges=n_merges)
         merges: list[tuple[str, str]] = []
         out: list[tuple[str, str, int, int, int]] = []
         for _ in range(n_merges):
@@ -149,18 +162,24 @@ def wordpiece_train(docs: DataFrame, n_merges: int = 8,
             # branches below would otherwise re-run the kernel pass
             # (single-consumer rule, pipeline.py:18-23)
             counts = _tagged_counts_df(vocab, merges).persist()
-            syms = counts.filter(F.col("kind") == 0) \
-                         .select(F.col("left").alias("sym"),
-                                 F.col("n").alias("sym_n"))
+            # symbol-count side is alphabet-bounded — collect it to a
+            # literal map instead of building TWO broadcast joins per
+            # round (round 6: each broadcast build is its own job; the
+            # map lookup keeps identical double arithmetic, and every
+            # pair symbol is guaranteed present as a kind-0 row)
+            sym_rows = counts.filter(F.col("kind") == 0) \
+                             .select("left", "n").collect()
+            sym_map = F.create_map(
+                *[x for r in sym_rows
+                  for x in (F.lit(r["left"]), F.lit(int(r["n"])))])
             pairs = counts.filter(F.col("kind") == 1) \
                           .select("left", "right",
                                   F.col("n").alias("pair_count"))
-            # symbol-count side is alphabet-bounded → broadcast twice
-            lj = F.broadcast(syms.withColumnRenamed("sym", "left")
-                                 .withColumnRenamed("sym_n", "left_count"))
-            rj = F.broadcast(syms.withColumnRenamed("sym", "right")
-                                 .withColumnRenamed("sym_n", "right_count"))
-            scored = (pairs.join(lj, "left").join(rj, "right")
+            scored = (pairs
+                      .withColumn("left_count",
+                                  F.element_at(sym_map, F.col("left")))
+                      .withColumn("right_count",
+                                  F.element_at(sym_map, F.col("right")))
                       .withColumn(
                           "score",
                           F.col("pair_count").cast("double")

@@ -29,10 +29,14 @@ def docs_df(spark):
 
 
 def test_train_matches_replay(spark, docs_df):
-    trained = bpe.bpe_train(docs_df, n_merges=8)
+    # driver_max_vocab=0 forces the DISTRIBUTED rounds (round 6: the
+    # counted fast path would otherwise make this replay-vs-replay)
+    trained = bpe.bpe_train(docs_df, n_merges=8, driver_max_vocab=0)
     expected = bpe.replay_merges(
         bpe.replay_word_freq([t for _, t in TEXTS]), n_merges=8)
     assert trained == expected
+    # the auto fast path (bounded vocab -> driver replay) must agree
+    assert bpe.bpe_train(docs_df, n_merges=8) == expected
     assert len(trained) == 8
     # counts are non-increasing only per re-count — but every count >= 1
     assert all(c >= 1 for _, _, c in trained)

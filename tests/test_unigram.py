@@ -35,13 +35,17 @@ def docs_df(spark):
 
 @pytest.fixture(scope="module")
 def trained(spark, docs_df):
-    return unigram.unigram_train(docs_df, **PARAMS)
+    # driver_max_vocab=0 forces the DISTRIBUTED EM — every property test
+    # below exercises the distributed spelling (round 6)
+    return unigram.unigram_train(docs_df, driver_max_vocab=0, **PARAMS)
 
 
-def test_train_matches_replay(trained):
+def test_train_matches_replay(trained, spark, docs_df):
     expected = unigram.replay_train(
         replay_word_freq([t for _, t in TEXTS]), **PARAMS)
     assert trained == expected
+    # the auto fast path (bounded vocab -> driver replay) must agree
+    assert unigram.unigram_train(docs_df, **PARAMS) == expected
 
 
 def test_vocab_shape_and_ranking(trained):

@@ -47,9 +47,14 @@ def test_segment_continuation_convention():
 
 
 def test_train_matches_replay(spark, docs_df):
-    trained = wp.wordpiece_train(docs_df, n_merges=8)
+    # driver_max_vocab=0 forces the DISTRIBUTED rounds — the equivalence
+    # pin must not degenerate to replay-vs-replay under the counted
+    # driver fast path (round 6)
+    trained = wp.wordpiece_train(docs_df, n_merges=8, driver_max_vocab=0)
     expected = wp.replay_train(_word_freq(), n_merges=8)
     assert trained == expected
+    # the auto fast path (bounded vocab -> driver replay) must agree
+    assert wp.wordpiece_train(docs_df, n_merges=8) == expected
     assert len(trained) == 8
     assert all(p >= 1 and lc >= p and rc >= p
                for _, _, p, lc, rc in trained)
