@@ -125,28 +125,50 @@ def hll_registers(df: DataFrame, col: str, p: int = 10,
     mask = (1 << rem_bits) - 1
 
     def partial(batches):
+        # ONE register table per PARTITION (round 6): the former
+        # per-batch emission paid pandas drop_duplicates + groupby per
+        # 2048-row Arrow batch — ~1000x per task on a thin gram stream.
+        # A cross-batch value memo hashes each DISTINCT value once per
+        # task (Zipf rule), and the (group, bucket) -> max-rho dict is
+        # the same MAX the final aggregate applies, so registers are
+        # identical for any batching.
+        memo: dict = {}          # value -> (bucket, rho)
+        regs: dict = {}          # (group..., bucket) -> max rho
+        n_g = len(gcols)
         for pdf in batches:
             if not len(pdf):
                 continue
-            dedup = pdf.drop_duplicates()
-            buckets, rhos = [], []
-            for v in dedup["__v"]:
-                h = int(hashlib.md5(v.encode("utf-8")).hexdigest()[:12],
-                        16)
-                rem = h & mask
-                buckets.append(h >> rem_bits)
-                rhos.append(max_rho if rem == 0
-                            else max_rho - rem.bit_length())
-            dedup = dedup.drop(columns="__v")
-            dedup["bucket"] = pd.array(buckets, dtype="int32")
-            dedup["rho"] = pd.array(rhos, dtype="int32")
-            # dropna=False: a NULL group key is a real group — the
-            # catalyst spelling and the oracle both keep it
-            yield dedup.groupby([*gcols, "bucket"], sort=False,
-                                as_index=False, dropna=False)["rho"].max() \
-                if gcols else \
-                dedup.groupby(["bucket"], sort=False,
-                              as_index=False)["rho"].max()
+            if n_g:
+                it = zip(zip(*(pdf[c] for c in gcols)), pdf["__v"])
+            else:
+                it = ((None, v) for v in pdf["__v"])
+            if len(memo) > 2_000_000:
+                memo.clear()   # bound worker memory on adversarially
+                # high-cardinality streams; re-hashing is always safe
+            for g, v in it:
+                br = memo.get(v)
+                if br is None:
+                    h = int(hashlib.md5(v.encode("utf-8"))
+                            .hexdigest()[:12], 16)
+                    rem = h & mask
+                    br = (h >> rem_bits,
+                          max_rho if rem == 0
+                          else max_rho - rem.bit_length())
+                    memo[v] = br
+                key = (g, br[0])
+                r = regs.get(key)
+                if r is None or br[1] > r:
+                    regs[key] = br[1]
+        cols: dict = {c: [] for c in gcols}
+        buckets, rhos = [], []
+        for (g, bucket), rho in regs.items():
+            for j, c in enumerate(gcols):
+                cols[c].append(g[j])
+            buckets.append(bucket)
+            rhos.append(rho)
+        cols["bucket"] = pd.array(buckets, dtype="int32")
+        cols["rho"] = pd.array(rhos, dtype="int32")
+        yield pd.DataFrame(cols)
 
     partials = src.mapInPandas(partial, schema=out_schema)
     return (partials.groupBy(*gcols, "bucket")
@@ -168,8 +190,9 @@ def hll_merge(*register_dfs: DataFrame,
 def _pow2_lookup(max_rho: int):
     """Literal array ``[2^maxrho, 2^(maxrho-1), ..., 2^0]`` indexed by
     ``r + 1`` — exact ``2^(maxrho - r)`` without engine shift semantics."""
-    return F.array(*[F.lit(1 << (max_rho - i)).cast("bigint")
-                     for i in range(max_rho + 1)])
+    from image_pdf_ocr_suite_spark.analytics.lits import bigint_array_lit
+
+    return bigint_array_lit(1 << (max_rho - i) for i in range(max_rho + 1))
 
 
 def hll_estimate(registers: DataFrame, p: int = 10,
@@ -211,7 +234,9 @@ def hll_estimate(registers: DataFrame, p: int = 10,
         f"({q_sql} div CAST(1000000000 AS BIGINT)) * CAST({a9} AS BIGINT)"
         f" + (({q_sql} % CAST(1000000000 AS BIGINT)) *"
         f" CAST({a9} AS BIGINT)) div CAST(1000000000 AS BIGINT)")
-    lc_arr = F.array(*[F.lit(x).cast("bigint") for x in lc])
+    from image_pdf_ocr_suite_spark.analytics.lits import bigint_array_lit
+
+    lc_arr = bigint_array_lit(lc)
     est = F.when((v > 0) & (raw <= F.lit(5 * m // 2)),
                  F.element_at(lc_arr, v)).otherwise(raw)
     return (agg.withColumn("__s", s)

@@ -37,6 +37,8 @@ import os
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
+from image_pdf_ocr_suite_spark.analytics.lits import double_array_lit
+
 from image_pdf_ocr_suite_spark.analytics import pq as pqmod
 from image_pdf_ocr_suite_spark.analytics.similarity import (
     _probe_lists, cosine_expr, ivf_list_expr, ivf_list_np,
@@ -117,7 +119,7 @@ def ivfpq_topk(spark, path: str, query_vec, k: int = 10,
             .where(F.col("ivf_list").isin(probe))
             .select(id_col, vec_col)
             .join(F.broadcast(cand), id_col))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = double_array_lit(query_vec)
     emb = F.col(vec_col).cast("array<double>")
     out = vecs.select(F.col(id_col), cosine_expr(emb, q).alias("sim"))
     return out.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)

@@ -57,6 +57,8 @@ from functools import reduce
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
+from image_pdf_ocr_suite_spark.analytics.lits import double_array_lit
+
 from image_pdf_ocr_suite_spark.analytics.similarity import cosine_expr
 
 LUT_SCALE = 1_000_000
@@ -276,7 +278,7 @@ def pq_topk_from_index(spark, path: str, query_vec, k: int = 10,
                  .select(id_col)
     vecs = spark.read.parquet(path).select(id_col, vec_col) \
         .join(F.broadcast(cand), id_col)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = double_array_lit(query_vec)
     emb = F.col(vec_col).cast("array<double>")
     out = vecs.select(F.col(id_col), cosine_expr(emb, q).alias("sim"))
     return out.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)

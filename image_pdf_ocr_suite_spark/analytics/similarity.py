@@ -22,6 +22,9 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
+from image_pdf_ocr_suite_spark.analytics.lits import (
+    double_array_lit, double_matrix_lit)
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -37,7 +40,7 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 20,
                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact brute-force top-k by cosine similarity to a literal query
     vector; deterministic tie-break on id."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = double_array_lit(query_vec)
     emb = F.col(vec_col).cast("array<double>")
     scored = df.select(F.col(id_col), cosine_expr(emb, q).alias("sim"))
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
@@ -59,9 +62,8 @@ def _matdots_aggregate(vec_col, mat: np.ndarray, finish):
     the n-traversals-per-row cost is not."""
     n_rows, dim = mat.shape
     # transpose: element i of the vector multiplies row i (n_rows coeffs)
-    mt = F.array(*[
-        F.array(*[F.lit(float(mat[j][i])) for j in range(n_rows)])
-        for i in range(dim)])
+    mt = double_matrix_lit(
+        [[float(mat[j][i]) for j in range(n_rows)] for i in range(dim)])
     emb = F.col(vec_col).cast("array<double>")
     init = F.struct(F.lit(0).alias("i"),
                     F.array_repeat(F.lit(0.0), n_rows).alias("s"))
@@ -317,7 +319,7 @@ def ivf_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 20,
     lists = ivf_list_expr(vec_col, centroids)
     cand = df.select(F.col(id_col), F.col(vec_col), lists.alias("ivf_list")) \
              .where(F.col("ivf_list").isin(probe))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = double_array_lit(query_vec)
     emb = F.col(vec_col).cast("array<double>")
     scored = cand.select(F.col(id_col), cosine_expr(emb, q).alias("sim"))
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
@@ -411,7 +413,7 @@ def ivf_topk_from_index(spark, path: str, query_vec: list[float],
     centroids = ivf_read_centroids(path)
     probe = _probe_lists(centroids, query_vec, n_probe)
     df = spark.read.parquet(path).where(F.col("ivf_list").isin(probe))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = double_array_lit(query_vec)
     emb = F.col(vec_col).cast("array<double>")
     scored = df.select(F.col(id_col), cosine_expr(emb, q).alias("sim"))
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
@@ -485,7 +487,7 @@ def lsh_topk_from_index(spark, path: str, query_vec: list[float],
     cand = df.where(
         F.bit_count(F.col("sketch").bitwiseXOR(F.lit(q_sketch)))
         <= max_hamming)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = double_array_lit(query_vec)
     emb = F.col(vec_col).cast("array<double>")
     scored = cand.select(F.col(id_col), cosine_expr(emb, q).alias("sim"))
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
@@ -574,7 +576,7 @@ def lsh_topk_from_banded_index(spark, path: str, query_vec: list[float],
                                  .bitwiseXOR(F.lit(q_sketch)))
                      <= max_hamming)
             .dropDuplicates([id_col]))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = double_array_lit(query_vec)
     emb = F.col(vec_col).cast("array<double>")
     scored = cand.select(F.col(id_col), cosine_expr(emb, q).alias("sim"))
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
@@ -595,7 +597,7 @@ def lsh_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 20,
     cand = cand.where(
         F.bit_count(F.col("sketch").bitwiseXOR(F.lit(q_sketch))) <= max_hamming)
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = double_array_lit(query_vec)
     emb = F.col(vec_col).cast("array<double>")
     scored = cand.select(F.col(id_col), cosine_expr(emb, q).alias("sim"))
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)

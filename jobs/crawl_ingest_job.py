@@ -116,6 +116,12 @@ def ingest_pages(archives: DataFrame, warc_col: str = "warc",
       (resolved revisits change which records enter the window, and
       the envelope pass cannot see resolution outcomes); also the
       right choice for archives with non-unique record ids."""
+    from image_pdf_ocr_suite_spark.partitioning import fan_out_small
+
+    # round 6: a compact archive table (single row group) scans as one
+    # task, serializing BOTH the record-walk kernel and the envelope
+    # pass; no-op when the archive scan already has real parallelism
+    archives = fan_out_small(archives)
     recs = parse_warc(archives, warc_col=warc_col)
     if resolve_revisits:
         from image_pdf_ocr_suite_spark.tableio.warc import (
