@@ -243,7 +243,9 @@ from image_pdf_ocr_suite_spark.relational.assemble import pystrip as _pystrip  #
 def q_doc_assembly(spark, sf_dir):
     """§2.2 document assembly (headers + ordered join + strip + trailing
     newline, ocr.py:767/780) emulated per source group over documents."""
-    d = _t(spark, sf_dir, "documents")
+    # _t0: the window exchange on source is the partitioning this query
+    # needs — an adaptive fan ahead of it is a pure-overhead shuffle
+    d = _t0(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy("doc_id")
     chunks = d.select(
         "source",
@@ -2119,7 +2121,7 @@ def q_corpus_mixture(spark, sf_dir):
     aggregate + a broadcast probe; documents never shuffle."""
     from image_pdf_ocr_suite_spark.analytics import mixing as mix_mod
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t0(spark, sf_dir, "documents")  # short-key aggregate: fan adds nothing
     return mix_mod.mixture_report(d.select("doc_id", "source"), 2500)
 
 
@@ -2129,7 +2131,7 @@ def q_temperature_sample(spark, sf_dir):
     deterministic sampling contract shared with stratified_sample."""
     from image_pdf_ocr_suite_spark.analytics import mixing as mix_mod
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t0(spark, sf_dir, "documents")  # short-key aggregate: fan adds nothing
     return mix_mod.temperature_sample(
         d.select("doc_id", "source"), 2500).select("doc_id", "source")
 

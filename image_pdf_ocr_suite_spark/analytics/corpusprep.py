@@ -814,7 +814,10 @@ def fix_mojibake(df: DataFrame, text_col: str = "text",
             yield pd.DataFrame({id_col: pdf[id_col], text_col: fixed,
                                 "n_passes": n_passes})
 
-    return _fan(df.select(id_col, text_col)).mapInPandas(
+    # NB round 6: deliberately NOT fanned — the repair kernel is
+    # microseconds per clean-ASCII doc; an adaptive exchange costs more
+    # than the parallelism buys on this thin, cheap kernel
+    return df.select(id_col, text_col).mapInPandas(
         kernel, schema=f"{id_col} {id_type}, {text_col} string, "
                        f"n_passes int")
 
