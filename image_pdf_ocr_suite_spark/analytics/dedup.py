@@ -499,12 +499,32 @@ def connected_components_auto(pairs: DataFrame, id_a: str = "id_a",
     edges = (pairs.select(F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
                           F.least(F.col(id_a), F.col(id_b)).alias("v"))
              .distinct().localCheckpoint(eager=False))
-    n_edges = edges.count()
-    if n_edges > driver_max_edges:
-        return connected_components_star(edges, "u", "v",
-                                         max_iters=max_iters)
     spark = pairs.sparkSession
     id_type = pairs.schema[id_a].dataType
+    # budget by BYTES as well as edges (round 6, ADVICE r5 #3): 2M
+    # edges of long URL strings plus the parent/comp dicts can be
+    # multiple GB of Python objects even though the edge count passed.
+    # The payload size is measured in the SAME bounded aggregate as the
+    # count (string ids: exact octet sum; fixed-width ids: 16 B/edge);
+    # the driver footprint estimate adds ~150 B/edge of object/dict
+    # overhead and must fit an eighth of the driver heap's own order —
+    # a fixed 1 GiB default, overridable via driver_max_edges=0 to
+    # force the distributed star path outright.
+    from pyspark.sql.types import StringType
+
+    if isinstance(id_type, StringType):
+        stat = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.octet_length("u") + F.octet_length("v")),
+                       F.lit(0)).alias("b")).first()
+        n_edges, id_bytes = int(stat["n"]), int(stat["b"])
+    else:
+        n_edges = edges.count()
+        id_bytes = 16 * n_edges
+    est_driver_bytes = id_bytes + 150 * n_edges
+    if n_edges > driver_max_edges or est_driver_bytes > (1 << 30):
+        return connected_components_star(edges, "u", "v",
+                                         max_iters=max_iters)
     out_schema = StructType([StructField("id", id_type, True),
                              StructField("comp", id_type, True)])
     if n_edges == 0:

@@ -62,15 +62,21 @@ def mixing_plan(docs: DataFrame, budget_bp: int,
     w = F.floor(F.sqrt(F.col("n_docs"))).cast("bigint")
     counts = counts.withColumn("weight", w)
     win = Window.partitionBy()          # a handful of source rows
-    total_n = F.sum("n_docs").over(win)
-    total_w = F.sum("weight").over(win)
-    budget = F.floor(total_n * F.lit(int(budget_bp)) / F.lit(10000))
-    alloc = F.floor(budget * F.col("weight") / total_w).cast("bigint")
-    out = counts.withColumn("alloc", alloc)
-    rate = F.least(F.lit(10000).cast("bigint"),
-                   F.floor(F.lit(10000) * F.col("alloc") / F.col("n_docs"))
-                    .cast("bigint"))
-    return out.withColumn("rate_bp", rate)
+    # integer `div` end-to-end (round 6, ADVICE r5 #1): the former
+    # double-division floor equals integer division only while
+    # budget*weight stays under 2^53 — BIGINT div is exact to 2^63 and
+    # mirrors the oracle's `//` verbatim.  Identical results in the
+    # <2^53 regime, so the pinned oracle rows are unchanged.
+    counts = (counts
+              .withColumn("__tn", F.sum("n_docs").over(win))
+              .withColumn("__tw", F.sum("weight").over(win)))
+    out = counts.withColumn(
+        "alloc",
+        F.expr(f"CAST(((__tn * {int(budget_bp)}) div 10000) * weight "
+               f"div __tw AS BIGINT)"))
+    rate = F.expr("least(CAST(10000 AS BIGINT), "
+                  "CAST((10000 * alloc) div n_docs AS BIGINT))")
+    return out.withColumn("rate_bp", rate).drop("__tn", "__tw")
 
 
 def temperature_sample(docs: DataFrame, budget_bp: int,
@@ -83,6 +89,14 @@ def temperature_sample(docs: DataFrame, budget_bp: int,
     carries bodies)."""
     plan = mixing_plan(docs, budget_bp, source_col, id_col)
     plan = plan.select(source_col, "rate_bp")
+    # NB (ADVICE r5 #4, resolved by documentation): the inner join is
+    # deliberately NOT null-safe — a NULL ``source`` row never matches,
+    # so it is excluded from the realized sample while mixing_plan
+    # still reports it (n_sampled 0 in mixture_report).  That is
+    # exactly what the SQL restatement (JOIN USING(source)) computes,
+    # and the two engines must stay identical in every regime; callers
+    # with NULL sources should coalesce to a sentinel first
+    # (jobs/pipeline_job.py maps unparseable hosts to '').
     return (docs.join(F.broadcast(plan), on=source_col, how="inner")
                 .where(_bucket_expr(id_col) < F.col("rate_bp"))
                 .drop("rate_bp"))

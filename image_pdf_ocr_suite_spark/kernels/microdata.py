@@ -19,10 +19,12 @@ can restate closed-form; hostile-markup behavior pytest-pinned):
   item; the value source follows the spec's element table:
   ``meta`` → ``content`` attr, ``a``/``link``/``area`` → ``href``,
   ``img``/``audio``/``video``/``source``/``iframe``/``embed`` →
-  ``src``, ``time`` → ``datetime`` attr when present else text,
-  ``data`` → ``value`` attr when present else text (all ``vsource =
-  'attr'``); any other element → its descendant text, whitespace-
-  collapsed ``" ".join(s.split())`` (``vsource = 'text'``);
+  ``src``, ``time`` → ``datetime`` attr when present,
+  ``data`` → ``value`` attr when present (``vsource = 'attr'`` ONLY
+  when the attribute is present — an absent datetime/value falls back
+  to the element's descendant text with ``vsource = 'text'``); any
+  other element → its descendant text, whitespace-collapsed
+  ``" ".join(s.split())`` (``vsource = 'text'``);
 * ``itemprop`` + ``itemscope`` on the SAME element: the nested item is
   the value — one row per property name with ``value`` NULL,
   ``vsource = 'item'`` and ``child_idx`` = the nested item's index;

@@ -68,13 +68,17 @@ def clean_corpus(pages: DataFrame, cfg: ExtractConfig | None = None,
     res = extract_pages(pages, cfg, run_id=run_id)
 
     # The cleaning stages reference the extracted text many times (joins,
-    # reject accounting); persist it so OCR runs once.  Extracted text is
-    # tiny next to the payloads — in production, extract_job.py writes it
-    # to its own table first and this job reads that table instead.
-    from pyspark import StorageLevel
+    # reject accounting); pin it so OCR runs once.  Lazy localCheckpoint
+    # (not a CacheManager persist) throughout this job — round 6,
+    # ADVICE r5 #5: repeated in-process callers (pipeline_job per run,
+    # test suites) were accumulating never-unpersisted cache entries;
+    # checkpoint blocks are ContextCleaner-reclaimed on GC instead.
+    # Extracted text is tiny next to the payloads — in production,
+    # extract_job.py writes it to its own table first and this job
+    # reads that table instead.
     from pyspark.sql import Window
     docs = res.text.select("url", F.col("extracted_text").alias("text")) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     # lang-ID and token count are per-row functions of the text — fused
     # as map-side columns.  The earlier spelling built two (url, feature)
     # relations with textops.lang_id_script/token_counts and joined them
@@ -102,7 +106,7 @@ def clean_corpus(pages: DataFrame, cfg: ExtractConfig | None = None,
     env = (lang_ok
            .select("url", F.md5("text").alias("content_md5"))
            .withColumn("__keep", F.min("url").over(dig_w))
-           .persist(StorageLevel.MEMORY_AND_DISK))
+           .localCheckpoint(eager=False))
     losers_exact = env.where(F.col("url") != F.col("__keep")).select("url")
     n_lose = losers_exact.count()          # materializes env
     n_keep = env.count() - n_lose          # second pass over persisted env
@@ -123,7 +127,7 @@ def clean_corpus(pages: DataFrame, cfg: ExtractConfig | None = None,
     # signature kernel, the Jaccard verifier's candidate semi-join, and
     # the clean write) — persist it so the dedup join evaluates once
     # instead of once per consumer.
-    exact_unique = exact_unique.persist(StorageLevel.MEMORY_AND_DISK)
+    exact_unique = exact_unique.localCheckpoint(eager=False)
 
     # near-dup removal: LSH candidates are only CANDIDATES — verify with
     # exact pair Jaccard before dropping anything, then keep one
@@ -133,7 +137,7 @@ def clean_corpus(pages: DataFrame, cfg: ExtractConfig | None = None,
     losers = dedup.verified_near_dup_losers(
         exact_unique, "text", "url", threshold=jaccard,
         broadcast_max_ids=broadcast_max_ids) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     if losers.count() <= broadcast_max_ids:
         losers_rel = F.broadcast(losers)
     else:
@@ -162,7 +166,7 @@ def clean_corpus(pages: DataFrame, cfg: ExtractConfig | None = None,
         hits = corpusprep.decontaminate_ngrams(
             clean, decontam_test, n=decontam_n,
             text_col="text", id_col="url").select("url") \
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=False)
         rejects = rejects.unionByName(
             hits.select("url", F.lit("contaminated").alias("reason")))
         clean = clean.join(hits, "url", "left_anti")
@@ -172,7 +176,7 @@ def clean_corpus(pages: DataFrame, cfg: ExtractConfig | None = None,
                                             id_col="url")
                 .where(F.col("rare_ratio") > max_rare_ratio)
                 .select("url")
-                .persist(StorageLevel.MEMORY_AND_DISK))
+                .localCheckpoint(eager=False))
         rejects = rejects.unionByName(
             soup.select("url", F.lit("rare_token_soup").alias("reason")))
         clean = clean.join(soup, "url", "left_anti")
