@@ -39,26 +39,12 @@ CFG = ExtractConfig()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "documents":
-        # round 6: the bench tables are single-row-group parquet files, so
-        # the scan yields ONE non-empty task and every per-row stage above
-        # it runs serially regardless of core count.  fan_out_small is a
-        # no-op once the scan has real parallelism (a many-split corpus),
-        # and Catalyst still pushes filters/pruning below the exchange.
-        # Only the text-kernel-bearing table fans here; events-shaped
-        # queries establish their own key exchanges, and a query that
-        # unions several cheap projections of one read should use _t0
-        # (each union leg would otherwise replay the fan exchange).
-        from image_pdf_ocr_suite_spark.partitioning import fan_out_small
-
-        df = fan_out_small(df)
-    return df
-
-
-def _t0(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """The unfanned read — for queries that project one table into
-    several union legs (the fan exchange would replay per leg)."""
+    # NB round 6: deliberately a PLAIN read — the adaptive fan-out for
+    # under-parallel single-row-group scans (partitioning.fan_out_small)
+    # is applied at the OPERATOR/kernel level (where the CPU-bound stage
+    # actually is), not here: a reader-level fan would replay its
+    # exchange once per union leg / consumer and break the map-only
+    # plan contracts pinned in tests/test_plan_quality.py.
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -245,7 +231,7 @@ def q_doc_assembly(spark, sf_dir):
     newline, ocr.py:767/780) emulated per source group over documents."""
     # _t0: the window exchange on source is the partitioning this query
     # needs — an adaptive fan ahead of it is a pure-overhead shuffle
-    d = _t0(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy("doc_id")
     chunks = d.select(
         "source",
@@ -2121,7 +2107,7 @@ def q_corpus_mixture(spark, sf_dir):
     aggregate + a broadcast probe; documents never shuffle."""
     from image_pdf_ocr_suite_spark.analytics import mixing as mix_mod
 
-    d = _t0(spark, sf_dir, "documents")  # short-key aggregate: fan adds nothing
+    d = _t(spark, sf_dir, "documents")  # short-key aggregate: fan adds nothing
     return mix_mod.mixture_report(d.select("doc_id", "source"), 2500)
 
 
@@ -2131,7 +2117,7 @@ def q_temperature_sample(spark, sf_dir):
     deterministic sampling contract shared with stratified_sample."""
     from image_pdf_ocr_suite_spark.analytics import mixing as mix_mod
 
-    d = _t0(spark, sf_dir, "documents")  # short-key aggregate: fan adds nothing
+    d = _t(spark, sf_dir, "documents")  # short-key aggregate: fan adds nothing
     return mix_mod.temperature_sample(
         d.select("doc_id", "source"), 2500).select("doc_id", "source")
 
@@ -2688,7 +2674,7 @@ def q_site_template_filter(spark, sf_dir):
     policy would kill but the scoped policy keeps wherever a host holds
     only one such doc (hosts collide only at doc_id spacing 23·29=667).
     The scoped anti-join carries (host, md5) digests only."""
-    d = _t0(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     host = F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string"))
     content = corpusprep.split_token_lines(d, tokens_per_line=8) \
         .select("doc_id", (F.col("line_no") + 1).alias("line_no"), "line")

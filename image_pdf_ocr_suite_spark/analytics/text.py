@@ -17,8 +17,16 @@ from pyspark.sql import DataFrame, functions as F
 def token_array_expr(text_col: str = "text"):
     """Whitespace-split token array (empty strings dropped) — THE shared
     tokenization every corpus operator and its SQL oracle mirror
-    (``list_filter(string_split(text, ' '), x -> x <> '')``)."""
-    return F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    (``list_filter(string_split(text, ' '), x -> x <> '')``).
+
+    Round 6 spelling: ``array_remove(split(text, ' '), '')`` — removes
+    ALL empty elements, exactly the old ``filter(x -> x != '')``
+    (equality pinned in tests/test_unicode_and_buckets.py), but
+    array_remove is an ordinary codegen'd expression while ``filter``
+    is a Catalyst higher-order function that evaluates INTERPRETED per
+    element (the round-2 HOF rule) in every tokenize-bearing operator.
+    """
+    return F.array_remove(F.split(F.col(text_col), " "), F.lit(""))
 
 
 def md5_bucket_expr(id_col: str, n_buckets: int):

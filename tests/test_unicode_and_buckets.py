@@ -109,3 +109,20 @@ def test_unicode_whitespace_strip_byte_identity(spark):
     # span text is python-stripped on both sides too
     spans = {r["text"] for r in res.spans.collect()}
     assert "日本" in spans and "語x" in spans and "plain" in spans
+
+
+def test_token_array_expr_equals_filter_hof_spelling(spark):
+    """Round 6: token_array_expr moved from the interpreted filter()
+    HOF to codegen'd array_remove — the two must agree on every edge
+    shape (leading/trailing/multiple spaces, empty, null, no-space)."""
+    from pyspark.sql import functions as F
+
+    from image_pdf_ocr_suite_spark.analytics.text import token_array_expr
+
+    rows = [("a b  c",), ("",), (" ",), ("  x",), ("y  ",), (None,),
+            ("one",), ("a  b   c  ",), (" nb sp",), ("tab\there",)]
+    df = spark.createDataFrame(rows, "text string")
+    hof = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    got = df.select(token_array_expr("text").alias("n"),
+                    hof.alias("o")).collect()
+    assert all(r["n"] == r["o"] for r in got)
