@@ -27,17 +27,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def fan_out_small(df: DataFrame, factor: int = 2) -> DataFrame:
-    """Repartition ``df`` to ``factor × defaultParallelism`` when its
-    current plan has materially fewer partitions (< parallelism);
-    otherwise return ``df`` unchanged.  Use immediately before a
-    CPU-bound per-row stage (Python kernel, tokenize+explode chain)."""
+def fan_out_small(df: DataFrame, factor: int = 2,
+                  bytes_per_partition: int = 32 << 10) -> DataFrame:
+    """Repartition ``df`` for a CPU-bound per-row stage when its current
+    plan is under-parallel; otherwise return ``df`` unchanged.
+
+    The target is SIZE-ADAPTIVE (guide §2 — derived from the input, not
+    a constant): ``clamp(optimizer sizeInBytes / bytes_per_partition,
+    1, factor × defaultParallelism)``.  A tiny input (a correctness run
+    at sf0.01, a unit-test frame) therefore skips the exchange
+    entirely, a mid-size input fans to a handful of tasks, and a
+    bench/production-shaped input saturates the cluster — measured
+    round 6: the flat 2×parallelism target cost ~0.2-0.4 s of exchange
+    + near-empty-task scheduling per leg at the 5k-doc scale while
+    buying nothing.  The optimizer estimate is column-pruned and
+    compressed-leaning, so 32 KiB of estimate per task corresponds to
+    a few hundred KB of in-memory text — small enough that per-row-
+    expensive kernels keep full parallelism at bench scale."""
     try:
         sc = df.sparkSession.sparkContext
-        target = sc.defaultParallelism * factor
+        par = max(sc.defaultParallelism, 1)
         n = df.rdd.getNumPartitions()
+        if n >= par:
+            return df
+        est = int(df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
     except Exception:
         return df
-    if n >= max(sc.defaultParallelism, 1):
+    target = max(1, min(factor * par, est // bytes_per_partition))
+    if target <= n:
         return df
     return df.repartition(target)
