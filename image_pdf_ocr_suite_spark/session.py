@@ -33,6 +33,12 @@ def build_session(app: str = "image-pdf-ocr-suite-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
+        # zstd parquet output (guide §6): markedly smaller than snappy at
+        # similar read speed — the staging/snapshot writes here land on a
+        # shared spindle where bytes written are the wall (round 6;
+        # override via SPARK_GRAFT_PARQUET_CODEC)
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
